@@ -1,0 +1,61 @@
+"""rucene_tpu — a TPU-native full-text search framework.
+
+Capability target: zhihu/rucene (Apache Lucene 6.2.1 semantics) — inverted
+indexing with segments and two-phase commits, BM25 boolean/term/phrase/range
+search with top-k collection, NRT refresh, deletes, merging, doc values,
+stored fields and highlighting — re-architected for TPU: postings are
+bit-packed block tensors decoded on-device, matching and scoring run as
+batched dense XLA/Pallas programs, segments shard across a device mesh.
+
+See SURVEY.md for the reference blueprint and docs/ARCHITECTURE.md for the
+design.
+"""
+
+__version__ = "0.1.0"
+
+from rucene_tpu.analysis import LowercaseWhitespaceAnalyzer, WhitespaceAnalyzer
+from rucene_tpu.doc import (
+    Document,
+    Field,
+    FieldType,
+    IndexOptions,
+    NumericDocValuesField,
+    StoredField,
+    StringField,
+    Term,
+    TextField,
+)
+from rucene_tpu.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+)
+from rucene_tpu.search.searcher import IndexSearcher, ScoreDoc, TopDocs
+from rucene_tpu.search.similarity import BM25Similarity
+
+__all__ = [
+    "BM25Similarity",
+    "BooleanQuery",
+    "BoostQuery",
+    "Document",
+    "Field",
+    "FieldType",
+    "IndexOptions",
+    "IndexSearcher",
+    "LowercaseWhitespaceAnalyzer",
+    "MatchAllDocsQuery",
+    "NumericDocValuesField",
+    "Occur",
+    "PhraseQuery",
+    "ScoreDoc",
+    "StoredField",
+    "StringField",
+    "Term",
+    "TermQuery",
+    "TextField",
+    "TopDocs",
+    "WhitespaceAnalyzer",
+]

@@ -1,0 +1,263 @@
+"""Segment packing: SegmentData -> flat bit-packed block tensors.
+
+The on-device postings layout (decoded by rucene_tpu.ops.decode):
+
+- one flat uint32 ``data`` buffer holds every 128-doc block of every term:
+  per block, 4*doc_bits words of delta-packed doc ids followed by
+  4*freq_bits words of packed freqs (width chosen per block = adaptive FOR,
+  the TPU-shaped analog of the reference's per-block PF/EF/BITSET choice at
+  rucene src/core/codec/postings/posting_reader.rs:336-341);
+- segment-global block metadata tensors (word offset, widths, base doc id,
+  valid count, max freq for future block-max pruning);
+- per-field term tables mapping term ordinal -> block range + stats.
+
+Packing is vectorized numpy over the whole segment: one scatter packs every
+block at once (128*bits is always a whole number of uint32 words, so blocks
+never overlap words).
+
+Positions are stored unpacked (int32 absolute positions in doc order per
+term) for now; they only sit on the phrase-verification path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rucene_tpu.index.field_infos import FieldInfos
+from rucene_tpu.index.memory import FieldStats, SegmentData
+from rucene_tpu.util.packing import BLOCK_SIZE
+
+
+def _bits_for(values: np.ndarray) -> np.ndarray:
+    """Per-element minimal bit width (>=1) for uint values (vectorized)."""
+    v = values.astype(np.uint64)
+    bits = np.zeros_like(v, dtype=np.int64)
+    nz = v > 0
+    # exact for v < 2^53; doc deltas and freqs are < 2^31
+    bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    return np.maximum(bits, 1).astype(np.int32)
+
+
+@dataclass
+class PackedField:
+    name: str
+    field_id: int  # dense id among indexed fields of this segment
+    terms: list[str]  # sorted
+    term_ord: dict[str, int]
+    doc_freq: np.ndarray  # i64[T]
+    total_tf: np.ndarray  # i64[T]
+    block_start: np.ndarray  # i32[T] into the segment-global block tables
+    block_count: np.ndarray  # i32[T]
+    pos_start: np.ndarray  # i64[T] occurrence offset into positions stream
+
+
+@dataclass
+class PackedSegment:
+    max_doc: int
+    field_infos: FieldInfos
+    fields: dict[str, PackedField]
+    stats: dict[str, FieldStats]
+    # global block tables, one entry per 128-doc block:
+    blk_off: np.ndarray  # i32[NB] word offset of the doc half
+    blk_doc_bits: np.ndarray  # i32[NB]
+    blk_freq_bits: np.ndarray  # i32[NB]
+    blk_base: np.ndarray  # i32[NB] doc id preceding the block (-1 at list head)
+    blk_count: np.ndarray  # i32[NB]
+    blk_max_freq: np.ndarray  # i32[NB]
+    blk_pos_base: np.ndarray  # i32[NB] global occurrence index of block's first occurrence
+    data: np.ndarray  # u32[W]
+    positions: np.ndarray  # i32[P]
+    norms: dict[str, np.ndarray]  # field -> u8[max_doc]
+    stored: list[dict[str, object]]
+    numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.blk_off)
+
+    def index_bytes(self) -> int:
+        """Approximate index size: packed postings + block/term metadata."""
+        n = self.data.nbytes + self.positions.nbytes
+        n += sum(
+            a.nbytes
+            for a in (
+                self.blk_off,
+                self.blk_doc_bits,
+                self.blk_freq_bits,
+                self.blk_base,
+                self.blk_count,
+                self.blk_max_freq,
+            )
+        )
+        for f in self.fields.values():
+            n += sum(len(t) for t in f.terms)
+            n += f.doc_freq.nbytes + f.block_start.nbytes + f.block_count.nbytes
+        n += sum(v.nbytes for v in self.norms.values())
+        return n
+
+
+def pack_segment(seg: SegmentData) -> PackedSegment:
+    """Pack all postings of a segment into the flat block format."""
+    field_names = [name for name in sorted(seg.terms, key=lambda n: seg.field_infos.by_name[n].number)]
+
+    # --- flatten all postings across fields/terms in global term order ---
+    docs_parts: list[np.ndarray] = []
+    freqs_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    df_list: list[int] = []  # per global term
+    fields: dict[str, PackedField] = {}
+    term_field_order: list[tuple[str, list[str]]] = []
+
+    for fid, name in enumerate(field_names):
+        tmap = seg.terms[name]
+        terms_sorted = sorted(tmap)
+        term_field_order.append((name, terms_sorted))
+        for t in terms_sorted:
+            d, f, p = tmap[t]
+            docs_parts.append(d)
+            freqs_parts.append(f)
+            pos_parts.append(p)
+            df_list.append(len(d))
+
+    if df_list:
+        docs = np.concatenate(docs_parts).astype(np.int64)
+        freqs = np.concatenate(freqs_parts).astype(np.int64)
+        positions = (
+            np.concatenate(pos_parts).astype(np.int32) if pos_parts else np.zeros(0, np.int32)
+        )
+        df = np.asarray(df_list, dtype=np.int64)
+    else:
+        docs = np.zeros(0, np.int64)
+        freqs = np.zeros(0, np.int64)
+        positions = np.zeros(0, np.int32)
+        df = np.zeros(0, np.int64)
+
+    n_post = len(docs)
+    term_start = np.concatenate([[0], np.cumsum(df)])  # [T+1]
+    tf_per_term = np.add.reduceat(freqs, term_start[:-1].astype(np.int64)) if n_post else np.zeros(0, np.int64)
+    tf_per_term = np.where(df > 0, tf_per_term, 0) if len(df) else tf_per_term
+    pos_start_per_term = np.concatenate([[0], np.cumsum(tf_per_term)])[:-1] if len(df) else np.zeros(0, np.int64)
+
+    # --- per-posting indexing: which term, which block, which lane ---
+    if n_post:
+        term_of_post = np.repeat(np.arange(len(df)), df)
+        idx_in_term = np.arange(n_post) - term_start[term_of_post]
+        blk_in_term = idx_in_term // BLOCK_SIZE
+        lane = (idx_in_term % BLOCK_SIZE).astype(np.int64)
+        blocks_per_term = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+        term_blk_start = np.concatenate([[0], np.cumsum(blocks_per_term)])
+        gblk = term_blk_start[term_of_post] + blk_in_term  # global block id per posting
+        nb_total = int(term_blk_start[-1])
+
+        # deltas: doc[i] - doc[i-1] within a term; first of term = doc + 1
+        prev = np.empty(n_post, dtype=np.int64)
+        prev[1:] = docs[:-1]
+        prev[0] = -1
+        at_term_start = idx_in_term == 0
+        prev[at_term_start] = -1
+        deltas = docs - prev
+        if np.any(deltas <= 0):
+            raise ValueError("doc ids must be strictly increasing within a term")
+
+        # block value matrices [NB, 128], padded with zeros
+        dvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
+        fvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
+        dvals[gblk, lane] = deltas.astype(np.uint64)
+        fvals[gblk, lane] = freqs.astype(np.uint64)
+
+        blk_doc_bits = _bits_for(dvals.max(axis=1))
+        blk_freq_bits = _bits_for(fvals.max(axis=1))
+        blk_max_freq = fvals.max(axis=1).astype(np.int32)
+
+        # block base = doc preceding the block (-1 at list head)
+        first_lane = lane == 0
+        blk_base = np.empty(nb_total, dtype=np.int64)
+        blk_base[gblk[first_lane]] = prev[first_lane]
+        # block count = valid docs in block
+        blk_count = np.zeros(nb_total, dtype=np.int64)
+        np.add.at(blk_count, gblk, 1)
+
+        # occurrence offset of each block's first posting (for positions)
+        cumfreq_excl = np.concatenate([[0], np.cumsum(freqs)])[:-1]
+        blk_pos_base = np.zeros(nb_total, dtype=np.int64)
+        blk_pos_base[gblk[first_lane]] = cumfreq_excl[first_lane]
+
+        # word layout: [doc words | freq words] per block
+        words_per_blk = 4 * (blk_doc_bits.astype(np.int64) + blk_freq_bits.astype(np.int64))
+        blk_off = np.concatenate([[0], np.cumsum(words_per_blk)])
+        total_words = int(blk_off[-1])
+        blk_off = blk_off[:-1]
+
+        out = np.zeros(total_words + 1, dtype=np.uint64)  # +1 pad word
+        _scatter_pack(out, dvals, blk_doc_bits, blk_off)
+        _scatter_pack(out, fvals, blk_freq_bits, blk_off + 4 * blk_doc_bits.astype(np.int64))
+        data = out.astype(np.uint32)
+    else:
+        nb_total = 0
+        blk_doc_bits = np.zeros(0, np.int32)
+        blk_freq_bits = np.zeros(0, np.int32)
+        blk_max_freq = np.zeros(0, np.int32)
+        blk_base = np.zeros(0, np.int64)
+        blk_count = np.zeros(0, np.int64)
+        blk_pos_base = np.zeros(0, np.int64)
+        blk_off = np.zeros(0, np.int64)
+        term_blk_start = np.zeros(1, np.int64)
+        blocks_per_term = np.zeros(0, np.int64)
+        data = np.zeros(1, dtype=np.uint32)
+
+    # --- per-field term tables ---
+    gterm = 0
+    for fid, (name, terms_sorted) in enumerate(term_field_order):
+        t0, t1 = gterm, gterm + len(terms_sorted)
+        fields[name] = PackedField(
+            name=name,
+            field_id=fid,
+            terms=terms_sorted,
+            term_ord={t: i for i, t in enumerate(terms_sorted)},
+            doc_freq=df[t0:t1].copy(),
+            total_tf=tf_per_term[t0:t1].copy() if len(df) else np.zeros(0, np.int64),
+            block_start=term_blk_start[t0:t1].astype(np.int32),
+            block_count=blocks_per_term[t0:t1].astype(np.int32) if nb_total else np.zeros(t1 - t0, np.int32),
+            pos_start=pos_start_per_term[t0:t1].copy() if len(df) else np.zeros(0, np.int64),
+        )
+        gterm = t1
+
+    return PackedSegment(
+        max_doc=seg.max_doc,
+        field_infos=seg.field_infos,
+        fields=fields,
+        stats=seg.stats,
+        blk_off=blk_off.astype(np.int32),
+        blk_doc_bits=blk_doc_bits.astype(np.int32),
+        blk_freq_bits=blk_freq_bits.astype(np.int32),
+        blk_base=blk_base.astype(np.int32),
+        blk_count=blk_count.astype(np.int32),
+        blk_max_freq=blk_max_freq,
+        blk_pos_base=blk_pos_base.astype(np.int32),
+        data=data,
+        positions=positions,
+        norms=dict(seg.norms),
+        stored=seg.stored,
+        numeric_dv=seg.numeric_dv,
+    )
+
+
+def _scatter_pack(out: np.ndarray, vals: np.ndarray, bits: np.ndarray, word_off: np.ndarray) -> None:
+    """OR-scatter pack vals[NB,128] at per-row widths into ``out`` (uint64).
+
+    Values never cross their block's word range because 128*bits is an exact
+    multiple of 32.
+    """
+    nb = vals.shape[0]
+    if nb == 0:
+        return
+    lane = np.arange(BLOCK_SIZE, dtype=np.int64)
+    bitpos = lane[None, :] * bits[:, None].astype(np.int64)  # [NB,128]
+    widx = word_off[:, None] + (bitpos >> 5)
+    shift = (bitpos & 31).astype(np.uint64)
+    lo = (vals << shift) & np.uint64(0xFFFFFFFF)
+    hi = vals >> (np.uint64(32) - shift)  # shift==0 -> >>32 == 0 for uint64
+    np.bitwise_or.at(out, widx, lo)
+    np.bitwise_or.at(out, widx + 1, hi)

@@ -1,0 +1,103 @@
+"""Field schema: what gets indexed / stored / doc-valued per field.
+
+Reference analog: rucene src/core/doc/field.rs:23-260 (Field, FieldType) and
+src/core/doc/index_options.rs:18 (IndexOptions). We keep the same per-field
+toggles; the storage they select maps onto device tensors instead of
+codec streams.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+
+class IndexOptions(enum.IntEnum):
+    """How much postings information is recorded for an indexed field."""
+
+    NONE = 0
+    DOCS = 1
+    DOCS_AND_FREQS = 2
+    DOCS_AND_FREQS_AND_POSITIONS = 3
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS = 4
+
+    @property
+    def has_freqs(self) -> bool:
+        return self >= IndexOptions.DOCS_AND_FREQS
+
+    @property
+    def has_positions(self) -> bool:
+        return self >= IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+
+    @property
+    def has_offsets(self) -> bool:
+        return self >= IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS
+
+
+class DocValuesType(enum.IntEnum):
+    NONE = 0
+    NUMERIC = 1
+    BINARY = 2
+    SORTED = 3
+    SORTED_NUMERIC = 4
+    SORTED_SET = 5
+
+
+@dataclass(frozen=True)
+class FieldType:
+    index_options: IndexOptions = IndexOptions.NONE
+    stored: bool = False
+    tokenized: bool = True
+    doc_values_type: DocValuesType = DocValuesType.NONE
+    store_term_vectors: bool = False
+    omit_norms: bool = False
+    point_dimension_count: int = 0
+    point_num_bytes: int = 0
+
+    @property
+    def indexed(self) -> bool:
+        return self.index_options != IndexOptions.NONE
+
+
+# Canonical field types (mirroring Lucene's TextField / StringField / etc.)
+TEXT_FIELD_TYPE_STORED = FieldType(
+    index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS, stored=True, tokenized=True
+)
+TEXT_FIELD_TYPE_NOT_STORED = FieldType(
+    index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS, stored=False, tokenized=True
+)
+STRING_FIELD_TYPE_STORED = FieldType(
+    index_options=IndexOptions.DOCS, stored=True, tokenized=False, omit_norms=True
+)
+STRING_FIELD_TYPE_NOT_STORED = FieldType(
+    index_options=IndexOptions.DOCS, stored=False, tokenized=False, omit_norms=True
+)
+STORED_ONLY_TYPE = FieldType(index_options=IndexOptions.NONE, stored=True, tokenized=False)
+NUMERIC_DV_TYPE = FieldType(doc_values_type=DocValuesType.NUMERIC)
+
+
+@dataclass
+class Field:
+    """A named, typed value inside a Document."""
+
+    name: str
+    value: Any
+    field_type: FieldType = dc_field(default_factory=FieldType)
+    boost: float = 1.0
+
+
+def TextField(name: str, value: str, stored: bool = False) -> Field:
+    return Field(name, value, TEXT_FIELD_TYPE_STORED if stored else TEXT_FIELD_TYPE_NOT_STORED)
+
+
+def StringField(name: str, value: str, stored: bool = False) -> Field:
+    return Field(name, value, STRING_FIELD_TYPE_STORED if stored else STRING_FIELD_TYPE_NOT_STORED)
+
+
+def StoredField(name: str, value: Any) -> Field:
+    return Field(name, value, STORED_ONLY_TYPE)
+
+
+def NumericDocValuesField(name: str, value: int) -> Field:
+    return Field(name, int(value), NUMERIC_DV_TYPE)

@@ -1,0 +1,164 @@
+"""In-RAM single-segment indexer: the DWPT analog.
+
+The reference inverts documents through TermsHash/BytesRefHash into block
+pools (rucene src/core/codec/postings/terms_hash_per_field.rs:610,
+util/bytes_ref_hash.rs:36). Here inversion accumulates per-term postings in
+Python dicts and numpy buffers; `finish()` freezes them into sorted,
+column-oriented SegmentData ready for packing onto the device. A C++
+inversion fast path can drop in behind the same SegmentData contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from rucene_tpu.analysis import Analyzer, LowercaseWhitespaceAnalyzer, Token
+from rucene_tpu.doc.document import Document
+from rucene_tpu.doc.field import DocValuesType, IndexOptions
+from rucene_tpu.index.field_infos import FieldInfos
+from rucene_tpu.util.small_float import float_to_byte315
+
+
+@dataclass
+class _TermPosting:
+    """Growing posting list for one term (docids strictly increasing)."""
+
+    docs: list[int] = dc_field(default_factory=list)
+    freqs: list[int] = dc_field(default_factory=list)
+    # positions flattened in doc order; freqs give per-doc extents
+    positions: list[int] = dc_field(default_factory=list)
+
+    def add_occurrence(self, doc: int, position: int) -> None:
+        if self.docs and self.docs[-1] == doc:
+            self.freqs[-1] += 1
+        else:
+            self.docs.append(doc)
+            self.freqs.append(1)
+        self.positions.append(position)
+
+
+@dataclass
+class FieldStats:
+    doc_count: int = 0  # docs containing this field
+    sum_total_term_freq: int = 0
+    sum_doc_freq: int = 0
+
+
+@dataclass
+class SegmentData:
+    """A frozen in-RAM segment: everything a flush/pack step needs."""
+
+    max_doc: int
+    field_infos: FieldInfos
+    # per field name -> {term -> (docs i32[], freqs i32[], positions i32[])}
+    terms: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]]
+    norms: dict[str, np.ndarray]  # field -> uint8[max_doc]
+    stats: dict[str, FieldStats]
+    stored: list[dict[str, object]]  # per-doc stored fields
+    numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (i64 vals, bool present)
+
+
+class SegmentBuffer:
+    """Accumulates documents for one segment (single-threaded)."""
+
+    def __init__(self, analyzer: Analyzer | None = None, field_infos: FieldInfos | None = None):
+        self.analyzer: Analyzer = analyzer or LowercaseWhitespaceAnalyzer()
+        self.field_infos = field_infos or FieldInfos()
+        self._terms: dict[str, dict[str, _TermPosting]] = {}
+        self._norm_bytes: dict[str, dict[int, int]] = {}
+        self._stats: dict[str, FieldStats] = {}
+        self._stored: list[dict[str, object]] = []
+        self._numeric_dv: dict[str, dict[int, int]] = {}
+        self.num_docs = 0
+
+    def add_document(self, doc: Document) -> int:
+        doc_id = self.num_docs
+        stored: dict[str, object] = {}
+        # field -> (length, boost) for norm computation of this doc
+        invert_state: dict[str, tuple[int, float]] = {}
+
+        for f in doc:
+            info = self.field_infos.get_or_add(f.name)
+            ft = f.field_type
+            if ft.indexed:
+                if ft.index_options > info.index_options:
+                    info.index_options = ft.index_options
+                info.omit_norms = info.omit_norms or ft.omit_norms
+                if ft.tokenized:
+                    tokens = self.analyzer.tokenize(f.name, str(f.value))
+                else:
+                    tokens = [Token(str(f.value), 0, 0, len(str(f.value)))]
+                if tokens:
+                    field_terms = self._terms.setdefault(f.name, {})
+                    base_pos = invert_state.get(f.name, (0, f.boost))[0]
+                    for tok in tokens:
+                        posting = field_terms.get(tok.term)
+                        if posting is None:
+                            posting = field_terms[tok.term] = _TermPosting()
+                        posting.add_occurrence(doc_id, base_pos + tok.position)
+                    prev_len = invert_state.get(f.name, (0, f.boost))[0]
+                    invert_state[f.name] = (prev_len + len(tokens), f.boost)
+            if ft.stored:
+                stored[f.name] = f.value
+            if ft.doc_values_type == DocValuesType.NUMERIC:
+                info.doc_values_type = DocValuesType.NUMERIC
+                self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
+
+        # norms: byte315(boost / sqrt(field_length)) — BM25Similarity::compute_norm
+        # (reference bm25_similarity.rs:86-93)
+        for name, (length, boost) in invert_state.items():
+            info = self.field_infos.get(name)
+            st = self._stats.setdefault(name, FieldStats())
+            st.doc_count += 1
+            st.sum_total_term_freq += length
+            if not info.omit_norms and length > 0:
+                norm = int(float_to_byte315(np.float32(boost) / np.sqrt(np.float32(length))))
+                self._norm_bytes.setdefault(name, {})[doc_id] = norm
+
+        self._stored.append(stored)
+        self.num_docs += 1
+        return doc_id
+
+    def finish(self) -> SegmentData:
+        max_doc = self.num_docs
+        terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for field, tmap in self._terms.items():
+            st = self._stats.setdefault(field, FieldStats())
+            st.sum_doc_freq += sum(len(p.docs) for p in tmap.values())
+            fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for term in sorted(tmap):
+                p = tmap[term]
+                fout[term] = (
+                    np.asarray(p.docs, dtype=np.int32),
+                    np.asarray(p.freqs, dtype=np.int32),
+                    np.asarray(p.positions, dtype=np.int32),
+                )
+            terms_out[field] = fout
+
+        norms_out: dict[str, np.ndarray] = {}
+        for field, by_doc in self._norm_bytes.items():
+            arr = np.zeros(max_doc, dtype=np.uint8)
+            for d, v in by_doc.items():
+                arr[d] = v
+            norms_out[field] = arr
+
+        dv_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for field, by_doc in self._numeric_dv.items():
+            vals = np.zeros(max_doc, dtype=np.int64)
+            present = np.zeros(max_doc, dtype=bool)
+            for d, v in by_doc.items():
+                vals[d] = v
+                present[d] = True
+            dv_out[field] = (vals, present)
+
+        return SegmentData(
+            max_doc=max_doc,
+            field_infos=self.field_infos,
+            terms=terms_out,
+            norms=norms_out,
+            stats=dict(self._stats),
+            stored=self._stored,
+            numeric_dv=dv_out,
+        )

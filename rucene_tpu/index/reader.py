@@ -1,0 +1,172 @@
+"""Read-side: SegmentSnapshot (LeafReader analog) and IndexReader (composite).
+
+reference: rucene src/core/index/reader/segment_reader.rs:522 (SegmentReader),
+directory_reader.rs:62 (StandardDirectoryReader), leaf_reader.rs:62.
+
+A snapshot is immutable: NRT refresh and deletes produce NEW snapshots that
+share device postings tensors and swap only the live mask (the functional
+analog of per-generation .liv files).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rucene_tpu.codec.device import DeviceSegment, build_device_segment, with_live
+from rucene_tpu.codec.postings import PackedSegment
+from rucene_tpu.search.similarity import CollectionStats
+from rucene_tpu.util.packing import BLOCK_SIZE, unpack_block
+
+
+@dataclass(frozen=True)
+class TermRecord:
+    ord: int
+    doc_freq: int
+    total_tf: int
+    block_start: int
+    block_count: int
+    pos_start: int
+
+
+class SegmentSnapshot:
+    """One immutable segment view: host metadata + device tensors."""
+
+    def __init__(
+        self,
+        name: str,
+        packed: PackedSegment,
+        device: DeviceSegment | None = None,
+        live: np.ndarray | None = None,
+    ):
+        self.name = name
+        self.packed = packed
+        self.live = live  # None => all live
+        self.device = device if device is not None else build_device_segment(packed, live)
+        self.doc_base = 0  # assigned by IndexReader
+
+    @property
+    def max_doc(self) -> int:
+        return self.packed.max_doc
+
+    @property
+    def del_count(self) -> int:
+        return 0 if self.live is None else int(self.max_doc - self.live.sum())
+
+    @property
+    def num_docs(self) -> int:
+        return self.max_doc - self.del_count
+
+    def with_deletes(self, live: np.ndarray) -> "SegmentSnapshot":
+        """New snapshot sharing postings tensors with an updated live mask."""
+        snap = SegmentSnapshot.__new__(SegmentSnapshot)
+        snap.name = self.name
+        snap.packed = self.packed
+        snap.live = live.copy()
+        snap.device = with_live(self.device, live)
+        snap.doc_base = 0
+        return snap
+
+    # --- term dictionary ---
+    def term_record(self, field: str, text: str) -> TermRecord | None:
+        pf = self.packed.fields.get(field)
+        if pf is None:
+            return None
+        ord_ = pf.term_ord.get(text)
+        if ord_ is None:
+            return None
+        return TermRecord(
+            ord=ord_,
+            doc_freq=int(pf.doc_freq[ord_]),
+            total_tf=int(pf.total_tf[ord_]),
+            block_start=int(pf.block_start[ord_]),
+            block_count=int(pf.block_count[ord_]),
+            pos_start=int(pf.pos_start[ord_]),
+        )
+
+    def field_stats(self, field: str) -> CollectionStats | None:
+        st = self.packed.stats.get(field)
+        if st is None:
+            return None
+        return CollectionStats(
+            field=field,
+            max_doc=self.max_doc,
+            doc_count=st.doc_count,
+            sum_total_term_freq=st.sum_total_term_freq,
+        )
+
+    # --- host-side postings decode (merge / phrase verification path) ---
+    def read_postings(
+        self, field: str, text: str, with_positions: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+        rec = self.term_record(field, text)
+        if rec is None:
+            return None
+        p = self.packed
+        docs = np.empty(rec.doc_freq, dtype=np.int64)
+        freqs = np.empty(rec.doc_freq, dtype=np.int64)
+        out = 0
+        for bi in range(rec.block_start, rec.block_start + rec.block_count):
+            cnt = int(p.blk_count[bi])
+            off = int(p.blk_off[bi])
+            dbits = int(p.blk_doc_bits[bi])
+            fbits = int(p.blk_freq_bits[bi])
+            dwords = p.data[off : off + 4 * dbits].astype(np.uint64)
+            fwords = p.data[off + 4 * dbits : off + 4 * (dbits + fbits)].astype(np.uint64)
+            deltas = unpack_block(dwords, dbits)[:cnt].astype(np.int64)
+            docs[out : out + cnt] = int(p.blk_base[bi]) + np.cumsum(deltas)
+            freqs[out : out + cnt] = unpack_block(fwords, fbits)[:cnt]
+            out += cnt
+        positions = None
+        if with_positions:
+            total = int(freqs.sum())
+            positions = p.positions[rec.pos_start : rec.pos_start + total].astype(np.int64)
+        return docs, freqs, positions
+
+    def document(self, local_doc: int) -> dict[str, object]:
+        return self.packed.stored[local_doc]
+
+
+class IndexReader:
+    """Point-in-time composite over segment snapshots."""
+
+    def __init__(self, leaves: list[SegmentSnapshot]):
+        self.leaves = leaves
+        base = 0
+        for leaf in leaves:
+            leaf.doc_base = base
+            base += leaf.max_doc
+        self.max_doc = base
+
+    @property
+    def num_docs(self) -> int:
+        return sum(leaf.num_docs for leaf in self.leaves)
+
+    def collection_stats(self, field: str) -> CollectionStats:
+        doc_count = 0
+        sum_ttf = 0
+        for leaf in self.leaves:
+            st = leaf.field_stats(field)
+            if st is not None:
+                doc_count += st.doc_count
+                sum_ttf += st.sum_total_term_freq
+        return CollectionStats(
+            field=field,
+            max_doc=self.max_doc,
+            doc_count=doc_count if doc_count else -1,
+            sum_total_term_freq=sum_ttf,
+        )
+
+    def doc_freq(self, field: str, text: str) -> int:
+        return sum(
+            rec.doc_freq
+            for leaf in self.leaves
+            if (rec := leaf.term_record(field, text)) is not None
+        )
+
+    def document(self, doc: int) -> dict[str, object]:
+        for leaf in reversed(self.leaves):
+            if doc >= leaf.doc_base:
+                return leaf.document(doc - leaf.doc_base)
+        raise IndexError(f"doc {doc} out of range")

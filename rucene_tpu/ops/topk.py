@@ -1,0 +1,66 @@
+"""Exact vectorized top-k with Lucene tie-breaking (score desc, doc id asc).
+
+Replaces the reference's scalar binary-heap HitQueue
+(rucene src/core/search/collector/top_docs.rs:68-77) with a constant-depth
+device formulation: two lax.top_k passes over the dense score vector select
+the exact hit set (all scores strictly above the k-th value, plus the
+smallest-doc-id holders of the k-th value), then a tiny 2k-element
+lexicographic sort orders them. Non-matching docs carry -inf.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+_DOC_PAD = jnp.int32(2**31 - 1)
+
+
+def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """scores: f32[B, N] with -inf for non-matching docs; doc id == column.
+
+    Returns (top_scores f32[B,k], top_docs i32[B,k]); slots beyond the number
+    of matches hold (-inf, 2^31-1).
+    """
+    b, n = scores.shape
+    kk = min(k, n)
+
+    vals, _ = jax.lax.top_k(scores, kk)  # true score values, [B,kk]
+    thr = vals[:, -1]  # k-th best score per row
+
+    above = scores > thr[:, None]
+    m = jnp.sum(above, axis=1).astype(jnp.int32)  # strictly-above count (< kk when thr finite)
+
+    # part 1: every strictly-above doc (count m <= kk)
+    a_scores, a_idx = jax.lax.top_k(jnp.where(above, scores, NEG_INF), kk)
+    j = jnp.arange(kk, dtype=jnp.int32)[None, :]
+    a_valid = j < m[:, None]
+    a_scores = jnp.where(a_valid, a_scores, NEG_INF)
+    a_docs = jnp.where(a_valid, a_idx.astype(jnp.int32), _DOC_PAD)
+
+    # part 2: ties at the threshold, smallest doc ids first
+    doc_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    finite_thr = thr[:, None] > NEG_INF
+    eq = (scores == thr[:, None]) & finite_thr
+    e_key = jnp.where(eq, -doc_ids, jnp.int32(-(2**31 - 1)))
+    e_negdoc, _ = jax.lax.top_k(e_key, kk)  # largest -doc == smallest doc
+    e_needed = kk - m
+    e_valid = (j < e_needed[:, None]) & (e_negdoc > jnp.int32(-(2**31 - 1))) & finite_thr
+    e_docs = jnp.where(e_valid, -e_negdoc, _DOC_PAD)
+    e_scores = jnp.where(e_valid, thr[:, None], NEG_INF)
+
+    # merge the <=2k candidates and order by (-score, doc)
+    c_scores = jnp.concatenate([a_scores, e_scores], axis=1)
+    c_docs = jnp.concatenate([a_docs, e_docs], axis=1)
+    neg, docs_sorted, scores_sorted = jax.lax.sort(
+        (-c_scores, c_docs, c_scores), num_keys=2, dimension=-1
+    )
+    out_scores = scores_sorted[:, :kk]
+    out_docs = docs_sorted[:, :kk]
+    if kk < k:
+        pad_s = jnp.full((b, k - kk), NEG_INF, dtype=scores.dtype)
+        pad_d = jnp.full((b, k - kk), _DOC_PAD, dtype=jnp.int32)
+        out_scores = jnp.concatenate([out_scores, pad_s], axis=1)
+        out_docs = jnp.concatenate([out_docs, pad_d], axis=1)
+    return out_scores, out_docs

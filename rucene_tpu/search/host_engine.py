@@ -1,0 +1,156 @@
+"""Pure-numpy mirror of the device engine.
+
+Two jobs:
+1. Parity oracle: tests assert the jitted executor produces bit-identical
+   scores/ordering to this implementation (the analog of the reference's
+   scorer unit tests, e.g. bulk_scorer.rs:157-201).
+2. Execution path for queries needing positional verification (PhraseQuery)
+   until the device phrase kernel lands: phrase freq is computed here and
+   scored with the same f32 BM25 semantics.
+
+Float discipline: all scoring in np.float32, accumulation in clause order —
+identical operation order to search.executor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rucene_tpu.index.reader import SegmentSnapshot
+from rucene_tpu.search.query import Occur, RewrittenQuery
+from rucene_tpu.search.similarity import BM25Similarity, CollectionStats
+
+
+@dataclass
+class HostHits:
+    total_hits: int
+    docs: np.ndarray  # i32[<=k] segment-local doc ids
+    scores: np.ndarray  # f32[<=k]
+
+
+def phrase_postings(
+    leaf: SegmentSnapshot, field: str, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase virtual postings: (docs, phrase_freqs) for docs where the
+    terms appear at consecutive positions (ExactPhraseScorer semantics,
+    reference phrase_scorer.rs:122)."""
+    lists = []
+    for t in terms:
+        p = leaf.read_postings(field, t, with_positions=True)
+        if p is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        lists.append(p)
+
+    # conjunction of doc sets, tracking per-term row indices
+    cand = lists[0][0]
+    idxs = [np.arange(len(cand))]
+    for docs_j, _, _ in lists[1:]:
+        cand, ia, ib = np.intersect1d(cand, docs_j, assume_unique=True, return_indices=True)
+        idxs = [ix[ia] for ix in idxs]
+        idxs.append(ib)
+
+    out_docs: list[int] = []
+    out_freqs: list[int] = []
+    # per-term position extents
+    starts = []
+    for docs_j, freqs_j, pos_j in lists:
+        s = np.concatenate([[0], np.cumsum(freqs_j)])
+        starts.append((s, pos_j))
+    for ci in range(len(cand)):
+        first = None
+        for j, (docs_j, freqs_j, _) in enumerate(lists):
+            row = idxs[j][ci]
+            s, pos_j = starts[j]
+            p = pos_j[s[row] : s[row + 1]] - j
+            first = p if first is None else np.intersect1d(first, p, assume_unique=True)
+            if len(first) == 0:
+                break
+        pf = len(first) if first is not None else 0
+        if pf > 0:
+            out_docs.append(int(cand[ci]))
+            out_freqs.append(pf)
+    return np.asarray(out_docs, dtype=np.int64), np.asarray(out_freqs, dtype=np.int64)
+
+
+def execute_on_segment(
+    leaf: SegmentSnapshot,
+    rq: RewrittenQuery,
+    sim: BM25Similarity,
+    stats: dict[str, CollectionStats],
+    doc_freqs: dict[tuple[str, str], int],
+    k: int,
+) -> HostHits:
+    """Run one rewritten query against one segment, returning top-k hits
+    ordered by (score desc, doc asc)."""
+    md = leaf.max_doc
+    acc = np.zeros(md, dtype=np.float32)
+    req_count = np.zeros(md, dtype=np.int32)
+    should_count = np.zeros(md, dtype=np.int32)
+    has_not = np.zeros(md, dtype=bool)
+    n_required = rq.n_required + len(rq.phrases)
+    cache_rows: dict[str, np.ndarray] = {}
+
+    def cache_for(field: str) -> np.ndarray:
+        row = cache_rows.get(field)
+        if row is None:
+            has_norms = field in leaf.packed.norms
+            row = sim.cache_row(stats[field] if has_norms else None)
+            cache_rows[field] = row
+        return row
+
+    def norm_bytes(field: str, docs: np.ndarray) -> np.ndarray:
+        norms = leaf.packed.norms.get(field)
+        if norms is None:
+            return np.zeros(len(docs), dtype=np.int64)
+        return norms[docs].astype(np.int64)
+
+    for clause in rq.clauses:
+        field, text = clause.term.field, clause.term.text
+        p = leaf.read_postings(field, text)
+        if p is None:
+            continue
+        docs, freqs, _ = p
+        if clause.occur in (Occur.SHOULD, Occur.MUST):
+            w2 = sim.term_weight(doc_freqs[(field, text)], stats[field], clause.boost)
+            tf = freqs.astype(np.float32)
+            cval = cache_for(field)[norm_bytes(field, docs)]
+            acc[docs] += (w2 * tf / (tf + cval)).astype(np.float32)
+        if clause.occur in (Occur.MUST, Occur.FILTER):
+            req_count[docs] += 1
+        elif clause.occur == Occur.SHOULD:
+            should_count[docs] += 1
+        elif clause.occur == Occur.MUST_NOT:
+            has_not[docs] = True
+
+    for field, terms, boost in rq.phrases:
+        docs, pfreqs = phrase_postings(leaf, field, terms)
+        # phrase weight: sum of per-term idfs (PhraseWeight -> Similarity with
+        # all terms' stats; reference BM25Similarity::idf sums over terms)
+        doc_count = stats[field].doc_count if stats[field].doc_count != -1 else stats[field].max_doc
+        idf_sum = np.float32(0.0)
+        for t in terms:
+            idf_sum = np.float32(idf_sum + sim.idf(doc_freqs[(field, t)], doc_count))
+        w = np.float32(idf_sum * np.float32(boost))
+        w2 = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))
+        if len(docs):
+            tf = pfreqs.astype(np.float32)
+            cval = cache_for(field)[norm_bytes(field, docs)]
+            acc[docs] += (w2 * tf / (tf + cval)).astype(np.float32)
+            req_count[docs] += 1
+
+    match = (req_count == n_required) & (should_count >= rq.effective_min_should())
+    if rq.match_all and n_required == 0 and rq.n_should == 0:
+        match = np.ones(md, dtype=bool)
+        acc[:] = np.float32(rq.boost)
+    match &= ~has_not
+    if leaf.live is not None:
+        match &= leaf.live[:md]
+
+    total = int(match.sum())
+    scores = np.where(match, acc, -np.inf).astype(np.float32)
+    # top-k by (score desc, doc asc)
+    order = np.lexsort((np.arange(md), -scores))[: min(k, md)]
+    order = order[scores[order] > -np.inf]
+    return HostHits(total_hits=total, docs=order.astype(np.int32), scores=scores[order])

@@ -1,0 +1,181 @@
+"""Query algebra (reference: rucene src/core/search/query/).
+
+Queries rewrite to a flat clause table the batch executor understands:
+term clauses with occur kind + boost, plus query-level boolean controls.
+PhraseQuery rewrites to a conjunction plus a positional verification stage
+(the two-phase analog, see searcher.py).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dc_field
+
+from rucene_tpu.doc.term import Term
+
+
+class Occur(enum.IntEnum):
+    # values match executor OCC_* constants
+    SHOULD = 0
+    MUST = 1
+    FILTER = 2
+    MUST_NOT = 3
+
+
+@dataclass(frozen=True)
+class TermClause:
+    occur: Occur
+    term: Term
+    boost: float = 1.0
+
+
+@dataclass
+class RewrittenQuery:
+    """Flat executable form: term clauses + boolean controls."""
+
+    clauses: list[TermClause] = dc_field(default_factory=list)
+    min_should_match: int = 0
+    match_all: bool = False  # MatchAllDocsQuery component
+    boost: float = 1.0
+    # phrase verification groups: each is (field, [terms in order], boost)
+    phrases: list[tuple[str, list[str], float]] = dc_field(default_factory=list)
+
+    @property
+    def n_required(self) -> int:
+        return sum(1 for c in self.clauses if c.occur in (Occur.MUST, Occur.FILTER))
+
+    @property
+    def n_should(self) -> int:
+        return sum(1 for c in self.clauses if c.occur == Occur.SHOULD)
+
+    def effective_min_should(self) -> int:
+        """Lucene semantics: if there are no required clauses, at least one
+        SHOULD clause must match (boolean_query.rs:196-272)."""
+        mm = self.min_should_match
+        if self.n_required == 0 and not self.match_all and not self.phrases:
+            mm = max(1, mm)
+        return mm
+
+
+class Query:
+    boost: float = 1.0
+
+    def rewrite(self) -> RewrittenQuery:
+        raise NotImplementedError
+
+
+@dataclass
+class TermQuery(Query):
+    """reference term_query.rs:38"""
+
+    term: Term
+    boost: float = 1.0
+
+    def rewrite(self) -> RewrittenQuery:
+        return RewrittenQuery(clauses=[TermClause(Occur.SHOULD, self.term, self.boost)])
+
+    def __repr__(self) -> str:
+        return f"TermQuery({self.term}, boost={self.boost})"
+
+
+@dataclass
+class MatchAllDocsQuery(Query):
+    """reference match_all_query.rs — constant score `boost` for every live doc."""
+
+    boost: float = 1.0
+
+    def rewrite(self) -> RewrittenQuery:
+        return RewrittenQuery(match_all=True, boost=self.boost)
+
+
+@dataclass
+class BoostQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+    def rewrite(self) -> RewrittenQuery:
+        rq = self.query.rewrite()
+        rq.clauses = [
+            TermClause(c.occur, c.term, c.boost * self.boost) for c in rq.clauses
+        ]
+        rq.phrases = [(f, ts, b * self.boost) for (f, ts, b) in rq.phrases]
+        rq.boost *= self.boost
+        return rq
+
+
+@dataclass
+class PhraseQuery(Query):
+    """Exact phrase (slop=0): conjunction of terms + positional verification.
+
+    reference phrase_query.rs:48 / ExactPhraseScorer (phrase_scorer.rs:122):
+    scoring uses BM25 with freq = number of phrase occurrences in the doc.
+    """
+
+    field: str
+    terms: list[str]
+    boost: float = 1.0
+
+    def rewrite(self) -> RewrittenQuery:
+        if len(self.terms) == 1:
+            return RewrittenQuery(
+                clauses=[TermClause(Occur.SHOULD, Term(self.field, self.terms[0]), self.boost)]
+            )
+        return RewrittenQuery(phrases=[(self.field, list(self.terms), self.boost)])
+
+
+class BooleanQuery(Query):
+    """reference boolean_query.rs:29. Clauses must currently be TermQuery /
+    PhraseQuery / nested pure-SHOULD BooleanQuery."""
+
+    def __init__(self, min_should_match: int = 0, boost: float = 1.0):
+        self.clauses: list[tuple[Occur, Query]] = []
+        self.min_should_match = min_should_match
+        self.boost = boost
+
+    def add(self, query: Query, occur: Occur) -> "BooleanQuery":
+        self.clauses.append((occur, query))
+        return self
+
+    # builder conveniences
+    def must(self, q: Query) -> "BooleanQuery":
+        return self.add(q, Occur.MUST)
+
+    def should(self, q: Query) -> "BooleanQuery":
+        return self.add(q, Occur.SHOULD)
+
+    def filter(self, q: Query) -> "BooleanQuery":
+        return self.add(q, Occur.FILTER)
+
+    def must_not(self, q: Query) -> "BooleanQuery":
+        return self.add(q, Occur.MUST_NOT)
+
+    def rewrite(self) -> RewrittenQuery:
+        out = RewrittenQuery(min_should_match=self.min_should_match, boost=self.boost)
+        for occur, sub in self.clauses:
+            sq = sub.rewrite()
+            if sq.match_all:
+                if occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER):
+                    out.match_all = True  # matches everything; contributes no count
+                    continue
+                raise NotImplementedError("MUST_NOT MatchAllDocsQuery matches nothing")
+            if sq.phrases:
+                if occur != Occur.MUST_NOT:
+                    out.phrases.extend(
+                        (f, ts, b * self.boost) for (f, ts, b) in sq.phrases
+                    )
+                    continue
+                raise NotImplementedError("MUST_NOT phrase clauses not supported yet")
+            if len(sq.clauses) == 1 and not sq.phrases:
+                c = sq.clauses[0]
+                out.clauses.append(TermClause(occur, c.term, c.boost * self.boost))
+            elif occur == Occur.SHOULD and sq.n_required == 0 and sq.min_should_match <= 1:
+                # flatten nested pure disjunction
+                out.clauses.extend(
+                    TermClause(Occur.SHOULD, c.term, c.boost * self.boost)
+                    for c in sq.clauses
+                )
+            else:
+                raise NotImplementedError(
+                    f"nested boolean clause with occur={occur} not supported yet"
+                )
+        return out

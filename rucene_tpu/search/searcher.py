@@ -1,0 +1,201 @@
+"""IndexSearcher: batched entry point over a point-in-time IndexReader.
+
+reference: rucene src/core/search/searcher.rs:234-630. Differences by design:
+- the unit of execution is a BATCH of queries (amortizing device dispatch),
+  the TPU analog of the reference's per-leaf thread-pool fan-out;
+- per-leaf execution is one jitted program (search.executor) instead of a
+  scorer tree walk; leaves are visited host-sequentially and merged by
+  (score desc, global doc asc), matching the reference's collector
+  semantics (collector/top_docs.rs:68-77).
+
+Collection statistics are computed once per searcher (searcher.rs:314-351).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from rucene_tpu.index.reader import IndexReader
+from rucene_tpu.search import host_engine
+from rucene_tpu.search.executor import QueryBatch, execute_batch, execute_match_all
+from rucene_tpu.search.query import Occur, Query, RewrittenQuery
+from rucene_tpu.search.similarity import BM25Similarity, CollectionStats
+from rucene_tpu.util import next_pow2
+
+
+@dataclass
+class ScoreDoc:
+    doc: int  # global doc id (doc_base + segment-local id)
+    score: float
+
+
+@dataclass
+class TopDocs:
+    total_hits: int
+    score_docs: list[ScoreDoc]
+
+
+class IndexSearcher:
+    def __init__(self, reader: IndexReader, similarity: BM25Similarity | None = None):
+        self.reader = reader
+        self.similarity = similarity or BM25Similarity()
+        self._stats: dict[str, CollectionStats] = {}
+
+    # --- statistics ---
+    def collection_stats(self, field: str) -> CollectionStats:
+        st = self._stats.get(field)
+        if st is None:
+            st = self.reader.collection_stats(field)
+            self._stats[field] = st
+        return st
+
+    # --- public API ---
+    def search(self, query: Query, k: int = 10) -> TopDocs:
+        return self.search_batch([query], k)[0]
+
+    def count(self, query: Query) -> int:
+        return self.search(query, 1).total_hits
+
+    def search_batch(self, queries: list[Query], k: int = 10) -> list[TopDocs]:
+        rewritten = [q.rewrite() for q in queries]
+        results: list[TopDocs | None] = [None] * len(queries)
+
+        device_idx = [
+            i
+            for i, rq in enumerate(rewritten)
+            if not rq.phrases and not (rq.match_all and rq.clauses)
+        ]
+        host_idx = [i for i in range(len(queries)) if i not in set(device_idx)]
+
+        if device_idx:
+            batch_res = self._search_device([rewritten[i] for i in device_idx], k)
+            for i, td in zip(device_idx, batch_res):
+                results[i] = td
+        for i in host_idx:
+            results[i] = self._search_host(rewritten[i], k)
+        return results  # type: ignore[return-value]
+
+    # --- shared helpers ---
+    def _gather_stats(self, rqs: list[RewrittenQuery]):
+        doc_freqs: dict[tuple[str, str], int] = {}
+        fields: set[str] = set()
+        for rq in rqs:
+            for c in rq.clauses:
+                fields.add(c.term.field)
+                key = (c.term.field, c.term.text)
+                if key not in doc_freqs:
+                    doc_freqs[key] = self.reader.doc_freq(*key)
+            for f, terms, _ in rq.phrases:
+                fields.add(f)
+                for t in terms:
+                    if (f, t) not in doc_freqs:
+                        doc_freqs[(f, t)] = self.reader.doc_freq(f, t)
+        stats = {f: self.collection_stats(f) for f in fields}
+        return doc_freqs, stats
+
+    def _merge_leaf_hits(
+        self, per_leaf: list[tuple[int, np.ndarray, np.ndarray, int]], k: int
+    ) -> TopDocs:
+        """per_leaf: (doc_base, local_docs, scores, hits). Order by
+        (score desc, global doc asc)."""
+        total = sum(h for _, _, _, h in per_leaf)
+        if not per_leaf:
+            return TopDocs(0, [])
+        gdocs = np.concatenate([base + d.astype(np.int64) for base, d, _, _ in per_leaf])
+        scores = np.concatenate([s for _, _, s, _ in per_leaf])
+        keep = scores > -np.inf
+        gdocs, scores = gdocs[keep], scores[keep]
+        order = np.lexsort((gdocs, -scores))[:k]
+        return TopDocs(
+            total_hits=total,
+            score_docs=[ScoreDoc(int(gdocs[i]), float(scores[i])) for i in order],
+        )
+
+    # --- device path ---
+    def _search_device(self, rqs: list[RewrittenQuery], k: int) -> list[TopDocs]:
+        sim = self.similarity
+        doc_freqs, stats = self._gather_stats(rqs)
+        b_actual = len(rqs)
+        b_pad = next_pow2(b_actual, 1)
+        t_pad = next_pow2(max((len(rq.clauses) for rq in rqs), default=1), 1)
+
+        # batch-level clause tables (segment-independent parts)
+        weight = np.zeros((b_pad, t_pad), dtype=np.float32)
+        occur = np.zeros((b_pad, t_pad), dtype=np.int32)
+        n_required = np.zeros(b_pad, dtype=np.int32)
+        min_should = np.ones(b_pad, dtype=np.int32)  # padding queries match nothing
+        match_all_rows = np.zeros(b_pad, dtype=bool)
+        boosts = np.ones(b_pad, dtype=np.float32)
+        for i, rq in enumerate(rqs):
+            n_required[i] = rq.n_required
+            min_should[i] = rq.effective_min_should()
+            match_all_rows[i] = rq.match_all
+            boosts[i] = rq.boost
+            for j, c in enumerate(rq.clauses):
+                occur[i, j] = int(c.occur)
+                if c.occur in (Occur.SHOULD, Occur.MUST):
+                    weight[i, j] = sim.term_weight(
+                        doc_freqs[(c.term.field, c.term.text)],
+                        stats[c.term.field],
+                        c.boost,
+                    )
+
+        per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
+            [] for _ in range(b_actual)
+        ]
+        for leaf in self.reader.leaves:
+            packed = leaf.packed
+            n_fields = max(leaf.device.num_norm_fields, 1)
+            cache = np.zeros((n_fields, 256), dtype=np.float32)
+            for name, pf in packed.fields.items():
+                has_norms = name in packed.norms
+                cache[pf.field_id] = sim.cache_row(stats.get(name) if has_norms else None)
+
+            block_start = np.zeros((b_pad, t_pad), dtype=np.int32)
+            block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
+            field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
+            for i, rq in enumerate(rqs):
+                for j, c in enumerate(rq.clauses):
+                    rec = leaf.term_record(c.term.field, c.term.text)
+                    if rec is not None:
+                        block_start[i, j] = rec.block_start
+                        block_count[i, j] = rec.block_count
+                        field_id[i, j] = packed.fields[c.term.field].field_id
+
+            nb_max = int(next_pow2(int(block_count.max()) if block_count.size else 1, 1))
+            qb = QueryBatch(
+                block_start=jnp.asarray(block_start),
+                block_count=jnp.asarray(block_count),
+                weight=jnp.asarray(weight),
+                field_id=jnp.asarray(field_id),
+                occur=jnp.asarray(occur),
+                n_required=jnp.asarray(n_required),
+                min_should=jnp.asarray(min_should),
+                cache=jnp.asarray(cache),
+            )
+            s, d, h = execute_batch(leaf.device, qb, k=k, nb_max=nb_max)
+            s = np.asarray(s)
+            d = np.asarray(d)
+            h = np.asarray(h)
+            if match_all_rows.any():
+                ms, mdoc, mh = execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
+                ms, mdoc, mh = np.asarray(ms), np.asarray(mdoc), np.asarray(mh)
+                s = np.where(match_all_rows[:, None], ms, s)
+                d = np.where(match_all_rows[:, None], mdoc, d)
+                h = np.where(match_all_rows, mh, h)
+            for i in range(b_actual):
+                per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
+
+        return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
+
+    # --- host path (phrases, mixed match-all) ---
+    def _search_host(self, rq: RewrittenQuery, k: int) -> TopDocs:
+        doc_freqs, stats = self._gather_stats([rq])
+        per_leaf = []
+        for leaf in self.reader.leaves:
+            hits = host_engine.execute_on_segment(leaf, rq, self.similarity, stats, doc_freqs, k)
+            per_leaf.append((leaf.doc_base, hits.docs, hits.scores, hits.total_hits))
+        return self._merge_leaf_hits(per_leaf, k)

@@ -1,0 +1,67 @@
+"""Host-side fixed-width bit packing for 128-value postings blocks.
+
+Format: each block packs BLOCK_SIZE unsigned values at a fixed bit width
+``bits`` (1..32), LSB-first into a little-endian uint32 word stream: value
+``i`` occupies bit positions [i*bits, (i+1)*bits). This is the on-disk and
+in-HBM layout decoded by the device kernels in rucene_tpu.ops.decode.
+
+The reference's analogous component is the FOR/packed-ints block codec
+(rucene src/core/util/packed/packed_simd.rs, codec/postings/for_util.rs);
+we use a single flat LSB-first layout rather than its lane-interleaved SSE
+layout, because the TPU decoder is a vectorized shift/mask over a gathered
+word window, not a 4-lane SSE register dance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per postings block (parity: posting_format.rs:36)
+
+
+def bits_required(max_value: int) -> int:
+    """Minimum bit width to represent max_value (at least 1, at most 32)."""
+    if max_value < 0:
+        raise ValueError(f"negative value {max_value} cannot be bit-packed")
+    return max(1, int(max_value).bit_length())
+
+
+def words_per_block(bits: int, n: int = BLOCK_SIZE) -> int:
+    return (n * bits + 31) // 32
+
+
+def pack_block(values: np.ndarray, bits: int) -> np.ndarray:
+    """Pack ``values`` (uint32, len<=BLOCK_SIZE after padding by caller) at
+    ``bits`` width into a uint32 word array. len(values) must be BLOCK_SIZE."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    if n != BLOCK_SIZE:
+        raise ValueError(f"pack_block expects exactly {BLOCK_SIZE} values, got {n}")
+    if bits < 1 or bits > 32:
+        raise ValueError(f"bits must be in [1,32], got {bits}")
+    if bits < 32 and np.any(values >> np.uint64(bits)):
+        raise ValueError(f"value out of range for {bits}-bit packing")
+    nwords = words_per_block(bits, n)
+    out = np.zeros(nwords, dtype=np.uint64)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    widx = (bitpos >> np.uint64(5)).astype(np.int64)
+    shift = bitpos & np.uint64(31)
+    lo = (values << shift) & np.uint64(0xFFFFFFFF)
+    hi = values >> (np.uint64(32) - shift)  # shift==0 -> values>>32 == 0 (uint64)
+    np.bitwise_or.at(out, widx, lo)
+    spill = widx + 1 < nwords
+    np.bitwise_or.at(out, widx[spill] + 1, hi[spill])
+    return out.astype(np.uint32)
+
+
+def unpack_block(words: np.ndarray, bits: int, n: int = BLOCK_SIZE) -> np.ndarray:
+    """Reference (numpy) decoder; the JAX decoder must match this exactly."""
+    words = np.asarray(words, dtype=np.uint64)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    widx = (bitpos >> np.uint64(5)).astype(np.int64)
+    shift = bitpos & np.uint64(31)
+    padded = np.concatenate([words, np.zeros(1, dtype=np.uint64)])
+    lo = padded[widx] >> shift
+    hi = np.where(shift == 0, np.uint64(0), padded[widx + 1] << (np.uint64(32) - shift))
+    mask = np.uint64(0xFFFFFFFF) if bits == 32 else (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
+    return ((lo | hi) & mask).astype(np.uint32)
