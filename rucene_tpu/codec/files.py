@@ -1,0 +1,368 @@
+"""On-disk segment format.
+
+One section-based container per segment (`<name>.seg`) instead of the
+reference's 10+ codec streams (rucene Lucene62Codec, codec/mod.rs:231-262):
+the packed block tensors are the on-disk AND in-HBM layout, so reading a
+segment is a TOC walk + zero-copy numpy views. Live docs travel separately
+(`<name>_<gen>.liv`, analog of Lucene50LiveDocsFormat) so deletes never
+rewrite postings. `segments_N` is the two-phase commit point
+(segment_infos.rs:60-69,196).
+
+Container layout (all framed by store.directory header/footer + CRC32):
+  payload := sections...; TOC(json: name -> [offset_in_payload, length, kind])
+  section kinds: "npy" (numpy, no pickle), "json", "zjson" (zlib json)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from rucene_tpu.codec.postings import PackedField, PackedSegment
+from rucene_tpu.doc.field import DocValuesType, IndexOptions
+from rucene_tpu.index.field_infos import FieldInfo, FieldInfos
+from rucene_tpu.index.memory import FieldStats
+from rucene_tpu.store.directory import ChecksumOutput, Directory, check_footer
+
+STORED_CHUNK = 128  # docs per compressed stored-fields chunk
+
+
+# ---------------- section container ----------------
+
+
+class SectionWriter:
+    def __init__(self, out: ChecksumOutput):
+        self.out = out
+        self.toc: dict[str, tuple[int, int, str]] = {}
+        self._base = out.position
+
+    def _add(self, name: str, payload: bytes, kind: str) -> None:
+        off = self.out.position - self._base
+        self.out.write(payload)
+        self.toc[name] = (off, len(payload), kind)
+
+    def add_npy(self, name: str, arr: np.ndarray) -> None:
+        buf = io.BytesIO()
+        np.lib.format.write_array(buf, np.ascontiguousarray(arr), allow_pickle=False)
+        self._add(name, buf.getvalue(), "npy")
+
+    def add_json(self, name: str, obj) -> None:
+        self._add(name, json.dumps(obj, separators=(",", ":")).encode("utf-8"), "json")
+
+    def add_zjson(self, name: str, obj) -> None:
+        raw = json.dumps(obj, separators=(",", ":")).encode("utf-8")
+        self._add(name, zlib.compress(raw, 6), "zjson")
+
+    def finish(self) -> None:
+        toc_bytes = json.dumps(self.toc, separators=(",", ":")).encode("utf-8")
+        toc_off = self.out.position - self._base
+        self.out.write(toc_bytes)
+        self.out.write(struct.pack("<QQ", toc_off, len(toc_bytes)))
+
+
+class SectionReader:
+    def __init__(self, payload: bytes):
+        toc_off, toc_len = struct.unpack_from("<QQ", payload, len(payload) - 16)
+        self.payload = payload
+        self.toc: dict[str, list] = json.loads(payload[toc_off : toc_off + toc_len])
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.toc
+
+    def npy(self, name: str) -> np.ndarray:
+        off, ln, kind = self.toc[name]
+        assert kind == "npy"
+        return np.lib.format.read_array(io.BytesIO(self.payload[off : off + ln]), allow_pickle=False)
+
+    def json(self, name: str):
+        off, ln, kind = self.toc[name]
+        if kind == "json":
+            return json.loads(self.payload[off : off + ln])
+        assert kind == "zjson"
+        return json.loads(zlib.decompress(self.payload[off : off + ln]))
+
+
+# ---------------- term table (offsets + bytes; front-coding TBD) -------------
+
+
+def _terms_to_arrays(terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    blobs = [t.encode("utf-8") for t in terms]
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+    if blobs:
+        offsets[1:] = np.cumsum([len(b) for b in blobs])
+    data = b"".join(blobs)
+    return offsets, np.frombuffer(data, dtype=np.uint8).copy()
+
+
+def _terms_from_arrays(offsets: np.ndarray, data: np.ndarray) -> list[str]:
+    raw = data.tobytes()
+    return [raw[offsets[i] : offsets[i + 1]].decode("utf-8") for i in range(len(offsets) - 1)]
+
+
+# ---------------- segment write/read ----------------
+
+
+def segment_file(name: str) -> str:
+    return f"{name}.seg"
+
+
+def live_file(name: str, gen: int) -> str:
+    return f"{name}_{gen}.liv"
+
+
+def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str:
+    fname = segment_file(name)
+    out = directory.create_output(fname)
+    out.write_header(fname)
+    w = SectionWriter(out)
+
+    field_meta = []
+    for fname_, pf in sorted(packed.fields.items(), key=lambda kv: kv[1].field_id):
+        field_meta.append({"name": fname_, "field_id": pf.field_id})
+        offs, blob = _terms_to_arrays(pf.terms)
+        pre = f"f{pf.field_id}."
+        w.add_npy(pre + "term_offsets", offs)
+        w.add_npy(pre + "term_bytes", blob)
+        w.add_npy(pre + "doc_freq", pf.doc_freq)
+        w.add_npy(pre + "total_tf", pf.total_tf)
+        w.add_npy(pre + "block_start", pf.block_start)
+        w.add_npy(pre + "block_count", pf.block_count)
+        w.add_npy(pre + "pos_start", pf.pos_start)
+
+    infos = [
+        {
+            "name": fi.name,
+            "number": fi.number,
+            "index_options": int(fi.index_options),
+            "dv": int(fi.doc_values_type),
+            "omit_norms": fi.omit_norms,
+        }
+        for fi in packed.field_infos
+    ]
+    w.add_json(
+        "meta",
+        {
+            "max_doc": packed.max_doc,
+            "fields": field_meta,
+            "field_infos": infos,
+            "stats": {
+                f: {"doc_count": s.doc_count, "sum_ttf": s.sum_total_term_freq, "sum_df": s.sum_doc_freq}
+                for f, s in packed.stats.items()
+            },
+            "norm_fields": sorted(packed.norms),
+            "dv_fields": sorted(packed.numeric_dv),
+        },
+    )
+    for key in ("blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base", "blk_count",
+                "blk_max_freq", "blk_pos_base", "data", "positions"):
+        w.add_npy(key, getattr(packed, key))
+    for f in sorted(packed.norms):
+        w.add_npy(f"norms.{f}", packed.norms[f])
+    for f in sorted(packed.numeric_dv):
+        vals, present = packed.numeric_dv[f]
+        w.add_npy(f"dv.{f}.vals", vals)
+        w.add_npy(f"dv.{f}.present", present)
+
+    # stored fields: zlib-json chunks
+    n_chunks = (len(packed.stored) + STORED_CHUNK - 1) // STORED_CHUNK
+    w.add_json("stored.nchunks", n_chunks)
+    for c in range(n_chunks):
+        w.add_zjson(f"stored.{c}", packed.stored[c * STORED_CHUNK : (c + 1) * STORED_CHUNK])
+
+    w.finish()
+    out.write_footer()
+    out.close()
+    return fname
+
+
+def read_segment(directory: Directory, name: str) -> PackedSegment:
+    fname = segment_file(name)
+    payload = check_footer(directory.read_file(fname), fname)
+    r = SectionReader(payload)
+    meta = r.json("meta")
+
+    field_infos = FieldInfos()
+    for fi in meta["field_infos"]:
+        info = FieldInfo(
+            name=fi["name"],
+            number=fi["number"],
+            index_options=IndexOptions(fi["index_options"]),
+            doc_values_type=DocValuesType(fi["dv"]),
+            omit_norms=fi["omit_norms"],
+        )
+        field_infos.by_name[info.name] = info
+
+    fields: dict[str, PackedField] = {}
+    for fm in meta["fields"]:
+        pre = f"f{fm['field_id']}."
+        terms = _terms_from_arrays(r.npy(pre + "term_offsets"), r.npy(pre + "term_bytes"))
+        fields[fm["name"]] = PackedField(
+            name=fm["name"],
+            field_id=fm["field_id"],
+            terms=terms,
+            term_ord={t: i for i, t in enumerate(terms)},
+            doc_freq=r.npy(pre + "doc_freq"),
+            total_tf=r.npy(pre + "total_tf"),
+            block_start=r.npy(pre + "block_start"),
+            block_count=r.npy(pre + "block_count"),
+            pos_start=r.npy(pre + "pos_start"),
+        )
+
+    stats = {
+        f: FieldStats(doc_count=s["doc_count"], sum_total_term_freq=s["sum_ttf"], sum_doc_freq=s["sum_df"])
+        for f, s in meta["stats"].items()
+    }
+    stored: list[dict] = []
+    for c in range(r.json("stored.nchunks")):
+        stored.extend(r.json(f"stored.{c}"))
+
+    return PackedSegment(
+        max_doc=meta["max_doc"],
+        field_infos=field_infos,
+        fields=fields,
+        stats=stats,
+        blk_off=r.npy("blk_off"),
+        blk_doc_bits=r.npy("blk_doc_bits"),
+        blk_freq_bits=r.npy("blk_freq_bits"),
+        blk_base=r.npy("blk_base"),
+        blk_count=r.npy("blk_count"),
+        blk_max_freq=r.npy("blk_max_freq"),
+        blk_pos_base=r.npy("blk_pos_base"),
+        data=r.npy("data"),
+        positions=r.npy("positions"),
+        norms={f: r.npy(f"norms.{f}") for f in meta["norm_fields"]},
+        stored=stored,
+        numeric_dv={
+            f: (r.npy(f"dv.{f}.vals"), r.npy(f"dv.{f}.present")) for f in meta["dv_fields"]
+        },
+    )
+
+
+def write_live(directory: Directory, name: str, gen: int, live: np.ndarray) -> str:
+    fname = live_file(name, gen)
+    out = directory.create_output(fname)
+    out.write_header(fname)
+    out.write(struct.pack("<Q", len(live)))
+    out.write(np.packbits(live.astype(bool)).tobytes())
+    out.write_footer()
+    out.close()
+    return fname
+
+
+def read_live(directory: Directory, name: str, gen: int) -> np.ndarray:
+    fname = live_file(name, gen)
+    payload = check_footer(directory.read_file(fname), fname)
+    (n,) = struct.unpack_from("<Q", payload, 0)
+    bits = np.frombuffer(payload[8:], dtype=np.uint8)
+    return np.unpackbits(bits)[:n].astype(bool)
+
+
+# ---------------- commit metadata (segments_N) ----------------
+
+
+@dataclass
+class SegmentCommitInfo:
+    name: str
+    max_doc: int
+    del_gen: int = -1  # -1 => no deletes
+    del_count: int = 0
+
+    def files(self) -> list[str]:
+        out = [segment_file(self.name)]
+        if self.del_gen >= 0:
+            out.append(live_file(self.name, self.del_gen))
+        return out
+
+
+@dataclass
+class SegmentInfos:
+    counter: int = 0  # next segment name number
+    version: int = 0  # bumped on every commit
+    generation: int = 0  # segments_N generation
+    segments: list[SegmentCommitInfo] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.segments is None:
+            self.segments = []
+
+    def files(self) -> list[str]:
+        out: list[str] = []
+        for s in self.segments:
+            out.extend(s.files())
+        return out
+
+    def clone(self) -> "SegmentInfos":
+        return SegmentInfos(
+            counter=self.counter,
+            version=self.version,
+            generation=self.generation,
+            segments=[SegmentCommitInfo(s.name, s.max_doc, s.del_gen, s.del_count) for s in self.segments],
+        )
+
+
+SEGMENTS_PREFIX = "segments_"
+PENDING_PREFIX = "pending_segments_"
+
+
+def write_segments_file(directory: Directory, infos: SegmentInfos) -> str:
+    """Phase 1 of two-phase commit: write pending_segments_N
+    (reference segment_infos.rs:196 prepare_commit)."""
+    gen = infos.generation + 1
+    pending = f"{PENDING_PREFIX}{gen}"
+    out = directory.create_output(pending)
+    # header carries the FINAL name: the file is renamed into place at phase 2
+    out.write_header(f"{SEGMENTS_PREFIX}{gen}")
+    obj = {
+        "counter": infos.counter,
+        "version": infos.version,
+        "generation": gen,
+        "segments": [
+            {"name": s.name, "max_doc": s.max_doc, "del_gen": s.del_gen, "del_count": s.del_count}
+            for s in infos.segments
+        ],
+    }
+    out.write(json.dumps(obj, separators=(",", ":")).encode("utf-8"))
+    out.write_footer()
+    out.close()
+    return pending
+
+
+def finish_segments_file(directory: Directory, infos: SegmentInfos, pending: str) -> str:
+    """Phase 2: fsync + atomic rename pending_segments_N -> segments_N."""
+    gen = infos.generation + 1
+    final = f"{SEGMENTS_PREFIX}{gen}"
+    directory.sync([pending])
+    directory.rename(pending, final)
+    infos.generation = gen
+    return final
+
+
+def latest_segments_gen(directory: Directory) -> int:
+    gens = [
+        int(n[len(SEGMENTS_PREFIX):])
+        for n in directory.list_all()
+        if n.startswith(SEGMENTS_PREFIX)
+    ]
+    return max(gens, default=-1)
+
+
+def read_segments_file(directory: Directory) -> SegmentInfos:
+    gen = latest_segments_gen(directory)
+    if gen < 0:
+        return SegmentInfos()
+    fname = f"{SEGMENTS_PREFIX}{gen}"
+    obj = json.loads(check_footer(directory.read_file(fname), fname))
+    return SegmentInfos(
+        counter=obj["counter"],
+        version=obj["version"],
+        generation=obj["generation"],
+        segments=[
+            SegmentCommitInfo(s["name"], s["max_doc"], s["del_gen"], s["del_count"])
+            for s in obj["segments"]
+        ],
+    )

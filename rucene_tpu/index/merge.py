@@ -1,0 +1,188 @@
+"""Segment merging: concat + remap as array ops.
+
+reference: rucene src/core/index/merge/ (SegmentMerger segment_merger.rs:36,
+TieredMergePolicy merge_policy.rs:414, MergeScheduler merge_scheduler.rs:41).
+
+The merge itself is column-oriented: per field a k-way term merge, and per
+term a concatenation of live-filtered, remapped doc arrays (the DocIdMerger
+analog, doc_id_merger.rs:137) — all numpy; the result is re-packed by
+codec.pack_segment, which re-chooses per-block bit widths (deleted docs
+shrink deltas, so merged segments recompress).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from rucene_tpu.codec.postings import PackedSegment, pack_segment
+from rucene_tpu.index.field_infos import FieldInfos
+from rucene_tpu.index.memory import FieldStats, SegmentData
+from rucene_tpu.index.reader import SegmentSnapshot
+
+
+def _remap(snapshots: list[SegmentSnapshot]) -> tuple[list[np.ndarray], list[np.ndarray], int]:
+    """Per segment: (live mask, old local doc -> new global doc), new max_doc."""
+    masks, maps = [], []
+    base = 0
+    for snap in snapshots:
+        live = snap.live if snap.live is not None else np.ones(snap.max_doc, dtype=bool)
+        newid = np.cumsum(live) - 1 + base
+        newid = np.where(live, newid, -1).astype(np.int64)
+        masks.append(live)
+        maps.append(newid)
+        base += int(live.sum())
+    return masks, maps, base
+
+
+def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
+    """Merge N snapshots (dropping deleted docs) into one packed segment."""
+    masks, maps, new_max_doc = _remap(snapshots)
+
+    field_infos = FieldInfos()
+    for snap in snapshots:
+        for fi in snap.packed.field_infos:
+            field_infos.get_or_add(fi.name).update(fi)
+            # preserve index options etc. via update(); numbering is fresh
+
+    all_fields = sorted({f for snap in snapshots for f in snap.packed.fields})
+    terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    stats_out: dict[str, FieldStats] = {}
+
+    for field in all_fields:
+        # k-way merge of sorted term lists
+        heads: list[tuple[str, int]] = []  # (term, seg_idx)
+        iters = []
+        for si, snap in enumerate(snapshots):
+            pf = snap.packed.fields.get(field)
+            iters.append(iter(pf.terms) if pf is not None else iter(()))
+        for si, it in enumerate(iters):
+            t = next(it, None)
+            if t is not None:
+                heapq.heappush(heads, (t, si))
+
+        fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        st = FieldStats()
+        while heads:
+            term = heads[0][0]
+            segs_with_term = []
+            while heads and heads[0][0] == term:
+                _, si = heapq.heappop(heads)
+                segs_with_term.append(si)
+                nxt = next(iters[si], None)
+                if nxt is not None:
+                    heapq.heappush(heads, (nxt, si))
+            docs_parts, freqs_parts, pos_parts = [], [], []
+            for si in sorted(segs_with_term):
+                snap = snapshots[si]
+                docs, freqs, pos = snap.read_postings(field, term, with_positions=True)
+                keep = masks[si][docs]
+                if not keep.any():
+                    continue
+                docs_k = maps[si][docs[keep]]
+                freqs_k = freqs[keep]
+                # positions: per-doc runs of length freq
+                run_id = np.repeat(np.arange(len(docs)), freqs)
+                pos_keep = keep[run_id]
+                docs_parts.append(docs_k)
+                freqs_parts.append(freqs_k)
+                pos_parts.append(pos[pos_keep])
+            if docs_parts:
+                d = np.concatenate(docs_parts)
+                f = np.concatenate(freqs_parts)
+                p = np.concatenate(pos_parts)
+                fout[term] = (d.astype(np.int32), f.astype(np.int32), p.astype(np.int32))
+                st.sum_doc_freq += len(d)
+        if fout:
+            terms_out[field] = fout
+        stats_out[field] = st
+
+    # norms / stored / dv: live-filtered concat
+    norms_out: dict[str, np.ndarray] = {}
+    norm_fields = sorted({f for snap in snapshots for f in snap.packed.norms})
+    for field in norm_fields:
+        parts = []
+        for si, snap in enumerate(snapshots):
+            src = snap.packed.norms.get(field)
+            if src is None:
+                src = np.zeros(snap.max_doc, dtype=np.uint8)
+            parts.append(src[masks[si]])
+        norms_out[field] = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+    stored_out: list[dict[str, object]] = []
+    for si, snap in enumerate(snapshots):
+        for d in range(snap.max_doc):
+            if masks[si][d]:
+                stored_out.append(snap.packed.stored[d])
+
+    dv_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    dv_fields = sorted({f for snap in snapshots for f in snap.packed.numeric_dv})
+    for field in dv_fields:
+        vparts, pparts = [], []
+        for si, snap in enumerate(snapshots):
+            dv = snap.packed.numeric_dv.get(field)
+            if dv is None:
+                vparts.append(np.zeros(int(masks[si].sum()), np.int64))
+                pparts.append(np.zeros(int(masks[si].sum()), bool))
+            else:
+                vparts.append(dv[0][masks[si]])
+                pparts.append(dv[1][masks[si]])
+        dv_out[field] = (np.concatenate(vparts), np.concatenate(pparts))
+
+    # field stats: doc_count / sum_ttf recomputed from surviving postings
+    for field in all_fields:
+        st = stats_out[field]
+        fout = terms_out.get(field, {})
+        if fout:
+            # docs with field = union of docs across terms; compute via norms
+            # when present, else from postings
+            if field in norms_out:
+                st.doc_count = int((norms_out[field] > 0).sum())
+            else:
+                seen = np.zeros(new_max_doc, dtype=bool)
+                for d, _, _ in fout.values():
+                    seen[d] = True
+                st.doc_count = int(seen.sum())
+            st.sum_total_term_freq = int(sum(int(f.sum()) for _, f, _ in fout.values()))
+
+    seg = SegmentData(
+        max_doc=new_max_doc,
+        field_infos=field_infos,
+        terms=terms_out,
+        norms=norms_out,
+        stats=stats_out,
+        stored=stored_out,
+        numeric_dv=dv_out,
+    )
+    return pack_segment(seg)
+
+
+@dataclass
+class MergeCandidate:
+    segments: list[str]  # segment names
+
+
+class TieredMergePolicy:
+    """Size-tiered selection (simplified TieredMergePolicy,
+    reference merge_policy.rs:414): merge the `merge_factor` smallest
+    segments whenever at least `segs_per_tier + merge_factor - 1` segments
+    exist; force_merge collapses everything."""
+
+    def __init__(self, merge_factor: int = 10, segs_per_tier: int = 10):
+        self.merge_factor = merge_factor
+        self.segs_per_tier = segs_per_tier
+
+    def find_merges(self, sizes: dict[str, int]) -> list[MergeCandidate]:
+        if len(sizes) < self.segs_per_tier + self.merge_factor - 1:
+            return []
+        by_size = sorted(sizes, key=lambda n: sizes[n])
+        return [MergeCandidate(by_size[: self.merge_factor])]
+
+    def find_forced_merges(self, sizes: dict[str, int], max_segments: int) -> list[MergeCandidate]:
+        if len(sizes) <= max_segments:
+            return []
+        by_size = sorted(sizes, key=lambda n: sizes[n])
+        n_merge = len(sizes) - max_segments + 1
+        return [MergeCandidate(by_size[:n_merge])]

@@ -170,3 +170,20 @@ class IndexReader:
             if doc >= leaf.doc_base:
                 return leaf.document(doc - leaf.doc_base)
         raise IndexError(f"doc {doc} out of range")
+
+
+def open_directory_reader(directory) -> IndexReader:
+    """Open the latest commit (reference directory_reader.rs:62)."""
+    from rucene_tpu.codec import files as segfiles
+
+    infos = segfiles.read_segments_file(directory)
+    leaves = []
+    for info in infos.segments:
+        packed = segfiles.read_segment(directory, info.name)
+        live = (
+            segfiles.read_live(directory, info.name, info.del_gen)
+            if info.del_gen >= 0
+            else None
+        )
+        leaves.append(SegmentSnapshot(info.name, packed, live=live))
+    return IndexReader(leaves)

@@ -1,0 +1,367 @@
+"""IndexWriter: ingestion, flush, two-phase commit, NRT readers, deletes,
+merges.
+
+reference: rucene src/core/index/writer/index_writer.rs:191 (API surface at
+:376-651 — add_document / update_document / delete_documents_by_terms /
+commit / get_reader / force_merge), doc_writer.rs (flush), bufferd_updates.rs
+(delete application), index_file_deleter.rs (ref-counted GC),
+delete_policy.rs (KeepOnlyLastCommit).
+
+Differences by design:
+- single-threaded ingestion into one SegmentBuffer (the DWPT-pool thread
+  affinity dance is host-side concurrency the TPU design doesn't need;
+  batched adds amortize instead);
+- flush packs the buffer into device tensors AND writes the .seg file
+  immediately (no fsync until commit), like Lucene;
+- deletes buffer as (term, watermark) pairs and apply functionally at
+  flush/commit/get_reader, producing new live masks (no in-place mutation
+  of any open reader's state).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from rucene_tpu.analysis import Analyzer, LowercaseWhitespaceAnalyzer
+from rucene_tpu.codec import files as segfiles
+from rucene_tpu.codec.files import SegmentCommitInfo, SegmentInfos
+from rucene_tpu.codec.postings import pack_segment
+from rucene_tpu.doc.document import Document
+from rucene_tpu.doc.term import Term
+from rucene_tpu.index.memory import SegmentBuffer
+from rucene_tpu.index.merge import TieredMergePolicy, merge_segments
+from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+from rucene_tpu.store.directory import Directory
+
+
+def _seg_name(n: int) -> str:
+    # base-36 like Lucene's _0, _1, ... _a, ...
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if n == 0:
+        return "_0"
+    out = ""
+    while n:
+        out = digits[n % 36] + out
+        n //= 36
+    return "_" + out
+
+
+@dataclass
+class IndexWriterConfig:
+    analyzer: Analyzer = dc_field(default_factory=LowercaseWhitespaceAnalyzer)
+    max_buffered_docs: int = 4096  # FlushByCountsPolicy analog
+    commit_on_close: bool = True
+    merge_policy: TieredMergePolicy = dc_field(default_factory=TieredMergePolicy)
+    merge_on_commit: bool = True
+
+
+@dataclass
+class _PendingDelete:
+    term: Term
+    buffer_watermark: int  # buffered docs with id < watermark are affected
+    applies_to_segments: list[str]  # segment names existing when queued
+
+
+class IndexWriter:
+    def __init__(self, directory: Directory, config: IndexWriterConfig | None = None):
+        self.directory = directory
+        self.config = config or IndexWriterConfig()
+        self._lock = threading.RLock()
+        self._infos: SegmentInfos = segfiles.read_segments_file(directory)
+        # reader pool: segment name -> current snapshot (with live deletes)
+        self._pool: dict[str, SegmentSnapshot] = {}
+        self._live_dirty: set[str] = set()
+        # flushed but not yet committed
+        self._uncommitted: list[SegmentCommitInfo] = []
+        self._buffer = SegmentBuffer(self.config.analyzer)
+        self._pending_deletes: list[_PendingDelete] = []
+        self._closed = False
+        self._tragedy: BaseException | None = None
+
+    # ---------- helpers ----------
+    def _ensure_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("IndexWriter is closed")
+        if self._tragedy is not None:
+            raise RuntimeError(f"IndexWriter hit an unrecoverable error: {self._tragedy!r}")
+
+    def _all_infos(self) -> list[SegmentCommitInfo]:
+        return list(self._infos.segments) + list(self._uncommitted)
+
+    def _snapshot(self, info: SegmentCommitInfo) -> SegmentSnapshot:
+        snap = self._pool.get(info.name)
+        if snap is None:
+            packed = segfiles.read_segment(self.directory, info.name)
+            live = None
+            if info.del_gen >= 0:
+                live = segfiles.read_live(self.directory, info.name, info.del_gen)
+            snap = SegmentSnapshot(info.name, packed, live=live)
+            self._pool[info.name] = snap
+        return snap
+
+    # ---------- ingestion ----------
+    def add_document(self, doc: Document) -> int:
+        with self._lock:
+            self._ensure_open()
+            self._buffer.add_document(doc)
+            n = self._buffer.num_docs
+            if n >= self.config.max_buffered_docs:
+                self._flush_buffer()
+            return n
+
+    def add_documents(self, docs: list[Document]) -> None:
+        for d in docs:
+            self.add_document(d)
+
+    def delete_documents_by_term(self, term: Term) -> None:
+        with self._lock:
+            self._ensure_open()
+            self._pending_deletes.append(
+                _PendingDelete(
+                    term=term,
+                    buffer_watermark=self._buffer.num_docs,
+                    applies_to_segments=[i.name for i in self._all_infos()],
+                )
+            )
+
+    def update_document(self, term: Term, doc: Document) -> None:
+        """Atomic delete-then-add (reference index_writer.rs:394)."""
+        with self._lock:
+            self._ensure_open()
+            self.delete_documents_by_term(term)
+            self.add_document(doc)
+
+    def delete_all(self) -> None:
+        with self._lock:
+            self._ensure_open()
+            self._buffer = SegmentBuffer(self.config.analyzer)
+            self._pending_deletes.clear()
+            self._uncommitted.clear()
+            self._infos.segments = []
+            self._pool.clear()
+            self._live_dirty.clear()
+
+    @property
+    def num_docs(self) -> int:
+        """Docs visible to the next reader (buffered + live committed)."""
+        with self._lock:
+            n = self._buffer.num_docs
+            for info in self._all_infos():
+                snap = self._pool.get(info.name)
+                if snap is not None:
+                    n += snap.num_docs
+                else:
+                    n += info.max_doc - info.del_count
+            return n
+
+    # ---------- flush & deletes ----------
+    def _flush_buffer(self) -> None:
+        """Pack the in-RAM buffer into a real segment + write its file
+        (no fsync; durability comes at commit)."""
+        if self._buffer.num_docs == 0:
+            self._apply_pending_deletes(flushed_name=None)
+            return
+        seg_data = self._buffer.finish()
+        name = _seg_name(self._infos.counter)
+        self._infos.counter += 1
+        packed = pack_segment(seg_data)
+        segfiles.write_segment(self.directory, name, packed)
+        snap = SegmentSnapshot(name, packed)
+        self._pool[name] = snap
+        info = SegmentCommitInfo(name=name, max_doc=packed.max_doc)
+        self._uncommitted.append(info)
+        self._buffer = SegmentBuffer(self.config.analyzer)
+        # pending deletes may also target the freshly flushed segment
+        self._apply_pending_deletes(flushed_name=name)
+
+    def _apply_pending_deletes(self, flushed_name: str | None) -> None:
+        """BufferedUpdatesStream::apply_deletes_and_updates analog
+        (reference bufferd_updates.rs:365)."""
+        if not self._pending_deletes:
+            return
+        for pd in self._pending_deletes:
+            targets = list(pd.applies_to_segments)
+            for info in self._all_infos():
+                if info.name in targets:
+                    self._delete_in_segment(info, pd.term, watermark=None)
+                elif info.name == flushed_name:
+                    self._delete_in_segment(info, pd.term, watermark=pd.buffer_watermark)
+        self._pending_deletes.clear()
+
+    def _delete_in_segment(
+        self, info: SegmentCommitInfo, term: Term, watermark: int | None
+    ) -> None:
+        snap = self._snapshot(info)
+        p = snap.read_postings(term.field, term.text)
+        if p is None:
+            return
+        docs = p[0]
+        if watermark is not None:
+            docs = docs[docs < watermark]
+        if len(docs) == 0:
+            return
+        live = snap.live.copy() if snap.live is not None else np.ones(snap.max_doc, dtype=bool)
+        before = int(live.sum())
+        live[docs] = False
+        after = int(live.sum())
+        if after == before:
+            return
+        new_snap = snap.with_deletes(live)
+        self._pool[info.name] = new_snap
+        info.del_count = snap.max_doc - after
+        self._live_dirty.add(info.name)
+
+    def flush(self) -> None:
+        with self._lock:
+            self._ensure_open()
+            self._flush_buffer()
+
+    # ---------- commit ----------
+    def commit(self) -> int:
+        """Two-phase commit (reference index_writer.rs:630,1698): flush,
+        apply deletes, persist live files, fsync everything referenced,
+        pending_segments_N -> rename, GC unreferenced files."""
+        with self._lock:
+            self._ensure_open()
+            try:
+                self._flush_buffer()
+                # persist dirty live masks with bumped del gens
+                for info in self._all_infos():
+                    if info.name in self._live_dirty:
+                        snap = self._pool[info.name]
+                        info.del_gen = info.del_gen + 1 if info.del_gen >= 0 else 0
+                        segfiles.write_live(self.directory, info.name, info.del_gen, snap.live)
+                self._live_dirty.clear()
+
+                self._infos.segments = self._all_infos()
+                self._uncommitted = []
+                self._infos.version += 1
+                self.directory.sync(self._infos.files())
+                pending = segfiles.write_segments_file(self.directory, self._infos)
+                segfiles.finish_segments_file(self.directory, self._infos, pending)
+                self._gc_files()
+                if self.config.merge_on_commit:
+                    self.maybe_merge()
+                return self._infos.version
+            except Exception as e:  # tragedy: poison the writer
+                self._tragedy = e
+                raise
+
+    def _gc_files(self) -> None:
+        """KeepOnlyLastCommit + ref-count GC
+        (reference index_file_deleter.rs:34-80, delete_policy.rs:92)."""
+        referenced = set(self._infos.files())
+        referenced.add(f"{segfiles.SEGMENTS_PREFIX}{self._infos.generation}")
+        for info in self._uncommitted:
+            referenced.update(info.files())
+        for name in self.directory.list_all():
+            if name in referenced:
+                continue
+            if (
+                name.endswith(".seg")
+                or name.endswith(".liv")
+                or name.startswith(segfiles.SEGMENTS_PREFIX)
+                or name.startswith(segfiles.PENDING_PREFIX)
+            ):
+                try:
+                    self.directory.delete_file(name)
+                except OSError:
+                    pass
+
+    # ---------- readers ----------
+    def get_reader(self) -> IndexReader:
+        """NRT reader: point-in-time over flushed segments + fresh deletes,
+        without fsync (reference index_writer.rs:287,1071)."""
+        with self._lock:
+            self._ensure_open()
+            self._flush_buffer()
+            leaves = [self._snapshot(info) for info in self._all_infos()]
+            return IndexReader(leaves)
+
+    # ---------- merge ----------
+    def maybe_merge(self) -> int:
+        with self._lock:
+            self._ensure_open()
+            self._flush_buffer()
+            sizes = {
+                info.name: (info.max_doc - info.del_count) for info in self._infos.segments
+            }
+            merged = 0
+            for cand in self.config.merge_policy.find_merges(sizes):
+                self._do_merge(cand.segments)
+                merged += 1
+            return merged
+
+    def force_merge(self, max_segments: int = 1) -> None:
+        """reference index_writer.rs:580,2440."""
+        with self._lock:
+            self._ensure_open()
+            self._flush_buffer()
+            self._infos.segments = self._all_infos()
+            self._uncommitted = []
+            while len(self._infos.segments) > max_segments:
+                sizes = {i.name: (i.max_doc - i.del_count) for i in self._infos.segments}
+                cands = self.config.merge_policy.find_forced_merges(sizes, max_segments)
+                if not cands:
+                    break
+                for cand in cands:
+                    self._do_merge(cand.segments)
+
+    def _do_merge(self, names: list[str]) -> None:
+        by_name = {i.name: i for i in self._infos.segments}
+        infos = [by_name[n] for n in names if n in by_name]
+        if len(infos) < 2:
+            return
+        snaps = [self._snapshot(i) for i in infos]
+        merged = merge_segments(snaps)
+        new_name = _seg_name(self._infos.counter)
+        self._infos.counter += 1
+        segfiles.write_segment(self.directory, new_name, merged)
+        new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
+        self._pool[new_name] = SegmentSnapshot(new_name, merged)
+        # swap segment list in place (commit_merge analog)
+        kept: list[SegmentCommitInfo] = []
+        inserted = False
+        drop = {i.name for i in infos}
+        for info in self._infos.segments:
+            if info.name in drop:
+                if not inserted:
+                    kept.append(new_info)
+                    inserted = True
+                self._pool.pop(info.name, None)
+                self._live_dirty.discard(info.name)
+            else:
+                kept.append(info)
+        self._infos.segments = kept
+
+    # ---------- lifecycle ----------
+    def rollback(self) -> None:
+        """Restore last commit (reference index_writer.rs:336,1383)."""
+        with self._lock:
+            self._infos = segfiles.read_segments_file(self.directory)
+            self._uncommitted = []
+            self._pending_deletes = []
+            self._buffer = SegmentBuffer(self.config.analyzer)
+            self._pool.clear()
+            self._live_dirty.clear()
+            self._tragedy = None
+
+    def close(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            if self.config.commit_on_close and self._tragedy is None:
+                self.commit()
+            self._closed = True
+
+    def __enter__(self) -> "IndexWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self._closed = True

@@ -1,0 +1,196 @@
+"""IndexWriter lifecycle: flush, two-phase commit, reopen, NRT, deletes,
+update, rollback, merge, file GC, corruption detection."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import Document, IndexSearcher, StringField, Term, TermQuery, TextField
+from rucene_tpu.codec.files import SEGMENTS_PREFIX
+from rucene_tpu.index.merge import TieredMergePolicy
+from rucene_tpu.index.reader import open_directory_reader
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.search.search_manager import SearcherManager
+from rucene_tpu.store.directory import CorruptIndexError, FSDirectory, RAMDirectory, check_footer
+
+
+def _doc(i: int, text: str) -> Document:
+    d = Document()
+    d.add(StringField("id", str(i), stored=True))
+    d.add(TextField("body", text))
+    return d
+
+
+def test_store_roundtrip(tmp_path):
+    d = FSDirectory(str(tmp_path / "idx"))
+    out = d.create_output("x.bin")
+    out.write_header("x.bin")
+    out.write(b"hello world payload")
+    out.write_footer()
+    out.close()
+    assert check_footer(d.read_file("x.bin"), "x.bin") == b"hello world payload"
+    # corruption detected
+    raw = bytearray(d.read_file("x.bin"))
+    raw[15] ^= 0xFF
+    with pytest.raises(CorruptIndexError):
+        check_footer(bytes(raw), "x.bin")
+
+
+def test_commit_and_reopen(tmp_path):
+    d = FSDirectory(str(tmp_path / "idx"))
+    with IndexWriter(d) as w:
+        for i, t in enumerate(["fox jumps", "lazy dog", "fox fox dog"]):
+            w.add_document(_doc(i, t))
+        w.commit()
+    # fresh process: open from disk
+    reader = open_directory_reader(d)
+    assert reader.num_docs == 3
+    s = IndexSearcher(reader)
+    td = s.search(TermQuery(Term("body", "fox")), k=10)
+    assert td.total_hits == 2
+    assert s.reader.document(td.score_docs[0].doc)["id"] in {"0", "2"}
+
+
+def test_two_phase_commit_files(tmp_path):
+    d = FSDirectory(str(tmp_path / "idx"))
+    w = IndexWriter(d)
+    w.add_document(_doc(0, "hello world"))
+    w.commit()
+    names = d.list_all()
+    assert any(n.startswith(SEGMENTS_PREFIX) for n in names)
+    assert not any(n.startswith("pending_") for n in names)
+    w.add_document(_doc(1, "second commit"))
+    w.commit()
+    gens = sorted(n for n in d.list_all() if n.startswith(SEGMENTS_PREFIX))
+    assert len(gens) == 1  # KeepOnlyLastCommit pruned the old generation
+    w.close()
+
+
+def test_nrt_reader_and_manager(tmp_path):
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    w.add_document(_doc(0, "alpha beta"))
+    mgr = SearcherManager(w)
+    s0 = mgr.acquire()
+    assert s0.search(TermQuery(Term("body", "alpha")), 5).total_hits == 1
+    # new doc not visible until refresh
+    w.add_document(_doc(1, "alpha gamma"))
+    assert mgr.acquire().search(TermQuery(Term("body", "alpha")), 5).total_hits == 1
+    assert mgr.maybe_refresh() is True
+    assert mgr.acquire().search(TermQuery(Term("body", "alpha")), 5).total_hits == 2
+    assert mgr.maybe_refresh() is False  # nothing changed
+    w.close()
+
+
+def test_delete_and_update(tmp_path):
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    for i, t in enumerate(["fox one", "fox two", "dog three"]):
+        w.add_document(_doc(i, t))
+    w.delete_documents_by_term(Term("id", "0"))
+    r = w.get_reader()
+    assert r.num_docs == 2
+    s = IndexSearcher(r)
+    assert s.search(TermQuery(Term("body", "fox")), 5).total_hits == 1
+
+    # update = delete + add
+    w.update_document(Term("id", "1"), _doc(1, "cat two"))
+    s2 = IndexSearcher(w.get_reader())
+    assert s2.search(TermQuery(Term("body", "fox")), 5).total_hits == 0
+    assert s2.search(TermQuery(Term("body", "cat")), 5).total_hits == 1
+    assert s2.search(TermQuery(Term("body", "dog")), 5).total_hits == 1
+
+    # delete only affects docs added before it
+    w.delete_documents_by_term(Term("body", "bird"))
+    w.add_document(_doc(9, "bird nine"))
+    s3 = IndexSearcher(w.get_reader())
+    assert s3.search(TermQuery(Term("body", "bird")), 5).total_hits == 1
+    w.close()
+
+
+def test_deletes_survive_commit_reopen(tmp_path):
+    d = FSDirectory(str(tmp_path / "idx"))
+    w = IndexWriter(d)
+    for i in range(5):
+        w.add_document(_doc(i, f"term{i} common"))
+    w.commit()
+    w.delete_documents_by_term(Term("id", "2"))
+    w.commit()
+    w.close()
+    r = open_directory_reader(d)
+    assert r.num_docs == 4
+    s = IndexSearcher(r)
+    assert s.search(TermQuery(Term("body", "common")), 10).total_hits == 4
+    assert s.search(TermQuery(Term("body", "term2")), 10).total_hits == 0
+
+
+def test_rollback(tmp_path):
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    w.add_document(_doc(0, "committed doc"))
+    w.commit()
+    w.add_document(_doc(1, "uncommitted doc"))
+    w.rollback()
+    assert IndexSearcher(w.get_reader()).search(TermQuery(Term("body", "doc")), 5).total_hits == 1
+    w.close()
+
+
+def test_force_merge(tmp_path):
+    d = RAMDirectory()
+    cfg = IndexWriterConfig(max_buffered_docs=2)
+    w = IndexWriter(d, cfg)
+    texts = [f"word{i} shared fox" if i % 2 == 0 else f"word{i} shared" for i in range(10)]
+    for i, t in enumerate(texts):
+        w.add_document(_doc(i, t))
+    w.delete_documents_by_term(Term("id", "4"))
+    r0 = w.get_reader()
+    assert len(r0.leaves) == 5
+    before = IndexSearcher(r0).search(TermQuery(Term("body", "fox")), 20)
+    w.force_merge(1)
+    r1 = w.get_reader()
+    assert len(r1.leaves) == 1
+    assert r1.num_docs == 9
+    after = IndexSearcher(r1).search(TermQuery(Term("body", "fox")), 20)
+    assert after.total_hits == before.total_hits
+    # same surviving doc ids (by stored id), scores may shift as stats change
+    ids_before = {IndexSearcher(r0).reader.document(sd.doc)["id"] for sd in before.score_docs}
+    ids_after = {r1.document(sd.doc)["id"] for sd in after.score_docs}
+    assert ids_before == ids_after
+    w.close()
+
+
+def test_auto_merge_policy(tmp_path):
+    d = RAMDirectory()
+    cfg = IndexWriterConfig(
+        max_buffered_docs=1,
+        merge_policy=TieredMergePolicy(merge_factor=4, segs_per_tier=4),
+    )
+    w = IndexWriter(d, cfg)
+    for i in range(12):
+        w.add_document(_doc(i, f"common token{i}"))
+    w.commit()
+    r = w.get_reader()
+    assert len(r.leaves) < 12  # merging kicked in
+    assert r.num_docs == 12
+    assert IndexSearcher(r).search(TermQuery(Term("body", "common")), 20).total_hits == 12
+    w.close()
+
+
+def test_merged_scores_match_unmerged(tmp_path):
+    """Merging must not change scores when nothing is deleted."""
+    d1, d2 = RAMDirectory(), RAMDirectory()
+    texts = [f"fox alpha{i % 3} beta{i % 5} fox" for i in range(40)]
+    w1 = IndexWriter(d1, IndexWriterConfig(max_buffered_docs=7))
+    w2 = IndexWriter(d2, IndexWriterConfig(max_buffered_docs=1000))
+    for i, t in enumerate(texts):
+        w1.add_document(_doc(i, t))
+        w2.add_document(_doc(i, t))
+    w1.force_merge(1)
+    ra, rb = w1.get_reader(), w2.get_reader()
+    sa, sb = IndexSearcher(ra), IndexSearcher(rb)
+    ta = sa.search(TermQuery(Term("body", "fox")), 40)
+    tb = sb.search(TermQuery(Term("body", "fox")), 40)
+    assert [(sd.doc, sd.score) for sd in ta.score_docs] == [
+        (sd.doc, sd.score) for sd in tb.score_docs
+    ]
+    w1.close()
+    w2.close()
