@@ -1,0 +1,143 @@
+"""Headline benchmark: batched BM25 search QPS on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json configs 1-2 analog until real corpora land):
+synthetic Zipf corpus, mixed query set (50% single-term, 25% OR-pair,
+25% AND-pair), BM25 top-100, batched dispatch.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and rucene
+cannot be built here (no Rust toolchain in the image), so the ratio is
+measured against this repo's own single-query-at-a-time numpy host engine
+(search/host_engine.py) running the identical workload on one CPU core — an
+optimistic stand-in for a scalar CPU engine; the rucene comparison has to be
+run outside this sandbox.
+
+Env knobs: BENCH_DOCS (default 50000), BENCH_QUERIES (512), BENCH_BATCH
+(256), BENCH_K (100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_corpus(n_docs: int, vocab_size: int = 20000, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    # Zipf-ish unigram distribution over the vocabulary
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks**1.1
+    probs /= probs.sum()
+    vocab = np.array([f"w{i}" for i in range(vocab_size)])
+    lengths = rng.integers(8, 64, size=n_docs)
+    token_ids = rng.choice(vocab_size, size=int(lengths.sum()), p=probs)
+    texts = []
+    off = 0
+    for n in lengths:
+        texts.append(" ".join(vocab[token_ids[off : off + n]]))
+        off += n
+    return texts, vocab, probs
+
+
+def build_queries(n_queries: int, vocab, probs, seed: int = 13):
+    from rucene_tpu import BooleanQuery, Term, TermQuery
+
+    rng = np.random.default_rng(seed)
+    # query terms drawn from the mid-frequency band (like real query logs)
+    band = np.arange(10, min(5000, len(vocab)))
+    band_p = probs[band] / probs[band].sum()
+    queries = []
+    for i in range(n_queries):
+        kind = i % 4
+        t1 = vocab[rng.choice(band, p=band_p)]
+        t2 = vocab[rng.choice(band, p=band_p)]
+        if kind in (0, 1):
+            queries.append(TermQuery(Term("body", t1)))
+        elif kind == 2:
+            q = BooleanQuery()
+            q.should(TermQuery(Term("body", t1)))
+            q.should(TermQuery(Term("body", t2)))
+            queries.append(q)
+        else:
+            q = BooleanQuery()
+            q.must(TermQuery(Term("body", t1)))
+            q.must(TermQuery(Term("body", t2)))
+            queries.append(q)
+    return queries
+
+
+def main():
+    n_docs = int(os.environ.get("BENCH_DOCS", 50000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    k = int(os.environ.get("BENCH_K", 100))
+
+    from rucene_tpu import Document, IndexSearcher, TextField
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+
+    t0 = time.time()
+    texts, vocab, probs = build_corpus(n_docs)
+    queries = build_queries(n_queries, vocab, probs)
+
+    buf = SegmentBuffer()
+    for t in texts:
+        d = Document()
+        d.add(TextField("body", t))
+        buf.add_document(d)
+    packed = pack_segment(buf.finish())
+    reader = IndexReader([SegmentSnapshot("bench", packed)])
+    searcher = IndexSearcher(reader)
+    build_s = time.time() - t0
+
+    # warmup (compile every batch's shape bucket) then timed batched runs
+    for i in range(0, n_queries, batch):
+        searcher.search_batch(queries[i : i + batch], k=k)
+    t1 = time.time()
+    reps = 0
+    while time.time() - t1 < 5.0 or reps < 3:
+        for i in range(0, n_queries, batch):
+            searcher.search_batch(queries[i : i + batch], k=k)
+        reps += 1
+        if reps >= 20:
+            break
+    qps = (reps * n_queries) / (time.time() - t1)
+
+    # single-core scalar baseline proxy on a query sample
+    from rucene_tpu.search import host_engine
+
+    sample = queries[:: max(1, n_queries // 32)][:32]
+    rqs = [q.rewrite() for q in sample]
+    doc_freqs, stats = searcher._gather_stats(rqs)
+    leaf = reader.leaves[0]
+    t2 = time.time()
+    for rq in rqs:
+        host_engine.execute_on_segment(leaf, rq, searcher.similarity, stats, doc_freqs, k)
+    base_qps = len(sample) / (time.time() - t2)
+
+    result = {
+        "metric": f"BM25 top-{k} QPS, {n_docs} docs, mixed term/bool batch={batch}",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / base_qps, 2),
+    }
+    print(json.dumps(result))
+    # context lines on stderr so the JSON line stays clean
+    import sys
+
+    print(
+        f"# index build: {build_s:.1f}s ({n_docs / build_s:.0f} docs/s), "
+        f"index {packed.index_bytes() / 1e6:.1f} MB, "
+        f"baseline(single-core numpy engine): {base_qps:.1f} qps",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

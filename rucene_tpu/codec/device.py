@@ -51,17 +51,28 @@ def _pad1(a: np.ndarray, n: int, fill=0) -> np.ndarray:
 def build_device_segment(
     packed: PackedSegment,
     live: np.ndarray | None = None,
+    min_blocks: int = 1,
+    min_words: int = 2,
+    min_max_doc: int = 1,
+    min_positions: int = 1,
+    min_fields: int = 1,
+    as_numpy: bool = False,
 ) -> DeviceSegment:
-    """Upload a packed segment to the default device with bucketed padding."""
+    """Upload a packed segment to the default device with bucketed padding.
+
+    The min_* floors let callers force a common shape across segments so
+    shards can be stacked along a leading axis (parallel.sharded); with
+    as_numpy=True the leaves stay host-side numpy for such stacking.
+    """
     nb = packed.num_blocks
-    nbp = next_pow2(nb, 1)
+    nbp = next_pow2(max(nb, min_blocks), 1)
     w = len(packed.data)
-    wp = next_pow2(w, 2)
-    mdp = round_up(max(packed.max_doc, 1), 1024)
+    wp = next_pow2(max(w, min_words), 2)
+    mdp = round_up(max(packed.max_doc, min_max_doc, 1), 1024)
 
     # field-id -> norms row (dense over indexed fields of this segment)
     n_fields = max((f.field_id for f in packed.fields.values()), default=-1) + 1
-    n_fields = max(n_fields, 1)
+    n_fields = max(n_fields, 1, min_fields)
     norms = np.zeros((n_fields, mdp), dtype=np.uint8)
     for name, pf in packed.fields.items():
         if name in packed.norms:
@@ -74,21 +85,22 @@ def build_device_segment(
         live_arr[: packed.max_doc] = live[: packed.max_doc]
 
     npos = len(packed.positions)
-    npp = next_pow2(npos, 1)
+    npp = next_pow2(max(npos, min_positions), 1)
     blk_pos_base = packed.blk_pos_base
 
+    conv = (lambda x: x) if as_numpy else jnp.asarray
     return DeviceSegment(
-        data=jnp.asarray(_pad1(packed.data, wp)),
-        blk_off=jnp.asarray(_pad1(packed.blk_off, nbp)),
-        blk_doc_bits=jnp.asarray(_pad1(packed.blk_doc_bits, nbp, 1)),
-        blk_freq_bits=jnp.asarray(_pad1(packed.blk_freq_bits, nbp, 1)),
-        blk_base=jnp.asarray(_pad1(packed.blk_base, nbp, -1)),
-        blk_count=jnp.asarray(_pad1(packed.blk_count, nbp)),
-        blk_max_freq=jnp.asarray(_pad1(packed.blk_max_freq, nbp)),
-        norms=jnp.asarray(norms),
-        live=jnp.asarray(live_arr),
-        positions=jnp.asarray(_pad1(packed.positions.astype(np.int32), npp, -1)),
-        blk_pos_base=jnp.asarray(_pad1(blk_pos_base.astype(np.int32), nbp)),
+        data=conv(_pad1(packed.data, wp)),
+        blk_off=conv(_pad1(packed.blk_off, nbp)),
+        blk_doc_bits=conv(_pad1(packed.blk_doc_bits, nbp, 1)),
+        blk_freq_bits=conv(_pad1(packed.blk_freq_bits, nbp, 1)),
+        blk_base=conv(_pad1(packed.blk_base, nbp, -1)),
+        blk_count=conv(_pad1(packed.blk_count, nbp)),
+        blk_max_freq=conv(_pad1(packed.blk_max_freq, nbp)),
+        norms=conv(norms),
+        live=conv(live_arr),
+        positions=conv(_pad1(packed.positions.astype(np.int32), npp, -1)),
+        blk_pos_base=conv(_pad1(blk_pos_base.astype(np.int32), nbp)),
     )
 
 

@@ -15,12 +15,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rucene_tpu.index.reader import IndexReader
 from rucene_tpu.search import host_engine
-from rucene_tpu.search.executor import QueryBatch, execute_batch, execute_match_all
+from rucene_tpu.search.executor import FlatQueryBatch, execute_flat, execute_match_all
 from rucene_tpu.search.query import Occur, Query, RewrittenQuery
 from rucene_tpu.search.similarity import BM25Similarity, CollectionStats
 from rucene_tpu.util import next_pow2
@@ -30,6 +31,107 @@ from rucene_tpu.util import next_pow2
 class ScoreDoc:
     doc: int  # global doc id (doc_base + segment-local id)
     score: float
+
+
+def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int):
+    """Segment-independent per-batch tables: weights, occur kinds, boolean
+    controls. Padding rows (i >= len(rqs)) match nothing."""
+    weight = np.zeros((b_pad, t_pad), dtype=np.float32)
+    occur = np.zeros((b_pad, t_pad), dtype=np.int32)
+    n_required = np.zeros(b_pad, dtype=np.int32)
+    min_should = np.ones(b_pad, dtype=np.int32)
+    match_all_rows = np.zeros(b_pad, dtype=bool)
+    boosts = np.ones(b_pad, dtype=np.float32)
+    for i, rq in enumerate(rqs):
+        n_required[i] = rq.n_required
+        min_should[i] = rq.effective_min_should()
+        match_all_rows[i] = rq.match_all
+        boosts[i] = rq.boost
+        for j, c in enumerate(rq.clauses):
+            occur[i, j] = int(c.occur)
+            if c.occur in (Occur.SHOULD, Occur.MUST):
+                weight[i, j] = sim.term_weight(
+                    doc_freqs[(c.term.field, c.term.text)], stats[c.term.field], c.boost
+                )
+    return weight, occur, n_required, min_should, match_all_rows, boosts
+
+
+def build_leaf_tables(leaf, rqs, b_pad: int, t_pad: int):
+    """Per-segment term resolution: block ranges + norms-row ids."""
+    block_start = np.zeros((b_pad, t_pad), dtype=np.int32)
+    block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
+    field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
+    for i, rq in enumerate(rqs):
+        for j, c in enumerate(rq.clauses):
+            rec = leaf.term_record(c.term.field, c.term.text)
+            if rec is not None:
+                block_start[i, j] = rec.block_start
+                block_count[i, j] = rec.block_count
+                field_id[i, j] = leaf.packed.fields[c.term.field].field_id
+    return block_start, block_count, field_id
+
+
+def build_flat_work(
+    block_start: np.ndarray,
+    block_count: np.ndarray,
+    weight: np.ndarray,
+    field_id: np.ndarray,
+    occur: np.ndarray,
+    w_pad: int | None = None,
+):
+    """Flatten [B,T] slot tables into the executor's block work list:
+    one entry per (query, clause, block). Fully vectorized numpy."""
+    from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
+
+    b, t = block_start.shape
+    enc_slot = (
+        np.where((occur == int(Occur.MUST)) | (occur == int(Occur.FILTER)), ENC_REQUIRED, 0)
+        + np.where(occur == int(Occur.SHOULD), ENC_SHOULD, 0)
+        + np.where(occur == int(Occur.MUST_NOT), ENC_NOT, 0)
+    ).astype(np.int32)
+
+    bs = block_start.ravel()
+    bc = block_count.ravel()
+    sel = bc > 0
+    bs, bc = bs[sel], bc[sel]
+    rows = np.repeat(np.arange(b, dtype=np.int32), t)[sel]
+    wsl = weight.ravel()[sel]
+    fid = field_id.ravel()[sel]
+    enc = enc_slot.ravel()[sel]
+
+    n = int(bc.sum())
+    item_slot = np.repeat(np.arange(len(bc)), bc)
+    start_of = np.concatenate([[0], np.cumsum(bc)])[:-1]
+    within = np.arange(n) - start_of[item_slot]
+
+    w = next_pow2(max(n, 1), 1) if w_pad is None else w_pad
+    if n > w:
+        raise ValueError(f"work list {n} exceeds pad {w}")
+    wi_block = np.zeros(w, np.int32)
+    wi_row = np.zeros(w, np.int32)
+    wi_weight = np.zeros(w, np.float32)
+    wi_fid = np.zeros(w, np.int32)
+    wi_enc = np.zeros(w, np.int32)
+    wi_valid = np.zeros(w, bool)
+    wi_block[:n] = bs[item_slot] + within
+    wi_row[:n] = rows[item_slot]
+    wi_weight[:n] = wsl[item_slot]
+    wi_fid[:n] = fid[item_slot]
+    wi_enc[:n] = enc[item_slot]
+    wi_valid[:n] = True
+    return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n
+
+
+def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarray:
+    """Per-segment [F,256] norm-byte -> BM25 denominator cache."""
+    packed = leaf.packed
+    if n_fields is None:
+        n_fields = max(leaf.device.num_norm_fields, 1)
+    cache = np.zeros((n_fields, 256), dtype=np.float32)
+    for name, pf in packed.fields.items():
+        has_norms = name in packed.norms
+        cache[pf.field_id] = sim.cache_row(stats.get(name) if has_norms else None)
+    return cache
 
 
 @dataclass
@@ -122,70 +224,42 @@ class IndexSearcher:
         b_pad = next_pow2(b_actual, 1)
         t_pad = next_pow2(max((len(rq.clauses) for rq in rqs), default=1), 1)
 
-        # batch-level clause tables (segment-independent parts)
-        weight = np.zeros((b_pad, t_pad), dtype=np.float32)
-        occur = np.zeros((b_pad, t_pad), dtype=np.int32)
-        n_required = np.zeros(b_pad, dtype=np.int32)
-        min_should = np.ones(b_pad, dtype=np.int32)  # padding queries match nothing
-        match_all_rows = np.zeros(b_pad, dtype=bool)
-        boosts = np.ones(b_pad, dtype=np.float32)
-        for i, rq in enumerate(rqs):
-            n_required[i] = rq.n_required
-            min_should[i] = rq.effective_min_should()
-            match_all_rows[i] = rq.match_all
-            boosts[i] = rq.boost
-            for j, c in enumerate(rq.clauses):
-                occur[i, j] = int(c.occur)
-                if c.occur in (Occur.SHOULD, Occur.MUST):
-                    weight[i, j] = sim.term_weight(
-                        doc_freqs[(c.term.field, c.term.text)],
-                        stats[c.term.field],
-                        c.boost,
-                    )
+        weight, occur, n_required, min_should, match_all_rows, boosts = build_clause_tables(
+            rqs, sim, doc_freqs, stats, b_pad, t_pad
+        )
 
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
             [] for _ in range(b_actual)
         ]
         for leaf in self.reader.leaves:
-            packed = leaf.packed
-            n_fields = max(leaf.device.num_norm_fields, 1)
-            cache = np.zeros((n_fields, 256), dtype=np.float32)
-            for name, pf in packed.fields.items():
-                has_norms = name in packed.norms
-                cache[pf.field_id] = sim.cache_row(stats.get(name) if has_norms else None)
-
-            block_start = np.zeros((b_pad, t_pad), dtype=np.int32)
-            block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
-            field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
-            for i, rq in enumerate(rqs):
-                for j, c in enumerate(rq.clauses):
-                    rec = leaf.term_record(c.term.field, c.term.text)
-                    if rec is not None:
-                        block_start[i, j] = rec.block_start
-                        block_count[i, j] = rec.block_count
-                        field_id[i, j] = packed.fields[c.term.field].field_id
-
-            nb_max = int(next_pow2(int(block_count.max()) if block_count.size else 1, 1))
-            qb = QueryBatch(
-                block_start=jnp.asarray(block_start),
-                block_count=jnp.asarray(block_count),
-                weight=jnp.asarray(weight),
-                field_id=jnp.asarray(field_id),
-                occur=jnp.asarray(occur),
-                n_required=jnp.asarray(n_required),
-                min_should=jnp.asarray(min_should),
-                cache=jnp.asarray(cache),
+            cache = build_leaf_cache(leaf, sim, stats)
+            block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
+            wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, _ = build_flat_work(
+                block_start, block_count, weight, field_id, occur
             )
-            s, d, h = execute_batch(leaf.device, qb, k=k, nb_max=nb_max)
-            s = np.asarray(s)
-            d = np.asarray(d)
-            h = np.asarray(h)
+            fq = jax.device_put(
+                FlatQueryBatch(
+                    wi_block=wi_block,
+                    wi_row=wi_row,
+                    wi_weight=wi_weight,
+                    wi_fid=wi_fid,
+                    wi_enc=wi_enc,
+                    wi_valid=wi_valid,
+                    n_required=n_required,
+                    min_should=min_should,
+                    cache=cache,
+                )
+            )
+            res = execute_flat(leaf.device, fq, k=k)
             if match_all_rows.any():
                 ms, mdoc, mh = execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
+                s, d, h = jax.device_get(res)
                 ms, mdoc, mh = np.asarray(ms), np.asarray(mdoc), np.asarray(mh)
                 s = np.where(match_all_rows[:, None], ms, s)
                 d = np.where(match_all_rows[:, None], mdoc, d)
                 h = np.where(match_all_rows, mh, h)
+            else:
+                s, d, h = jax.device_get(res)  # one fused transfer
             for i in range(b_actual):
                 per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
 

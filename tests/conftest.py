@@ -5,10 +5,16 @@ Must set env vars before the first jax import anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the sandbox presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the sandbox's sitecustomize force-registers the axon TPU backend and
+# overwrites jax_platforms; undo that before any backend initializes
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

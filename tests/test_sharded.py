@@ -1,0 +1,90 @@
+"""Multi-device sharded search on the virtual 8-CPU mesh: results must match
+the single-device searcher exactly (same doc ids, same scores)."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import BooleanQuery, IndexSearcher, Term, TermQuery
+from rucene_tpu.codec.postings import pack_segment
+from rucene_tpu.index.memory import SegmentBuffer
+from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+from rucene_tpu.parallel.sharded import ShardedIndex, ShardedSearcher, make_mesh
+from tests.conftest import WORDS, make_docs, random_corpus
+from tests.hitcheck import assert_hits_equal
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    rng = np.random.default_rng(99)
+    corpus = random_corpus(rng, 400)
+    parts = [corpus[0:90], corpus[90:210], corpus[210:290], corpus[290:400]]
+    snaps = []
+    for i, part in enumerate(parts):
+        buf = SegmentBuffer()
+        for d in make_docs(part):
+            buf.add_document(d)
+        snaps.append(SegmentSnapshot(f"p{i}", pack_segment(buf.finish())))
+    reader = IndexReader(snaps)
+    single = IndexSearcher(reader)
+    mesh = make_mesh(n_shards=4, n_dp=2)
+    sharded = ShardedSearcher(ShardedIndex(mesh, reader))
+    return single, sharded
+
+
+def test_sharded_term_queries(sharded_setup):
+    single, sharded = sharded_setup
+    queries = [TermQuery(Term("body", w)) for w in ["the", "fox", "tensor", "merge", "pack", "dog"]]
+    got = sharded.search_batch(queries, k=12)
+    want = single.search_batch(queries, k=12)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+
+
+def test_sharded_boolean_queries(sharded_setup):
+    single, sharded = sharded_setup
+    rng = np.random.default_rng(3)
+    queries = []
+    for _ in range(8):
+        w = rng.choice(WORDS, size=3, replace=False)
+        q = BooleanQuery()
+        q.must(TermQuery(Term("body", w[0])))
+        q.should(TermQuery(Term("body", w[1])))
+        q.must_not(TermQuery(Term("body", w[2])))
+        queries.append(q)
+    got = sharded.search_batch(queries, k=20)
+    want = single.search_batch(queries, k=20)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+
+
+def test_sharded_fewer_segments_than_shards(sharded_setup):
+    # 2 segments on a 4-shard mesh: filler shards contribute nothing
+    rng = np.random.default_rng(17)
+    corpus = random_corpus(rng, 120)
+    snaps = []
+    for i, part in enumerate([corpus[:50], corpus[50:]]):
+        buf = SegmentBuffer()
+        for d in make_docs(part):
+            buf.add_document(d)
+        snaps.append(SegmentSnapshot(f"q{i}", pack_segment(buf.finish())))
+    reader = IndexReader(snaps)
+    mesh = make_mesh(n_shards=4, n_dp=2)
+    sharded = ShardedSearcher(ShardedIndex(mesh, reader))
+    single = IndexSearcher(reader)
+    q = [TermQuery(Term("body", "the")), TermQuery(Term("body", "fox"))]
+    got = sharded.search_batch(q, k=10)
+    want = single.search_batch(q, k=10)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
