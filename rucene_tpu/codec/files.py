@@ -156,6 +156,7 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
             },
             "norm_fields": sorted(packed.norms),
             "dv_fields": sorted(packed.numeric_dv),
+            "point_fields": sorted(packed.points),
         },
     )
     for key in ("blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base", "blk_count",
@@ -167,6 +168,10 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
         vals, present = packed.numeric_dv[f]
         w.add_npy(f"dv.{f}.vals", vals)
         w.add_npy(f"dv.{f}.present", present)
+    for f in sorted(packed.points):
+        vals, docs = packed.points[f]
+        w.add_npy(f"pt.{f}.vals", vals)
+        w.add_npy(f"pt.{f}.docs", docs)
 
     # stored fields: zlib-json chunks
     n_chunks = (len(packed.stored) + STORED_CHUNK - 1) // STORED_CHUNK
@@ -239,6 +244,10 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         stored=stored,
         numeric_dv={
             f: (r.npy(f"dv.{f}.vals"), r.npy(f"dv.{f}.present")) for f in meta["dv_fields"]
+        },
+        points={
+            f: (r.npy(f"pt.{f}.vals"), r.npy(f"pt.{f}.docs"))
+            for f in meta.get("point_fields", [])
         },
     )
 

@@ -72,6 +72,7 @@ class PackedSegment:
     norms: dict[str, np.ndarray]  # field -> u8[max_doc]
     stored: list[dict[str, object]]
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]
+    points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted vals, docs)
 
     @property
     def num_blocks(self) -> int:
@@ -241,6 +242,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         norms=dict(seg.norms),
         stored=seg.stored,
         numeric_dv=seg.numeric_dv,
+        points=dict(getattr(seg, "points", {}) or {}),
     )
 
 

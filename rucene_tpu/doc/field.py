@@ -101,3 +101,27 @@ def StoredField(name: str, value: Any) -> Field:
 
 def NumericDocValuesField(name: str, value: int) -> Field:
     return Field(name, int(value), NUMERIC_DV_TYPE)
+
+
+INT_POINT_TYPE = FieldType(point_dimension_count=1, point_num_bytes=8, tokenized=False)
+FLOAT_POINT_TYPE = FieldType(point_dimension_count=1, point_num_bytes=8, tokenized=False)
+
+
+def IntPoint(name: str, value: int) -> Field:
+    """1-D numeric point for range queries (reference point_range_query.rs
+    IntPoint :37+; BKD reduces to a sorted column for the 1-D case)."""
+    return Field(name, int(value), INT_POINT_TYPE)
+
+
+def FloatPoint(name: str, value: float) -> Field:
+    """Floats map to sortable int64 via the same order-preserving trick as
+    Lucene's FloatPoint.encodeDimension."""
+    return Field(name, float(value), FLOAT_POINT_TYPE)
+
+
+def float_to_sortable_int(value: float) -> int:
+    """Order-preserving f32->i32 map (reference util/numeric.rs analog)."""
+    import struct
+
+    bits = struct.unpack("<i", struct.pack("<f", float(value)))[0]
+    return bits ^ ((bits >> 31) & 0x7FFFFFFF)

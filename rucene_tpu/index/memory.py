@@ -58,6 +58,7 @@ class SegmentData:
     stats: dict[str, FieldStats]
     stored: list[dict[str, object]]  # per-doc stored fields
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (i64 vals, bool present)
+    points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted i64 vals, i32 docs)
 
 
 class SegmentBuffer:
@@ -71,6 +72,7 @@ class SegmentBuffer:
         self._stats: dict[str, FieldStats] = {}
         self._stored: list[dict[str, object]] = []
         self._numeric_dv: dict[str, dict[int, int]] = {}
+        self._points: dict[str, list[tuple[int, int]]] = {}
         self.num_docs = 0
 
     def add_document(self, doc: Document) -> int:
@@ -105,6 +107,17 @@ class SegmentBuffer:
             if ft.doc_values_type == DocValuesType.NUMERIC:
                 info.doc_values_type = DocValuesType.NUMERIC
                 self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
+            if ft.point_dimension_count:
+                info.point_dimension_count = ft.point_dimension_count
+                info.point_num_bytes = ft.point_num_bytes
+                from rucene_tpu.doc.field import float_to_sortable_int
+
+                enc = (
+                    float_to_sortable_int(f.value)
+                    if isinstance(f.value, float)
+                    else int(f.value)
+                )
+                self._points.setdefault(f.name, []).append((enc, doc_id))
 
         # norms: byte315(boost / sqrt(field_length)) — BM25Similarity::compute_norm
         # (reference bm25_similarity.rs:86-93)
@@ -153,6 +166,12 @@ class SegmentBuffer:
                 present[d] = True
             dv_out[field] = (vals, present)
 
+        points_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for field, pairs in self._points.items():
+            arr = np.asarray(pairs, dtype=np.int64)
+            order = np.lexsort((arr[:, 1], arr[:, 0]))
+            points_out[field] = (arr[order, 0], arr[order, 1].astype(np.int32))
+
         return SegmentData(
             max_doc=max_doc,
             field_infos=self.field_infos,
@@ -161,4 +180,5 @@ class SegmentBuffer:
             stats=dict(self._stats),
             stored=self._stored,
             numeric_dv=dv_out,
+            points=points_out,
         )

@@ -147,6 +147,24 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
                 st.doc_count = int(seen.sum())
             st.sum_total_term_freq = int(sum(int(f.sum()) for _, f, _ in fout.values()))
 
+    points_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    pt_fields = sorted({f for snap in snapshots for f in snap.packed.points})
+    for field in pt_fields:
+        vparts, dparts = [], []
+        for si, snap in enumerate(snapshots):
+            pt = snap.packed.points.get(field)
+            if pt is None:
+                continue
+            vals, docs = pt
+            keep = masks[si][docs]
+            vparts.append(vals[keep])
+            dparts.append(maps[si][docs[keep]])
+        if vparts:
+            v = np.concatenate(vparts)
+            dd = np.concatenate(dparts)
+            order = np.lexsort((dd, v))
+            points_out[field] = (v[order], dd[order].astype(np.int32))
+
     seg = SegmentData(
         max_doc=new_max_doc,
         field_infos=field_infos,
@@ -155,6 +173,7 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         stats=stats_out,
         stored=stored_out,
         numeric_dv=dv_out,
+        points=points_out,
     )
     return pack_segment(seg)
 

@@ -127,6 +127,23 @@ class SegmentSnapshot:
     def document(self, local_doc: int) -> dict[str, object]:
         return self.packed.stored[local_doc]
 
+    def point_range_docs(self, field: str, lower: int | None, upper: int | None) -> np.ndarray:
+        """Docs whose 1-D point value lies in [lower, upper] (inclusive,
+        None = open end). The sorted point column makes this two binary
+        searches + a slice — the 1-D specialization of the reference's BKD
+        intersect (bkd_reader.rs:68)."""
+        pt = self.packed.points.get(field)
+        if pt is None:
+            return np.zeros(0, dtype=np.int64)
+        vals, docs = pt
+        lo = 0 if lower is None else int(np.searchsorted(vals, lower, side="left"))
+        hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
+        return np.unique(docs[lo:hi]).astype(np.int64)
+
+    def numeric_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(values i64[max_doc], present bool[max_doc]) or None."""
+        return self.packed.numeric_dv.get(field)
+
 
 class IndexReader:
     """Point-in-time composite over segment snapshots."""

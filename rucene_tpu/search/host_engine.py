@@ -124,6 +124,38 @@ def execute_on_segment(
         elif clause.occur == Occur.MUST_NOT:
             has_not[docs] = True
 
+    for occ, members in rq.groups:
+        g_match = np.zeros(md, dtype=bool)
+        for clause in members:
+            field, text = clause.term.field, clause.term.text
+            p = leaf.read_postings(field, text)
+            if p is None:
+                continue
+            docs, freqs, _ = p
+            g_match[docs] = True
+            if occ in (Occur.SHOULD, Occur.MUST):
+                w2 = sim.term_weight(doc_freqs[(field, text)], stats[field], clause.boost)
+                tf = freqs.astype(np.float32)
+                cval = cache_for(field)[norm_bytes(field, docs)]
+                acc[docs] += (w2 * tf / (tf + cval)).astype(np.float32)
+        if occ in (Occur.MUST, Occur.FILTER):
+            req_count[g_match] += 1
+        elif occ == Occur.SHOULD:
+            should_count[g_match] += 1
+        elif occ == Occur.MUST_NOT:
+            has_not |= g_match
+
+    for r in rq.ranges:
+        docs = leaf.point_range_docs(r.field, r.lower, r.upper)
+        if r.occur in (Occur.SHOULD, Occur.MUST):
+            acc[docs] += np.float32(r.boost)  # constant-score semantics
+        if r.occur in (Occur.MUST, Occur.FILTER):
+            req_count[docs] += 1
+        elif r.occur == Occur.SHOULD:
+            should_count[docs] += 1
+        elif r.occur == Occur.MUST_NOT:
+            has_not[docs] = True
+
     for field, terms, boost in rq.phrases:
         docs, pfreqs = phrase_postings(leaf, field, terms)
         # phrase weight: sum of per-term idfs (PhraseWeight -> Similarity with
@@ -150,6 +182,9 @@ def execute_on_segment(
 
     total = int(match.sum())
     scores = np.where(match, acc, -np.inf).astype(np.float32)
+    if k is None:  # full match set, ascending doc order (sorted-search path)
+        docs = np.nonzero(match)[0]
+        return HostHits(total_hits=total, docs=docs.astype(np.int32), scores=acc[docs])
     # top-k by (score desc, doc asc)
     order = np.lexsort((np.arange(md), -scores))[: min(k, md)]
     order = order[scores[order] > -np.inf]

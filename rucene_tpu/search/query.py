@@ -29,6 +29,18 @@ class TermClause:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class RangeClause:
+    """1-D point range, encoded to sortable int64 space
+    (reference point_range_query.rs:366; constant-score semantics)."""
+
+    occur: Occur
+    field: str
+    lower: int | None  # inclusive, None = open
+    upper: int | None  # inclusive, None = open
+    boost: float = 1.0
+
+
 @dataclass
 class RewrittenQuery:
     """Flat executable form: term clauses + boolean controls."""
@@ -39,14 +51,24 @@ class RewrittenQuery:
     boost: float = 1.0
     # phrase verification groups: each is (field, [terms in order], boost)
     phrases: list[tuple[str, list[str], float]] = dc_field(default_factory=list)
+    ranges: list[RangeClause] = dc_field(default_factory=list)
+    # nested pure-disjunction sub-clauses: (occur, [terms]) — a group matches
+    # if ANY member matches; scoring sums matching members' BM25
+    groups: list[tuple[Occur, list[TermClause]]] = dc_field(default_factory=list)
 
     @property
     def n_required(self) -> int:
-        return sum(1 for c in self.clauses if c.occur in (Occur.MUST, Occur.FILTER))
+        return (
+            sum(1 for c in self.clauses if c.occur in (Occur.MUST, Occur.FILTER))
+            + sum(1 for r in self.ranges if r.occur in (Occur.MUST, Occur.FILTER))
+            + sum(1 for occ, _ in self.groups if occ in (Occur.MUST, Occur.FILTER))
+        )
 
     @property
     def n_should(self) -> int:
-        return sum(1 for c in self.clauses if c.occur == Occur.SHOULD)
+        return sum(1 for c in self.clauses if c.occur == Occur.SHOULD) + sum(
+            1 for r in self.ranges if r.occur == Occur.SHOULD
+        )
 
     def effective_min_should(self) -> int:
         """Lucene semantics: if there are no required clauses, at least one
@@ -99,6 +121,10 @@ class BoostQuery(Query):
             TermClause(c.occur, c.term, c.boost * self.boost) for c in rq.clauses
         ]
         rq.phrases = [(f, ts, b * self.boost) for (f, ts, b) in rq.phrases]
+        rq.ranges = [
+            RangeClause(r.occur, r.field, r.lower, r.upper, r.boost * self.boost)
+            for r in rq.ranges
+        ]
         rq.boost *= self.boost
         return rq
 
@@ -123,9 +149,42 @@ class PhraseQuery(Query):
         return RewrittenQuery(phrases=[(self.field, list(self.terms), self.boost)])
 
 
+@dataclass
+class PointRangeQuery(Query):
+    """1-D numeric range over IntPoint/FloatPoint values; constant score =
+    boost (reference point_range_query.rs:366, ConstantScoreWeight)."""
+
+    field: str
+    lower: int | float | None
+    upper: int | float | None
+    boost: float = 1.0
+
+    def _encode(self, v) -> int | None:
+        if v is None:
+            return None
+        if isinstance(v, float):
+            from rucene_tpu.doc.field import float_to_sortable_int
+
+            return float_to_sortable_int(v)
+        return int(v)
+
+    def rewrite(self) -> RewrittenQuery:
+        return RewrittenQuery(
+            ranges=[
+                RangeClause(
+                    Occur.SHOULD,
+                    self.field,
+                    self._encode(self.lower),
+                    self._encode(self.upper),
+                    self.boost,
+                )
+            ]
+        )
+
+
 class BooleanQuery(Query):
     """reference boolean_query.rs:29. Clauses must currently be TermQuery /
-    PhraseQuery / nested pure-SHOULD BooleanQuery."""
+    PhraseQuery / PointRangeQuery / nested pure-SHOULD BooleanQuery."""
 
     def __init__(self, min_should_match: int = 0, boost: float = 1.0):
         self.clauses: list[tuple[Occur, Query]] = []
@@ -158,6 +217,10 @@ class BooleanQuery(Query):
                     out.match_all = True  # matches everything; contributes no count
                     continue
                 raise NotImplementedError("MUST_NOT MatchAllDocsQuery matches nothing")
+            if sq.ranges and len(sq.ranges) == 1 and not sq.clauses and not sq.phrases:
+                r = sq.ranges[0]
+                out.ranges.append(RangeClause(occur, r.field, r.lower, r.upper, r.boost * self.boost))
+                continue
             if sq.phrases:
                 if occur != Occur.MUST_NOT:
                     out.phrases.extend(
@@ -173,6 +236,17 @@ class BooleanQuery(Query):
                 out.clauses.extend(
                     TermClause(Occur.SHOULD, c.term, c.boost * self.boost)
                     for c in sq.clauses
+                )
+            elif sq.n_required == 0 and sq.min_should_match <= 1 and not sq.phrases:
+                # required/excluded pure disjunction -> clause group
+                out.groups.append(
+                    (
+                        occur,
+                        [
+                            TermClause(Occur.SHOULD, c.term, c.boost * self.boost)
+                            for c in sq.clauses
+                        ],
+                    )
                 )
             else:
                 raise NotImplementedError(

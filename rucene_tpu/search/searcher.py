@@ -168,7 +168,10 @@ class IndexSearcher:
         device_idx = [
             i
             for i, rq in enumerate(rewritten)
-            if not rq.phrases and not (rq.match_all and rq.clauses)
+            if not rq.phrases
+            and not rq.ranges
+            and not rq.groups
+            and not (rq.match_all and rq.clauses)
         ]
         host_idx = [i for i in range(len(queries)) if i not in set(device_idx)]
 
@@ -185,7 +188,8 @@ class IndexSearcher:
         doc_freqs: dict[tuple[str, str], int] = {}
         fields: set[str] = set()
         for rq in rqs:
-            for c in rq.clauses:
+            group_clauses = [c for _, members in rq.groups for c in members]
+            for c in list(rq.clauses) + group_clauses:
                 fields.add(c.term.field)
                 key = (c.term.field, c.term.text)
                 if key not in doc_freqs:
@@ -265,7 +269,148 @@ class IndexSearcher:
 
         return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
 
-    # --- host path (phrases, mixed match-all) ---
+    # --- sorted search (reference sort_field machinery) ---
+    def search_sorted(self, query: Query, k: int, sort) -> "TopFieldDocs":
+        """Sort matches by field values instead of relevance
+        (reference searcher.rs search w/ SortAndFormats; comparators in
+        field_comparator.rs). Ties break by global doc id ascending."""
+        from rucene_tpu.search.sort_field import FieldDoc, TopFieldDocs, sort_keys_for_leaf
+
+        rq = query.rewrite()
+        doc_freqs, stats = self._gather_stats([rq])
+        all_docs, all_scores, all_keys = [], [], None
+        total = 0
+        for leaf in self.reader.leaves:
+            hits = host_engine.execute_on_segment(
+                leaf, rq, self.similarity, stats, doc_freqs, None
+            )
+            total += hits.total_hits
+            keys = sort_keys_for_leaf(leaf, sort, hits.docs, hits.scores)
+            all_docs.append(hits.docs.astype(np.int64) + leaf.doc_base)
+            all_scores.append(hits.scores)
+            if all_keys is None:
+                all_keys = [[kk] for kk in keys]
+            else:
+                for i, kk in enumerate(keys):
+                    all_keys[i].append(kk)
+        if not all_docs:
+            return TopFieldDocs(0, [], sort)
+        gdocs = np.concatenate(all_docs)
+        gscores = np.concatenate(all_scores)
+        key_cols = [np.concatenate(c) for c in all_keys] if all_keys else []
+        # lexsort: last key is primary; doc id is the final tie-break
+        lex = [gdocs]
+        for sf, col in zip(reversed(sort.fields), reversed(key_cols)):
+            effective = col
+            # SCORE sorts descending by default; others ascending
+            from rucene_tpu.search.sort_field import SortFieldType
+
+            desc = (sf.type == SortFieldType.SCORE) != sf.reverse
+            if desc:
+                effective = -col.astype(np.float64)
+            lex.append(effective)
+        order = np.lexsort(tuple(lex))[:k]
+        fds = [
+            FieldDoc(
+                int(gdocs[i]),
+                float(gscores[i]),
+                [col[i].item() for col in key_cols],
+            )
+            for i in order
+        ]
+        return TopFieldDocs(total, fds, sort)
+
+    # --- explain (reference Weight::explain, term_query.rs:183-215) ---
+    def explain(self, query: Query, doc: int) -> "Explanation":
+        from rucene_tpu.search.explanation import Explanation, no_match
+
+        rq = query.rewrite()
+        doc_freqs, stats = self._gather_stats([rq])
+        leaf = None
+        for lf in reversed(self.reader.leaves):
+            if doc >= lf.doc_base:
+                leaf = lf
+                break
+        if leaf is None:
+            return no_match(f"doc {doc} out of range")
+        local = doc - leaf.doc_base
+        hits = host_engine.execute_on_segment(
+            leaf, rq, self.similarity, stats, doc_freqs, None
+        )
+        matched = local in set(hits.docs.tolist())
+        sim = self.similarity
+        details: list[Explanation] = []
+        for c in rq.clauses:
+            if c.occur == Occur.MUST_NOT:
+                continue
+            p = leaf.read_postings(c.term.field, c.term.text)
+            if p is None:
+                continue
+            pdocs, pfreqs, _ = p
+            idx = np.searchsorted(pdocs, local)
+            if idx >= len(pdocs) or pdocs[idx] != local:
+                continue
+            freq = float(pfreqs[idx])
+            st = stats[c.term.field]
+            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
+            df = doc_freqs[(c.term.field, c.term.text)]
+            idf = float(sim.idf(df, doc_count))
+            idf_expl = Explanation(
+                True,
+                idf,
+                "idf, computed as log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5)) from:",
+                [
+                    Explanation(True, float(df), "docFreq"),
+                    Explanation(True, float(doc_count), "docCount"),
+                ],
+            )
+            has_norms = c.term.field in leaf.packed.norms
+            if has_norms:
+                avgdl = float(sim.avg_field_length(st))
+                from rucene_tpu.util.small_float import norm_table
+
+                dl = float(norm_table()[int(leaf.packed.norms[c.term.field][local])])
+                tf_norm_val = (freq * (float(sim.k1) + 1.0)) / (
+                    freq + float(sim.k1) * (1.0 - float(sim.b) + float(sim.b) * dl / avgdl)
+                )
+                tf_expl = Explanation(
+                    True,
+                    tf_norm_val,
+                    "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1 * "
+                    "(1 - b + b * fieldLength / avgFieldLength)) from:",
+                    [
+                        Explanation(True, freq, "termFreq"),
+                        Explanation(True, float(sim.k1), "parameter k1"),
+                        Explanation(True, float(sim.b), "parameter b"),
+                        Explanation(True, avgdl, "avgFieldLength"),
+                        Explanation(True, dl, "fieldLength"),
+                    ],
+                )
+            else:
+                tf_norm_val = (freq * (float(sim.k1) + 1.0)) / (freq + float(sim.k1))
+                tf_expl = Explanation(
+                    True,
+                    tf_norm_val,
+                    "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1) from:",
+                    [Explanation(True, freq, "termFreq")],
+                )
+            weight_val = idf * float(c.boost) * tf_norm_val
+            if c.occur in (Occur.SHOULD, Occur.MUST):
+                details.append(
+                    Explanation(
+                        True,
+                        weight_val,
+                        f"weight({c.term.field}:{c.term.text} in {doc}) "
+                        f"[BM25Similarity], product of:",
+                        [idf_expl, tf_expl],
+                    )
+                )
+        if not matched:
+            return no_match(f"doc {doc} does not match the query")
+        total = float(np.float32(sum(np.float32(d.value) for d in details)))
+        return Explanation(True, total, "sum of:", details)
+
+    # --- host path (phrases, ranges, mixed match-all) ---
     def _search_host(self, rq: RewrittenQuery, k: int) -> TopDocs:
         doc_freqs, stats = self._gather_stats([rq])
         per_leaf = []

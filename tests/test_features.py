@@ -1,0 +1,139 @@
+"""Feature tests: point ranges, sort-by-field, explain, query-string parser."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import (
+    BooleanQuery,
+    Document,
+    IndexSearcher,
+    NumericDocValuesField,
+    Occur,
+    StringField,
+    Term,
+    TermQuery,
+    TextField,
+)
+from rucene_tpu.codec.postings import pack_segment
+from rucene_tpu.doc.field import IntPoint
+from rucene_tpu.index.memory import SegmentBuffer
+from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+from rucene_tpu.search.query import PointRangeQuery
+from rucene_tpu.search.query_string import parse_query_string
+from rucene_tpu.search.sort_field import Sort, SortFieldType
+
+
+@pytest.fixture(scope="module")
+def feature_searcher():
+    texts = [
+        "red apple pie",          # price 10, year 2001
+        "green apple tart",       # price 25, year 2005
+        "red cherry pie",         # price 5,  year 2010
+        "blue berry apple cake",  # price 40, year 2001
+        "green pear tart pie",    # price 15, year 2020
+    ]
+    prices = [10, 25, 5, 40, 15]
+    years = [2001, 2005, 2010, 2001, 2020]
+    buf = SegmentBuffer()
+    for i, t in enumerate(texts):
+        d = Document()
+        d.add(TextField("body", t))
+        d.add(StringField("id", str(i), stored=True))
+        d.add(IntPoint("price", prices[i]))
+        d.add(NumericDocValuesField("year", years[i]))
+        buf.add_document(d)
+    return IndexSearcher(IndexReader([SegmentSnapshot("f0", pack_segment(buf.finish()))]))
+
+
+def test_point_range_query(feature_searcher):
+    s = feature_searcher
+    td = s.search(PointRangeQuery("price", 10, 25), k=10)
+    assert td.total_hits == 3
+    assert sorted(sd.doc for sd in td.score_docs) == [0, 1, 4]
+    assert all(sd.score == 1.0 for sd in td.score_docs)
+    # open-ended
+    assert s.search(PointRangeQuery("price", 26, None), k=10).total_hits == 1
+    assert s.search(PointRangeQuery("price", None, 5), k=10).total_hits == 1
+    assert s.search(PointRangeQuery("price", 100, None), k=10).total_hits == 0
+
+
+def test_range_in_boolean(feature_searcher):
+    s = feature_searcher
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "pie")))
+    q.filter(PointRangeQuery("price", None, 12))
+    td = s.search(q, k=10)
+    assert sorted(sd.doc for sd in td.score_docs) == [0, 2]
+    # range as must_not
+    q2 = BooleanQuery()
+    q2.must(TermQuery(Term("body", "apple")))
+    q2.must_not(PointRangeQuery("price", 20, None))
+    td2 = s.search(q2, k=10)
+    assert sorted(sd.doc for sd in td2.score_docs) == [0]
+
+
+def test_sort_by_numeric_field(feature_searcher):
+    s = feature_searcher
+    td = s.search_sorted(TermQuery(Term("body", "pie")), k=10, sort=Sort.by("year"))
+    assert [fd.doc for fd in td.field_docs] == [0, 2, 4]  # years 2001, 2010, 2020
+    assert [fd.fields[0] for fd in td.field_docs] == [2001, 2010, 2020]
+    td_r = s.search_sorted(
+        TermQuery(Term("body", "pie")), k=10, sort=Sort.by("year", reverse=True)
+    )
+    assert [fd.doc for fd in td_r.field_docs] == [4, 2, 0]
+    # tie on year 2001 (docs 0, 3): doc asc
+    td2 = s.search_sorted(TermQuery(Term("body", "apple")), k=10, sort=Sort.by("year"))
+    assert [fd.doc for fd in td2.field_docs] == [0, 3, 1]
+
+
+def test_sort_by_score_matches_search(feature_searcher):
+    s = feature_searcher
+    q = TermQuery(Term("body", "apple"))
+    td = s.search(q, k=10)
+    ts = s.search_sorted(q, k=10, sort=Sort())
+    assert [sd.doc for sd in td.score_docs] == [fd.doc for fd in ts.field_docs]
+
+
+def test_explain(feature_searcher):
+    s = feature_searcher
+    q = TermQuery(Term("body", "apple"))
+    td = s.search(q, k=10)
+    top = td.score_docs[0]
+    ex = s.explain(q, top.doc)
+    assert ex.match
+    assert ex.value == pytest.approx(top.score, rel=1e-5)
+    assert "sum of" in ex.description
+    assert any("idf" in d.description for d in ex.details[0].details)
+    # non-matching doc
+    ex2 = s.explain(q, 2)
+    assert not ex2.match
+
+
+def test_query_string_parser(feature_searcher):
+    s = feature_searcher
+    td = s.search(parse_query_string("apple", "body"), k=10)
+    assert td.total_hits == 3
+    td2 = s.search(parse_query_string("apple AND red", "body"), k=10)
+    assert sorted(sd.doc for sd in td2.score_docs) == [0]
+    td3 = s.search(parse_query_string("apple -green", "body"), k=10)
+    assert sorted(sd.doc for sd in td3.score_docs) == [0, 3]
+    td4 = s.search(parse_query_string('"apple pie"', "body"), k=10)
+    assert sorted(sd.doc for sd in td4.score_docs) == [0]
+    td5 = s.search(parse_query_string("price:[10 TO 25]", "body"), k=10)
+    assert td5.total_hits == 3
+    td6 = s.search(parse_query_string("(red OR blue) AND pie", "body"), k=10)
+    assert sorted(sd.doc for sd in td6.score_docs) == [0, 2]
+
+
+def test_points_survive_disk_roundtrip(tmp_path, feature_searcher):
+    from rucene_tpu.codec import files as segfiles
+    from rucene_tpu.store.directory import FSDirectory
+
+    d = FSDirectory(str(tmp_path / "pts"))
+    packed = feature_searcher.reader.leaves[0].packed
+    segfiles.write_segment(d, "p0", packed)
+    rt = segfiles.read_segment(d, "p0")
+    np.testing.assert_array_equal(rt.points["price"][0], packed.points["price"][0])
+    np.testing.assert_array_equal(rt.points["price"][1], packed.points["price"][1])
+    s2 = IndexSearcher(IndexReader([SegmentSnapshot("p0", rt)]))
+    assert s2.search(PointRangeQuery("price", 10, 25), k=10).total_hits == 3
