@@ -179,6 +179,13 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
     for c in range(n_chunks):
         w.add_zjson(f"stored.{c}", packed.stored[c * STORED_CHUNK : (c + 1) * STORED_CHUNK])
 
+    # term vectors (.tvd analog): zlib-json chunks, present only if stored
+    if packed.term_vectors is not None:
+        tv_chunks = (len(packed.term_vectors) + STORED_CHUNK - 1) // STORED_CHUNK
+        w.add_json("tv.nchunks", tv_chunks)
+        for c in range(tv_chunks):
+            w.add_zjson(f"tv.{c}", packed.term_vectors[c * STORED_CHUNK : (c + 1) * STORED_CHUNK])
+
     w.finish()
     out.write_footer()
     out.close()
@@ -226,6 +233,12 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
     for c in range(r.json("stored.nchunks")):
         stored.extend(r.json(f"stored.{c}"))
 
+    term_vectors = None
+    if "tv.nchunks" in r:
+        term_vectors = []
+        for c in range(r.json("tv.nchunks")):
+            term_vectors.extend(r.json(f"tv.{c}"))
+
     return PackedSegment(
         max_doc=meta["max_doc"],
         field_infos=field_infos,
@@ -249,7 +262,34 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
             f: (r.npy(f"pt.{f}.vals"), r.npy(f"pt.{f}.docs"))
             for f in meta.get("point_fields", [])
         },
+        term_vectors=term_vectors,
     )
+
+
+def dvu_file(name: str, gen: int) -> str:
+    return f"{name}_{gen}.dvu"
+
+
+def write_dv_updates(
+    directory: Directory, name: str, gen: int, updates: dict[str, dict[int, int]]
+) -> str:
+    """Sparse numeric doc-values updates for one segment generation
+    (reference doc_values_update.rs — per-gen DV update files)."""
+    fname = dvu_file(name, gen)
+    out = directory.create_output(fname)
+    out.write_header(fname)
+    obj = {f: {str(d): int(v) for d, v in m.items()} for f, m in updates.items()}
+    out.write(zlib.compress(json.dumps(obj, separators=(",", ":")).encode("utf-8"), 6))
+    out.write_footer()
+    out.close()
+    return fname
+
+
+def read_dv_updates(directory: Directory, name: str, gen: int) -> dict[str, dict[int, int]]:
+    fname = dvu_file(name, gen)
+    payload = check_footer(directory.read_file(fname), fname)
+    obj = json.loads(zlib.decompress(payload))
+    return {f: {int(d): int(v) for d, v in m.items()} for f, m in obj.items()}
 
 
 def write_live(directory: Directory, name: str, gen: int, live: np.ndarray) -> str:
@@ -280,11 +320,14 @@ class SegmentCommitInfo:
     max_doc: int
     del_gen: int = -1  # -1 => no deletes
     del_count: int = 0
+    dv_gen: int = -1  # -1 => no doc-values updates
 
     def files(self) -> list[str]:
         out = [segment_file(self.name)]
         if self.del_gen >= 0:
             out.append(live_file(self.name, self.del_gen))
+        if self.dv_gen >= 0:
+            out.append(dvu_file(self.name, self.dv_gen))
         return out
 
 
@@ -310,7 +353,10 @@ class SegmentInfos:
             counter=self.counter,
             version=self.version,
             generation=self.generation,
-            segments=[SegmentCommitInfo(s.name, s.max_doc, s.del_gen, s.del_count) for s in self.segments],
+            segments=[
+                SegmentCommitInfo(s.name, s.max_doc, s.del_gen, s.del_count, s.dv_gen)
+                for s in self.segments
+            ],
         )
 
 
@@ -331,7 +377,13 @@ def write_segments_file(directory: Directory, infos: SegmentInfos) -> str:
         "version": infos.version,
         "generation": gen,
         "segments": [
-            {"name": s.name, "max_doc": s.max_doc, "del_gen": s.del_gen, "del_count": s.del_count}
+            {
+                "name": s.name,
+                "max_doc": s.max_doc,
+                "del_gen": s.del_gen,
+                "del_count": s.del_count,
+                "dv_gen": s.dv_gen,
+            }
             for s in infos.segments
         ],
     }
@@ -371,7 +423,9 @@ def read_segments_file(directory: Directory) -> SegmentInfos:
         version=obj["version"],
         generation=obj["generation"],
         segments=[
-            SegmentCommitInfo(s["name"], s["max_doc"], s["del_gen"], s["del_count"])
+            SegmentCommitInfo(
+                s["name"], s["max_doc"], s["del_gen"], s["del_count"], s.get("dv_gen", -1)
+            )
             for s in obj["segments"]
         ],
     )

@@ -73,6 +73,7 @@ class PackedSegment:
     stored: list[dict[str, object]]
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]
     points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted vals, docs)
+    term_vectors: list | None = None  # per-doc {field: {term: [(pos,start,end)]}}
 
     @property
     def num_blocks(self) -> int:
@@ -243,6 +244,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         stored=seg.stored,
         numeric_dv=seg.numeric_dv,
         points=dict(getattr(seg, "points", {}) or {}),
+        term_vectors=getattr(seg, "term_vectors", None),
     )
 
 

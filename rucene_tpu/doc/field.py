@@ -87,8 +87,16 @@ class Field:
     boost: float = 1.0
 
 
-def TextField(name: str, value: str, stored: bool = False) -> Field:
-    return Field(name, value, TEXT_FIELD_TYPE_STORED if stored else TEXT_FIELD_TYPE_NOT_STORED)
+def TextField(name: str, value: str, stored: bool = False, term_vectors: bool = False) -> Field:
+    ft = TEXT_FIELD_TYPE_STORED if stored else TEXT_FIELD_TYPE_NOT_STORED
+    if term_vectors:
+        ft = FieldType(
+            index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+            stored=stored,
+            tokenized=True,
+            store_term_vectors=True,
+        )
+    return Field(name, value, ft)
 
 
 def StringField(name: str, value: str, stored: bool = False) -> Field:

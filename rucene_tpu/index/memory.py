@@ -59,6 +59,7 @@ class SegmentData:
     stored: list[dict[str, object]]  # per-doc stored fields
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (i64 vals, bool present)
     points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted i64 vals, i32 docs)
+    term_vectors: list[dict[str, dict[str, list[tuple[int, int, int]]]]] | None = None
 
 
 class SegmentBuffer:
@@ -73,11 +74,14 @@ class SegmentBuffer:
         self._stored: list[dict[str, object]] = []
         self._numeric_dv: dict[str, dict[int, int]] = {}
         self._points: dict[str, list[tuple[int, int]]] = {}
+        # per doc: {field: {term: [(pos, start, end), ...]}}
+        self._term_vectors: list[dict[str, dict[str, list[tuple[int, int, int]]]]] = []
         self.num_docs = 0
 
     def add_document(self, doc: Document) -> int:
         doc_id = self.num_docs
         stored: dict[str, object] = {}
+        doc_tv: dict[str, dict[str, list[tuple[int, int, int]]]] = {}
         # field -> (length, boost) for norm computation of this doc
         invert_state: dict[str, tuple[int, float]] = {}
 
@@ -95,11 +99,19 @@ class SegmentBuffer:
                 if tokens:
                     field_terms = self._terms.setdefault(f.name, {})
                     base_pos = invert_state.get(f.name, (0, f.boost))[0]
+                    tv = None
+                    if ft.store_term_vectors:
+                        info.store_term_vectors = True
+                        tv = doc_tv.setdefault(f.name, {})
                     for tok in tokens:
                         posting = field_terms.get(tok.term)
                         if posting is None:
                             posting = field_terms[tok.term] = _TermPosting()
                         posting.add_occurrence(doc_id, base_pos + tok.position)
+                        if tv is not None:
+                            tv.setdefault(tok.term, []).append(
+                                (base_pos + tok.position, tok.start_offset, tok.end_offset)
+                            )
                     prev_len = invert_state.get(f.name, (0, f.boost))[0]
                     invert_state[f.name] = (prev_len + len(tokens), f.boost)
             if ft.stored:
@@ -131,6 +143,7 @@ class SegmentBuffer:
                 self._norm_bytes.setdefault(name, {})[doc_id] = norm
 
         self._stored.append(stored)
+        self._term_vectors.append(doc_tv)
         self.num_docs += 1
         return doc_id
 
@@ -181,4 +194,5 @@ class SegmentBuffer:
             stored=self._stored,
             numeric_dv=dv_out,
             points=points_out,
+            term_vectors=self._term_vectors if any(self._term_vectors) else None,
         )

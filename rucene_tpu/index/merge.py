@@ -112,10 +112,15 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         norms_out[field] = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
     stored_out: list[dict[str, object]] = []
+    any_tv = any(snap.packed.term_vectors is not None for snap in snapshots)
+    tv_out: list | None = [] if any_tv else None
     for si, snap in enumerate(snapshots):
+        tvs = snap.packed.term_vectors
         for d in range(snap.max_doc):
             if masks[si][d]:
                 stored_out.append(snap.packed.stored[d])
+                if tv_out is not None:
+                    tv_out.append(tvs[d] if tvs is not None else {})
 
     dv_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     dv_fields = sorted({f for snap in snapshots for f in snap.packed.numeric_dv})
@@ -174,6 +179,7 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         stored=stored_out,
         numeric_dv=dv_out,
         points=points_out,
+        term_vectors=tv_out,
     )
     return pack_segment(seg)
 

@@ -45,6 +45,9 @@ class SegmentSnapshot:
         self.live = live  # None => all live
         self.device = device if device is not None else build_device_segment(packed, live)
         self.doc_base = 0  # assigned by IndexReader
+        # numeric DV updates overlaying the segment's base column
+        # (reference doc_values_update.rs — update by term without reindex)
+        self.dv_updates: dict[str, dict[int, int]] = {}
 
     @property
     def max_doc(self) -> int:
@@ -66,6 +69,19 @@ class SegmentSnapshot:
         snap.live = live.copy()
         snap.device = with_live(self.device, live)
         snap.doc_base = 0
+        snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
+        return snap
+
+    def with_dv_updates(self, field: str, by_doc: dict[int, int]) -> "SegmentSnapshot":
+        """New snapshot with numeric doc-values overridden for some docs."""
+        snap = SegmentSnapshot.__new__(SegmentSnapshot)
+        snap.name = self.name
+        snap.packed = self.packed
+        snap.live = None if self.live is None else self.live
+        snap.device = self.device
+        snap.doc_base = 0
+        snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
+        snap.dv_updates.setdefault(field, {}).update(by_doc)
         return snap
 
     # --- term dictionary ---
@@ -141,8 +157,30 @@ class SegmentSnapshot:
         return np.unique(docs[lo:hi]).astype(np.int64)
 
     def numeric_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray] | None:
-        """(values i64[max_doc], present bool[max_doc]) or None."""
-        return self.packed.numeric_dv.get(field)
+        """(values i64[max_doc], present bool[max_doc]) or None, with any
+        in-place numeric updates applied (doc_values_update.rs analog)."""
+        base = self.packed.numeric_dv.get(field)
+        over = self.dv_updates.get(field)
+        if not over:
+            return base
+        if base is None:
+            vals = np.zeros(self.max_doc, np.int64)
+            present = np.zeros(self.max_doc, bool)
+        else:
+            vals, present = base[0].copy(), base[1].copy()
+        docs = np.fromiter(over.keys(), dtype=np.int64, count=len(over))
+        vv = np.fromiter(over.values(), dtype=np.int64, count=len(over))
+        vals[docs] = vv
+        present[docs] = True
+        return vals, present
+
+    def term_vector(self, local_doc: int, field: str) -> dict[str, list] | None:
+        """Per-doc mini inverted index: {term: [(pos, start, end), ...]}
+        (reference term_vectors_reader.rs; feeds the highlighter)."""
+        tvs = self.packed.term_vectors
+        if tvs is None or local_doc >= len(tvs):
+            return None
+        return tvs[local_doc].get(field)
 
 
 class IndexReader:
@@ -202,5 +240,9 @@ def open_directory_reader(directory) -> IndexReader:
             if info.del_gen >= 0
             else None
         )
-        leaves.append(SegmentSnapshot(info.name, packed, live=live))
+        snap = SegmentSnapshot(info.name, packed, live=live)
+        if info.dv_gen >= 0:
+            for f, m in segfiles.read_dv_updates(directory, info.name, info.dv_gen).items():
+                snap = snap.with_dv_updates(f, m)
+        leaves.append(snap)
     return IndexReader(leaves)

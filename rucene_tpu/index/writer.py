@@ -33,6 +33,7 @@ from rucene_tpu.doc.document import Document
 from rucene_tpu.doc.term import Term
 from rucene_tpu.index.memory import SegmentBuffer
 from rucene_tpu.index.merge import TieredMergePolicy, merge_segments
+from rucene_tpu.index.merge_scheduler import SerialMergeScheduler
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 from rucene_tpu.store.directory import Directory
 
@@ -55,6 +56,7 @@ class IndexWriterConfig:
     max_buffered_docs: int = 4096  # FlushByCountsPolicy analog
     commit_on_close: bool = True
     merge_policy: TieredMergePolicy = dc_field(default_factory=TieredMergePolicy)
+    merge_scheduler: object = dc_field(default_factory=SerialMergeScheduler)
     merge_on_commit: bool = True
 
 
@@ -63,6 +65,15 @@ class _PendingDelete:
     term: Term
     buffer_watermark: int  # buffered docs with id < watermark are affected
     applies_to_segments: list[str]  # segment names existing when queued
+
+
+@dataclass
+class _PendingDVUpdate:
+    term: Term
+    field: str
+    value: int
+    buffer_watermark: int
+    applies_to_segments: list[str]
 
 
 class IndexWriter:
@@ -78,6 +89,8 @@ class IndexWriter:
         self._uncommitted: list[SegmentCommitInfo] = []
         self._buffer = SegmentBuffer(self.config.analyzer)
         self._pending_deletes: list[_PendingDelete] = []
+        self._pending_dv_updates: list[_PendingDVUpdate] = []
+        self._dv_dirty: set[str] = set()
         self._closed = False
         self._tragedy: BaseException | None = None
 
@@ -99,6 +112,11 @@ class IndexWriter:
             if info.del_gen >= 0:
                 live = segfiles.read_live(self.directory, info.name, info.del_gen)
             snap = SegmentSnapshot(info.name, packed, live=live)
+            if info.dv_gen >= 0:
+                for f, m in segfiles.read_dv_updates(
+                    self.directory, info.name, info.dv_gen
+                ).items():
+                    snap = snap.with_dv_updates(f, m)
             self._pool[info.name] = snap
         return snap
 
@@ -122,6 +140,22 @@ class IndexWriter:
             self._pending_deletes.append(
                 _PendingDelete(
                     term=term,
+                    buffer_watermark=self._buffer.num_docs,
+                    applies_to_segments=[i.name for i in self._all_infos()],
+                )
+            )
+
+    def update_numeric_doc_value(self, term: Term, field: str, value: int) -> None:
+        """In-place numeric DV update for all docs matching term, without
+        re-indexing (reference index_writer.rs update_numeric_doc_value /
+        doc_values_update.rs)."""
+        with self._lock:
+            self._ensure_open()
+            self._pending_dv_updates.append(
+                _PendingDVUpdate(
+                    term=term,
+                    field=field,
+                    value=int(value),
                     buffer_watermark=self._buffer.num_docs,
                     applies_to_segments=[i.name for i in self._all_infos()],
                 )
@@ -163,6 +197,7 @@ class IndexWriter:
         (no fsync; durability comes at commit)."""
         if self._buffer.num_docs == 0:
             self._apply_pending_deletes(flushed_name=None)
+            self._apply_pending_dv_updates(flushed_name=None)
             return
         seg_data = self._buffer.finish()
         name = _seg_name(self._infos.counter)
@@ -174,8 +209,9 @@ class IndexWriter:
         info = SegmentCommitInfo(name=name, max_doc=packed.max_doc)
         self._uncommitted.append(info)
         self._buffer = SegmentBuffer(self.config.analyzer)
-        # pending deletes may also target the freshly flushed segment
+        # pending deletes/updates may also target the freshly flushed segment
         self._apply_pending_deletes(flushed_name=name)
+        self._apply_pending_dv_updates(flushed_name=name)
 
     def _apply_pending_deletes(self, flushed_name: str | None) -> None:
         """BufferedUpdatesStream::apply_deletes_and_updates analog
@@ -214,6 +250,34 @@ class IndexWriter:
         info.del_count = snap.max_doc - after
         self._live_dirty.add(info.name)
 
+    def _apply_pending_dv_updates(self, flushed_name: str | None) -> None:
+        if not self._pending_dv_updates:
+            return
+        for pu in self._pending_dv_updates:
+            targets = set(pu.applies_to_segments)
+            for info in self._all_infos():
+                watermark = None
+                if info.name in targets:
+                    pass
+                elif info.name == flushed_name:
+                    watermark = pu.buffer_watermark
+                else:
+                    continue
+                snap = self._snapshot(info)
+                p = snap.read_postings(pu.term.field, pu.term.text)
+                if p is None:
+                    continue
+                docs = p[0]
+                if watermark is not None:
+                    docs = docs[docs < watermark]
+                if len(docs) == 0:
+                    continue
+                self._pool[info.name] = snap.with_dv_updates(
+                    pu.field, {int(d): pu.value for d in docs}
+                )
+                self._dv_dirty.add(info.name)
+        self._pending_dv_updates.clear()
+
     def flush(self) -> None:
         with self._lock:
             self._ensure_open()
@@ -234,7 +298,14 @@ class IndexWriter:
                         snap = self._pool[info.name]
                         info.del_gen = info.del_gen + 1 if info.del_gen >= 0 else 0
                         segfiles.write_live(self.directory, info.name, info.del_gen, snap.live)
+                    if info.name in self._dv_dirty:
+                        snap = self._pool[info.name]
+                        info.dv_gen = info.dv_gen + 1 if info.dv_gen >= 0 else 0
+                        segfiles.write_dv_updates(
+                            self.directory, info.name, info.dv_gen, snap.dv_updates
+                        )
                 self._live_dirty.clear()
+                self._dv_dirty.clear()
 
                 self._infos.segments = self._all_infos()
                 self._uncommitted = []
@@ -263,6 +334,7 @@ class IndexWriter:
             if (
                 name.endswith(".seg")
                 or name.endswith(".liv")
+                or name.endswith(".dvu")
                 or name.startswith(segfiles.SEGMENTS_PREFIX)
                 or name.startswith(segfiles.PENDING_PREFIX)
             ):
@@ -291,9 +363,19 @@ class IndexWriter:
             }
             merged = 0
             for cand in self.config.merge_policy.find_merges(sizes):
-                self._do_merge(cand.segments)
+                names = cand.segments
+                self.config.merge_scheduler.merge(lambda n=names: self._merge_job(n))
                 merged += 1
             return merged
+
+    def _merge_job(self, names: list[str]) -> None:
+        try:
+            with self._lock:
+                if self._closed or self._tragedy is not None:
+                    return
+                self._do_merge(names)
+        except Exception:
+            pass  # background merges must not take down the writer
 
     def force_merge(self, max_segments: int = 1) -> None:
         """reference index_writer.rs:580,2440."""
@@ -344,6 +426,8 @@ class IndexWriter:
             self._infos = segfiles.read_segments_file(self.directory)
             self._uncommitted = []
             self._pending_deletes = []
+            self._pending_dv_updates = []
+            self._dv_dirty.clear()
             self._buffer = SegmentBuffer(self.config.analyzer)
             self._pool.clear()
             self._live_dirty.clear()
@@ -355,6 +439,11 @@ class IndexWriter:
                 return
             if self.config.commit_on_close and self._tragedy is None:
                 self.commit()
+        # join background merges OUTSIDE the writer lock (they take it)
+        sched = self.config.merge_scheduler
+        if hasattr(sched, "close"):
+            sched.close()
+        with self._lock:
             self._closed = True
 
     def __enter__(self) -> "IndexWriter":

@@ -80,10 +80,46 @@ def execute_on_segment(
     sim: BM25Similarity,
     stats: dict[str, CollectionStats],
     doc_freqs: dict[tuple[str, str], int],
-    k: int,
+    k: int | None,
 ) -> HostHits:
     """Run one rewritten query against one segment, returning top-k hits
-    ordered by (score desc, doc asc)."""
+    ordered by (score desc, doc asc) — or the full match set if k is None."""
+    match, acc = evaluate_rewritten(leaf, rq, sim, stats, doc_freqs)
+    return hits_from_dense(leaf, match, acc, k)
+
+
+def hits_from_dense(
+    leaf: SegmentSnapshot, match: np.ndarray, acc: np.ndarray, k: int | None
+) -> HostHits:
+    md = leaf.max_doc
+    if leaf.live is not None:
+        match = match & leaf.live[:md]
+    total = int(match.sum())
+    scores = np.where(match, acc, -np.inf).astype(np.float32)
+    if k is None:  # full match set, ascending doc order (sorted-search path)
+        docs = np.nonzero(match)[0]
+        return HostHits(total_hits=total, docs=docs.astype(np.int32), scores=acc[docs])
+    order = np.lexsort((np.arange(md), -scores))[: min(k, md)]
+    order = order[scores[order] > -np.inf]
+    return HostHits(total_hits=total, docs=order.astype(np.int32), scores=scores[order])
+
+
+def evaluate_query(leaf, query, sim, stats, doc_freqs) -> tuple[np.ndarray, np.ndarray]:
+    """(match bool[max_doc], scores f32[max_doc]) for any query: special
+    queries (spans, dismax) implement host_eval; the rest go through the
+    rewritten boolean evaluator."""
+    if hasattr(query, "host_eval"):
+        return query.host_eval(leaf, sim, stats, doc_freqs)
+    return evaluate_rewritten(leaf, query.rewrite(), sim, stats, doc_freqs)
+
+
+def evaluate_rewritten(
+    leaf: SegmentSnapshot,
+    rq: RewrittenQuery,
+    sim: BM25Similarity,
+    stats: dict[str, CollectionStats],
+    doc_freqs: dict[tuple[str, str], int],
+) -> tuple[np.ndarray, np.ndarray]:
     md = leaf.max_doc
     acc = np.zeros(md, dtype=np.float32)
     req_count = np.zeros(md, dtype=np.int32)
@@ -177,15 +213,4 @@ def execute_on_segment(
         match = np.ones(md, dtype=bool)
         acc[:] = np.float32(rq.boost)
     match &= ~has_not
-    if leaf.live is not None:
-        match &= leaf.live[:md]
-
-    total = int(match.sum())
-    scores = np.where(match, acc, -np.inf).astype(np.float32)
-    if k is None:  # full match set, ascending doc order (sorted-search path)
-        docs = np.nonzero(match)[0]
-        return HostHits(total_hits=total, docs=docs.astype(np.int32), scores=acc[docs])
-    # top-k by (score desc, doc asc)
-    order = np.lexsort((np.arange(md), -scores))[: min(k, md)]
-    order = order[scores[order] > -np.inf]
-    return HostHits(total_hits=total, docs=order.astype(np.int32), scores=scores[order])
+    return match, acc

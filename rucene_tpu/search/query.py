@@ -149,6 +149,52 @@ class PhraseQuery(Query):
         return RewrittenQuery(phrases=[(self.field, list(self.terms), self.boost)])
 
 
+class DisjunctionMaxQuery(Query):
+    """score = max(sub scores) + tie_breaker * (sum of other sub scores)
+    (reference disjunction_max_query.rs / DisjunctionMaxScorer
+    disjunction_scorer.rs:111)."""
+
+    def __init__(self, queries: list[Query], tie_breaker: float = 0.0, boost: float = 1.0):
+        if not queries:
+            raise ValueError("DisjunctionMaxQuery needs sub-queries")
+        self.queries = queries
+        self.tie_breaker = tie_breaker
+        self.boost = boost
+
+    def extract_terms(self):
+        out = []
+        for q in self.queries:
+            if hasattr(q, "extract_terms"):
+                out.extend(q.extract_terms())
+            else:
+                rq = q.rewrite()
+                out.extend(c.term for c in rq.clauses)
+                out.extend(c.term for _, ms in rq.groups for c in ms)
+                for f, ts, _ in rq.phrases:
+                    out.extend(Term(f, t) for t in ts)
+        return out
+
+    def host_eval(self, leaf, sim, stats, doc_freqs):
+        import numpy as np
+
+        from rucene_tpu.search import host_engine
+
+        md = leaf.max_doc
+        best = np.zeros(md, dtype=np.float32)
+        total = np.zeros(md, dtype=np.float32)
+        any_match = np.zeros(md, dtype=bool)
+        for q in self.queries:
+            m, s = host_engine.evaluate_query(leaf, q, sim, stats, doc_freqs)
+            s = np.where(m, s, 0.0).astype(np.float32)
+            best = np.maximum(best, s)
+            total = (total + s).astype(np.float32)
+            any_match |= m
+        tie = np.float32(self.tie_breaker)
+        score = (best + tie * (total - best)).astype(np.float32)
+        score = (score * np.float32(self.boost)).astype(np.float32)
+        return any_match, np.where(any_match, score, 0.0).astype(np.float32)
+
+
 @dataclass
 class PointRangeQuery(Query):
     """1-D numeric range over IntPoint/FloatPoint values; constant score =

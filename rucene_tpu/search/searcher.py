@@ -13,6 +13,7 @@ Collection statistics are computed once per searcher (searcher.rs:314-351).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import jax
@@ -146,6 +147,13 @@ class IndexSearcher:
         self.similarity = similarity or BM25Similarity()
         self._stats: dict[str, CollectionStats] = {}
 
+    def _past_deadline(self) -> bool:
+        dl = getattr(self, "_deadline", None)
+        if dl is not None and time.monotonic() > dl:
+            self.timed_out = True
+            return True
+        return False
+
     # --- statistics ---
     def collection_stats(self, field: str) -> CollectionStats:
         st = self._stats.get(field)
@@ -161,14 +169,22 @@ class IndexSearcher:
     def count(self, query: Query) -> int:
         return self.search(query, 1).total_hits
 
-    def search_batch(self, queries: list[Query], k: int = 10) -> list[TopDocs]:
-        rewritten = [q.rewrite() for q in queries]
+    def search_batch(
+        self, queries: list[Query], k: int = 10, timeout_s: float | None = None
+    ) -> list[TopDocs]:
+        """timeout_s: wall-clock budget; leaves not visited in time are
+        skipped and results marked partial (reference collector/timeout.rs:
+        error-based early termination between leaves)."""
+        self._deadline = None if timeout_s is None else (time.monotonic() + timeout_s)
+        self.timed_out = False
+        rewritten = [None if hasattr(q, "host_eval") else q.rewrite() for q in queries]
         results: list[TopDocs | None] = [None] * len(queries)
 
         device_idx = [
             i
             for i, rq in enumerate(rewritten)
-            if not rq.phrases
+            if rq is not None
+            and not rq.phrases
             and not rq.ranges
             and not rq.groups
             and not (rq.match_all and rq.clauses)
@@ -180,7 +196,7 @@ class IndexSearcher:
             for i, td in zip(device_idx, batch_res):
                 results[i] = td
         for i in host_idx:
-            results[i] = self._search_host(rewritten[i], k)
+            results[i] = self._search_host(queries[i], k)
         return results  # type: ignore[return-value]
 
     # --- shared helpers ---
@@ -236,6 +252,8 @@ class IndexSearcher:
             [] for _ in range(b_actual)
         ]
         for leaf in self.reader.leaves:
+            if self._past_deadline():
+                break
             cache = build_leaf_cache(leaf, sim, stats)
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
             wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, _ = build_flat_work(
@@ -276,14 +294,14 @@ class IndexSearcher:
         field_comparator.rs). Ties break by global doc id ascending."""
         from rucene_tpu.search.sort_field import FieldDoc, TopFieldDocs, sort_keys_for_leaf
 
-        rq = query.rewrite()
-        doc_freqs, stats = self._gather_stats([rq])
+        doc_freqs, stats = self._gather_stats_query(query)
         all_docs, all_scores, all_keys = [], [], None
         total = 0
         for leaf in self.reader.leaves:
-            hits = host_engine.execute_on_segment(
-                leaf, rq, self.similarity, stats, doc_freqs, None
+            match, acc = host_engine.evaluate_query(
+                leaf, query, self.similarity, stats, doc_freqs
             )
+            hits = host_engine.hits_from_dense(leaf, match, acc, None)
             total += hits.total_hits
             keys = sort_keys_for_leaf(leaf, sort, hits.docs, hits.scores)
             all_docs.append(hits.docs.astype(np.int64) + leaf.doc_base)
@@ -410,11 +428,30 @@ class IndexSearcher:
         total = float(np.float32(sum(np.float32(d.value) for d in details)))
         return Explanation(True, total, "sum of:", details)
 
-    # --- host path (phrases, ranges, mixed match-all) ---
-    def _search_host(self, rq: RewrittenQuery, k: int) -> TopDocs:
-        doc_freqs, stats = self._gather_stats([rq])
+    # --- host path (phrases, ranges, groups, spans, dismax) ---
+    def _search_host(self, query: Query, k: int) -> TopDocs:
+        doc_freqs, stats = self._gather_stats_query(query)
         per_leaf = []
         for leaf in self.reader.leaves:
-            hits = host_engine.execute_on_segment(leaf, rq, self.similarity, stats, doc_freqs, k)
+            match, acc = host_engine.evaluate_query(
+                leaf, query, self.similarity, stats, doc_freqs
+            )
+            hits = host_engine.hits_from_dense(leaf, match, acc, k)
             per_leaf.append((leaf.doc_base, hits.docs, hits.scores, hits.total_hits))
         return self._merge_leaf_hits(per_leaf, k)
+
+    def _gather_stats_query(self, query: Query):
+        """Stats for an arbitrary query: ask it for its terms if it exposes
+        them (extract_terms, like Weight::extract_terms), else rewrite."""
+        if hasattr(query, "extract_terms"):
+            terms = query.extract_terms()
+            doc_freqs = {}
+            fields = set()
+            for t in terms:
+                fields.add(t.field)
+                key = (t.field, t.text)
+                if key not in doc_freqs:
+                    doc_freqs[key] = self.reader.doc_freq(*key)
+            stats = {f: self.collection_stats(f) for f in fields}
+            return doc_freqs, stats
+        return self._gather_stats([query.rewrite()])

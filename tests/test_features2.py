@@ -1,0 +1,185 @@
+"""Feature tests: spans, DisjunctionMax, highlighter, DV updates, concurrent
+merge scheduler, search timeout."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import (
+    Document,
+    IndexSearcher,
+    NumericDocValuesField,
+    StringField,
+    Term,
+    TermQuery,
+    TextField,
+)
+from rucene_tpu.codec.postings import pack_segment
+from rucene_tpu.highlight import FastVectorHighlighter, FieldQuery
+from rucene_tpu.index.memory import SegmentBuffer
+from rucene_tpu.index.merge_scheduler import ConcurrentMergeScheduler, MergeRateLimiter
+from rucene_tpu.index.reader import IndexReader, SegmentSnapshot, open_directory_reader
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.search.query import BooleanQuery, DisjunctionMaxQuery, PhraseQuery
+from rucene_tpu.search.spans import SpanNearQuery, SpanOrQuery, SpanTermQuery
+from rucene_tpu.store.directory import RAMDirectory
+
+
+@pytest.fixture(scope="module")
+def span_searcher():
+    texts = [
+        "alpha beta gamma delta",
+        "alpha gamma beta delta",
+        "alpha x x x beta",
+        "beta alpha",
+        "unrelated words here",
+    ]
+    buf = SegmentBuffer()
+    for t in texts:
+        d = Document()
+        d.add(TextField("body", t, stored=True, term_vectors=True))
+        buf.add_document(d)
+    return IndexSearcher(IndexReader([SegmentSnapshot("sp", pack_segment(buf.finish()))]))
+
+
+def test_span_term(span_searcher):
+    td = span_searcher.search(SpanTermQuery(Term("body", "alpha")), k=10)
+    assert td.total_hits == 4
+
+
+def test_span_near_ordered(span_searcher):
+    q = SpanNearQuery(
+        [SpanTermQuery(Term("body", "alpha")), SpanTermQuery(Term("body", "beta"))],
+        slop=0,
+        in_order=True,
+    )
+    td = span_searcher.search(q, k=10)
+    assert sorted(sd.doc for sd in td.score_docs) == [0]  # only 'alpha beta' adjacent
+    q2 = SpanNearQuery(
+        [SpanTermQuery(Term("body", "alpha")), SpanTermQuery(Term("body", "beta"))],
+        slop=3,
+        in_order=True,
+    )
+    td2 = span_searcher.search(q2, k=10)
+    assert sorted(sd.doc for sd in td2.score_docs) == [0, 1, 2]
+
+
+def test_span_near_unordered(span_searcher):
+    q = SpanNearQuery(
+        [SpanTermQuery(Term("body", "alpha")), SpanTermQuery(Term("body", "beta"))],
+        slop=0,
+        in_order=False,
+    )
+    td = span_searcher.search(q, k=10)
+    assert sorted(sd.doc for sd in td.score_docs) == [0, 3]
+
+
+def test_span_or(span_searcher):
+    q = SpanOrQuery([SpanTermQuery(Term("body", "gamma")), SpanTermQuery(Term("body", "x"))])
+    td = span_searcher.search(q, k=10)
+    assert sorted(sd.doc for sd in td.score_docs) == [0, 1, 2]
+
+
+def test_dismax(span_searcher):
+    qa = TermQuery(Term("body", "alpha"))
+    qb = TermQuery(Term("body", "unrelated"))
+    dm = DisjunctionMaxQuery([qa, qb], tie_breaker=0.0)
+    td = span_searcher.search(dm, k=10)
+    assert td.total_hits == 5
+    # pure max: a doc matching only alpha scores exactly its alpha score
+    ta = span_searcher.search(qa, k=10)
+    alpha_scores = {sd.doc: sd.score for sd in ta.score_docs}
+    for sd in td.score_docs:
+        if sd.doc in alpha_scores:
+            assert sd.score == pytest.approx(alpha_scores[sd.doc], rel=1e-6)
+    # tie_breaker adds the rest
+    dm2 = DisjunctionMaxQuery([qa, TermQuery(Term("body", "beta"))], tie_breaker=0.5)
+    td2 = span_searcher.search(dm2, k=10)
+    both = [sd for sd in td2.score_docs if sd.doc == 0]
+    assert both, "doc 0 matches both"
+
+
+def test_highlighter(span_searcher):
+    s = span_searcher
+    fq = FieldQuery.build(TermQuery(Term("body", "beta")))
+    h = FastVectorHighlighter()
+    frags = h.get_best_fragments(fq, s.reader, 0, "body", frag_char_size=40)
+    assert frags and "<b>beta</b>" in frags[0]
+    # phrase-aware: only the adjacent pair highlights as a unit
+    fq2 = FieldQuery.build(PhraseQuery("body", ["alpha", "beta"]))
+    frags2 = h.get_best_fragments(fq2, s.reader, 0, "body")
+    assert frags2 and "<b>alpha beta</b>" in frags2[0]
+    assert h.get_best_fragments(fq2, s.reader, 1, "body") == []  # not adjacent in doc 1
+    # doc without term vectors -> no fragments rather than error
+    buf = SegmentBuffer()
+    d = Document()
+    d.add(TextField("body", "beta text", stored=True))
+    buf.add_document(d)
+    s2 = IndexSearcher(IndexReader([SegmentSnapshot("no_tv", pack_segment(buf.finish()))]))
+    assert h.get_best_fragments(fq, s2.reader, 0, "body") == []
+
+
+def test_dv_update(tmp_path):
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    for i in range(4):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", f"doc number {i}"))
+        doc.add(NumericDocValuesField("rank", i * 10))
+        w.add_document(doc)
+    w.commit()
+    w.update_numeric_doc_value(Term("id", "2"), "rank", 999)
+    r = w.get_reader()
+    vals, present = r.leaves[0].numeric_doc_values("rank")
+    assert vals.tolist() == [0, 10, 999, 30]
+    assert present.all()
+    # persists across commit + reopen
+    w.commit()
+    w.close()
+    r2 = open_directory_reader(d)
+    vals2, _ = r2.leaves[0].numeric_doc_values("rank")
+    assert vals2.tolist() == [0, 10, 999, 30]
+
+
+def test_concurrent_merge_scheduler():
+    d = RAMDirectory()
+    from rucene_tpu.index.merge import TieredMergePolicy
+
+    cfg = IndexWriterConfig(
+        max_buffered_docs=1,
+        merge_policy=TieredMergePolicy(merge_factor=4, segs_per_tier=4),
+        merge_scheduler=ConcurrentMergeScheduler(max_threads=2),
+    )
+    w = IndexWriter(d, cfg)
+    for i in range(16):
+        doc = Document()
+        doc.add(TextField("body", f"common word{i}"))
+        w.add_document(doc)
+    w.commit()
+    cfg.merge_scheduler.sync()
+    r = w.get_reader()
+    assert r.num_docs == 16
+    assert len(r.leaves) < 16
+    s = IndexSearcher(r)
+    assert s.search(TermQuery(Term("body", "common")), 20).total_hits == 16
+    w.close()
+
+
+def test_rate_limiter_abort():
+    rl = MergeRateLimiter()
+    rl.pause(1000)
+    rl.abort()
+    from rucene_tpu.index.merge_scheduler import MergeAbortedError
+
+    with pytest.raises(MergeAbortedError):
+        rl.check_abort()
+
+
+def test_search_timeout(span_searcher):
+    res = span_searcher.search_batch([TermQuery(Term("body", "alpha"))], k=5, timeout_s=0.0)
+    # deadline already passed: leaves skipped, marked timed out
+    assert span_searcher.timed_out is True
+    assert res[0].total_hits == 0
+    res2 = span_searcher.search_batch([TermQuery(Term("body", "alpha"))], k=5, timeout_s=30.0)
+    assert span_searcher.timed_out is False
+    assert res2[0].total_hits == 4
