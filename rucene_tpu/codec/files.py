@@ -55,8 +55,16 @@ class SectionWriter:
         self._add(name, json.dumps(obj, separators=(",", ":")).encode("utf-8"), "json")
 
     def add_zjson(self, name: str, obj) -> None:
+        """JSON section compressed with native LZ4 when available (reference
+        compression.rs LZ4 for stored fields/TV), zlib otherwise."""
+        from rucene_tpu import native
+
         raw = json.dumps(obj, separators=(",", ":")).encode("utf-8")
-        self._add(name, zlib.compress(raw, 6), "zjson")
+        if native.available:
+            blob = struct.pack("<Q", len(raw)) + native.lz4_compress(raw)
+            self._add(name, blob, "lz4json")
+        else:
+            self._add(name, zlib.compress(raw, 6), "zjson")
 
     def finish(self) -> None:
         toc_bytes = json.dumps(self.toc, separators=(",", ":")).encode("utf-8")
@@ -81,10 +89,16 @@ class SectionReader:
 
     def json(self, name: str):
         off, ln, kind = self.toc[name]
+        blob = self.payload[off : off + ln]
         if kind == "json":
-            return json.loads(self.payload[off : off + ln])
+            return json.loads(blob)
+        if kind == "lz4json":
+            from rucene_tpu import native
+
+            (orig,) = struct.unpack_from("<Q", blob, 0)
+            return json.loads(native.lz4_decompress(blob[8:], orig))
         assert kind == "zjson"
-        return json.loads(zlib.decompress(self.payload[off : off + ln]))
+        return json.loads(zlib.decompress(blob))
 
 
 # ---------------- term table (offsets + bytes; front-coding TBD) -------------

@@ -39,6 +39,31 @@ class _TermPosting:
         self.positions.append(position)
 
 
+def _merge_postings(
+    a: tuple[np.ndarray, np.ndarray, np.ndarray],
+    b: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge two doc-sorted posting lists for the same term (disjoint doc
+    sets — a doc's field goes through exactly one inversion path)."""
+    docs = np.concatenate([a[0], b[0]])
+    freqs = np.concatenate([a[1], b[1]])
+    order = np.argsort(docs, kind="stable")
+    # positions: reorder per-doc runs to the merged doc order
+    run_starts = np.concatenate(
+        [
+            np.concatenate([[0], np.cumsum(a[1])])[:-1],
+            len(a[2]) + np.concatenate([[0], np.cumsum(b[1])])[:-1],
+        ]
+    )
+    all_pos = np.concatenate([a[2], b[2]])
+    pos_parts = [all_pos[run_starts[i] : run_starts[i] + freqs[i]] for i in order]
+    return (
+        docs[order].astype(np.int32),
+        freqs[order].astype(np.int32),
+        np.concatenate(pos_parts).astype(np.int32) if pos_parts else np.zeros(0, np.int32),
+    )
+
+
 @dataclass
 class FieldStats:
     doc_count: int = 0  # docs containing this field
@@ -63,11 +88,34 @@ class SegmentData:
 
 
 class SegmentBuffer:
-    """Accumulates documents for one segment (single-threaded)."""
+    """Accumulates documents for one segment (single-threaded).
 
-    def __init__(self, analyzer: Analyzer | None = None, field_infos: FieldInfos | None = None):
+    Inversion has two paths sharing one output contract:
+    - native (C++ via ctypes, native/rucene_native.cpp): ASCII text fields
+      under the whitespace analyzers, no term vectors — the hot loop;
+    - Python dicts for everything else (non-ASCII, custom analyzers,
+      term-vector fields, untokenized fields).
+    A field may mix paths across docs; finish() merges per term by doc id.
+    """
+
+    def __init__(
+        self,
+        analyzer: Analyzer | None = None,
+        field_infos: FieldInfos | None = None,
+        use_native: bool | None = None,
+    ):
+        from rucene_tpu import native as native_mod
+        from rucene_tpu.analysis import WhitespaceAnalyzer
+
         self.analyzer: Analyzer = analyzer or LowercaseWhitespaceAnalyzer()
         self.field_infos = field_infos or FieldInfos()
+        self._lowercase = isinstance(self.analyzer, LowercaseWhitespaceAnalyzer)
+        native_ok = native_mod.available and isinstance(
+            self.analyzer, (LowercaseWhitespaceAnalyzer, WhitespaceAnalyzer)
+        )
+        self._use_native = native_ok if use_native is None else (use_native and native_ok)
+        self._native_mod = native_mod
+        self._native: dict[str, object] = {}  # field -> NativeInverter
         self._terms: dict[str, dict[str, _TermPosting]] = {}
         self._norm_bytes: dict[str, dict[int, int]] = {}
         self._stats: dict[str, FieldStats] = {}
@@ -92,10 +140,26 @@ class SegmentBuffer:
                 if ft.index_options > info.index_options:
                     info.index_options = ft.index_options
                 info.omit_norms = info.omit_norms or ft.omit_norms
-                if ft.tokenized:
-                    tokens = self.analyzer.tokenize(f.name, str(f.value))
+                value = str(f.value)
+                via_native = (
+                    self._use_native
+                    and ft.tokenized
+                    and not ft.store_term_vectors
+                    and value.isascii()
+                )
+                if via_native:
+                    inv = self._native.get(f.name)
+                    if inv is None:
+                        inv = self._native[f.name] = self._native_mod.NativeInverter()
+                    base_pos = invert_state.get(f.name, (0, f.boost))[0]
+                    n_tok = inv.add_doc(doc_id, value.encode(), self._lowercase, base_pos)
+                    if n_tok:
+                        invert_state[f.name] = (base_pos + n_tok, f.boost)
+                    tokens = []
+                elif ft.tokenized:
+                    tokens = self.analyzer.tokenize(f.name, value)
                 else:
-                    tokens = [Token(str(f.value), 0, 0, len(str(f.value)))]
+                    tokens = [Token(value, 0, 0, len(value))]
                 if tokens:
                     field_terms = self._terms.setdefault(f.name, {})
                     base_pos = invert_state.get(f.name, (0, f.boost))[0]
@@ -151,8 +215,6 @@ class SegmentBuffer:
         max_doc = self.num_docs
         terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
         for field, tmap in self._terms.items():
-            st = self._stats.setdefault(field, FieldStats())
-            st.sum_doc_freq += sum(len(p.docs) for p in tmap.values())
             fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
             for term in sorted(tmap):
                 p = tmap[term]
@@ -162,6 +224,25 @@ class SegmentBuffer:
                     np.asarray(p.positions, dtype=np.int32),
                 )
             terms_out[field] = fout
+
+        # fold in the native inversion exports (zero-copy slices per term)
+        for field, inv in self._native.items():
+            terms, post_start, docs, freqs, pos_start, positions = inv.export()
+            fout = terms_out.setdefault(field, {})
+            for i, term in enumerate(terms):
+                s, e = int(post_start[i]), int(post_start[i + 1])
+                ps, pe = int(pos_start[i]), int(pos_start[i + 1])
+                entry = (docs[s:e], freqs[s:e], positions[ps:pe])
+                prev = fout.get(term)
+                fout[term] = entry if prev is None else _merge_postings(prev, entry)
+            if len(fout) != len(terms):  # python-path terms mixed in: re-sort
+                terms_out[field] = {t: fout[t] for t in sorted(fout)}
+            inv.close()
+        self._native.clear()
+
+        for field, fmap in terms_out.items():
+            st = self._stats.setdefault(field, FieldStats())
+            st.sum_doc_freq += sum(len(d) for d, _, _ in fmap.values())
 
         norms_out: dict[str, np.ndarray] = {}
         for field, by_doc in self._norm_bytes.items():
