@@ -108,18 +108,79 @@ def execute_flat_impl(
     inc = jnp.where(valid, q.wi_enc[:, None], 0)
     acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
 
-    req_count = acc_counts >> 16
-    should_count = (acc_counts >> 8) & 0xFF
-    has_not = (acc_counts & 0xFF) > 0
-    match = (
-        (req_count == q.n_required[:, None])
-        & (should_count >= q.min_should[:, None])
+    # --- match + top-k: shape-adaptive strategy ---
+    # Dense: boolean-mask the [B, md] accumulators and run vectorized top-k
+    # (3 passes over B*md) — wins for small corpora / big work lists.
+    # Candidate: a doc can only match if some clause's postings touch it, so
+    # the work lanes enumerate every candidate; sorting the L touched lanes
+    # by (row, score desc, doc) makes cost independent of max_doc — wins for
+    # big corpora. Both sizes are static at trace time.
+    l_lanes = target.size
+    if b * md <= 12 * l_lanes:
+        req_count = acc_counts >> 16
+        should_count = (acc_counts >> 8) & 0xFF
+        has_not = (acc_counts & 0xFF) > 0
+        match = (
+            (req_count == q.n_required[:, None])
+            & (should_count >= q.min_should[:, None])
+            & jnp.logical_not(has_not)
+            & dev.live[None, :]
+        )
+        scores = jnp.where(match, acc_score, -jnp.inf)
+        top_scores, top_docs = topk_score_doc(scores, k)
+        total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+        return top_scores, top_docs, total_hits
+
+    cdocs = target.reshape(-1)  # [L], md+1 for padding lanes
+    crows = jnp.broadcast_to(rows, target.shape).reshape(-1)
+    in_range = cdocs < md
+    safe_docs = jnp.where(in_range, cdocs, 0)
+    g_counts = acc_counts[crows, safe_docs]
+    g_scores = acc_score[crows, safe_docs]
+    req_count = g_counts >> 16
+    should_count = (g_counts >> 8) & 0xFF
+    has_not = (g_counts & 0xFF) > 0
+    g_match = (
+        in_range
+        & (req_count == q.n_required[crows])
+        & (should_count >= q.min_should[crows])
         & jnp.logical_not(has_not)
-        & dev.live[None, :]
+        & dev.live[safe_docs]
     )
-    scores = jnp.where(match, acc_score, -jnp.inf)
-    top_scores, top_docs = topk_score_doc(scores, k)
-    total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+
+    # order by (row, score desc, doc asc); non-matching lanes sink to the end
+    key_row = jnp.where(g_match, crows, jnp.int32(b))
+    key_score = jnp.where(g_match, -g_scores, jnp.inf)
+    key_doc = jnp.where(g_match, cdocs, jnp.int32(2**31 - 1))
+    s_row, s_negscore, s_doc = jax.lax.sort(
+        (key_row, key_score, key_doc), num_keys=3, dimension=-1
+    )
+    # duplicate lanes (same doc touched by several clauses) are adjacent
+    prev_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_row[:-1]])
+    prev_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_doc[:-1]])
+    fresh = (s_row < b) & ((s_row != prev_row) | (s_doc != prev_doc))
+    # rank of each fresh lane within its row = fresh lanes before it in the
+    # same row (exact integer prefix sums; row start found by max-scan)
+    f_int = fresh.astype(jnp.int32)
+    c_excl = jnp.cumsum(f_int) - f_int
+    idx = jnp.arange(s_row.shape[0], dtype=jnp.int32)
+    row_change = s_row != prev_row
+    row_start = jax.lax.associative_scan(jnp.maximum, jnp.where(row_change, idx, 0))
+    rank = c_excl - jnp.take(c_excl, row_start)
+    sel = fresh & (rank < k)
+    out_rows = jnp.where(sel, s_row, b)  # OOB row -> dropped
+    out_rank = jnp.where(sel, rank, 0)
+    top_scores = jnp.full((b, k), -jnp.inf, jnp.float32).at[out_rows, out_rank].set(
+        -s_negscore, mode="drop"
+    )
+    top_docs = jnp.full((b, k), jnp.int32(2**31 - 1)).at[out_rows, out_rank].set(
+        s_doc, mode="drop"
+    )
+    total_hits = (
+        jnp.zeros((b,), jnp.int32)
+        .at[jnp.where(fresh, s_row, b)]
+        .add(jnp.ones_like(s_row), mode="drop")
+    )
     return top_scores, top_docs, total_hits
 
 
