@@ -67,7 +67,9 @@ def build_device_segment(
     nb = packed.num_blocks
     nbp = next_pow2(max(nb, min_blocks), 1)
     w = len(packed.data)
-    wp = next_pow2(max(w, min_words), 2)
+    # +2048 words so the pallas decoder's 1024-aligned 2048-word DMA windows
+    # never run off the end; pow2 >= 2048 is always 1024-aligned
+    wp = next_pow2(max(w + 2048, min_words), 2048)
     mdp = round_up(max(packed.max_doc, min_max_doc, 1), 1024)
 
     # field-id -> norms row (dense over indexed fields of this segment)

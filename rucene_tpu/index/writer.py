@@ -58,6 +58,7 @@ class IndexWriterConfig:
     merge_policy: TieredMergePolicy = dc_field(default_factory=TieredMergePolicy)
     merge_scheduler: object = dc_field(default_factory=SerialMergeScheduler)
     merge_on_commit: bool = True
+    index_sort: object | None = None  # search.sort_field.Sort; applied at flush
 
 
 @dataclass
@@ -200,6 +201,10 @@ class IndexWriter:
             self._apply_pending_dv_updates(flushed_name=None)
             return
         seg_data = self._buffer.finish()
+        if self.config.index_sort is not None:
+            from rucene_tpu.index.index_sorting import sort_segment_data
+
+            seg_data = sort_segment_data(seg_data, self.config.index_sort)
         name = _seg_name(self._infos.counter)
         self._infos.counter += 1
         packed = pack_segment(seg_data)

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: fused postings-block decode.
+
+The XLA decode (ops/decode.py) performs two random HBM gathers per posting
+lane (the 2-word window), which is gather-latency-bound on TPU. This kernel
+instead DMAs, per work item, the aligned 2048-word window containing the
+block (Mosaic requires 1024-word-aligned HBM slices; one block needs at
+most 256 words), then extracts all 128 lanes with on-chip ops:
+
+  word fetch : one-hot row-select as an MXU matmul over 16-bit word halves
+               (f32-exact) + a VPU one-hot column select — no gathers;
+  bit extract: uint32 shift/mask per lane;
+  doc ids    : log-step shift-add prefix sum over the 128 deltas.
+
+This is the TPU shape of the reference's fused SSE block decoder
+(rucene src/core/codec/postings/simd_block_decoder.rs:24 — read+unpack+
+prefix-sum in one pass). The pure-XLA ops.decode path remains the CPU /
+fallback implementation; tests assert bit-identical outputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+WIN_ROWS = 16  # 16 rows x 128 words = 2048-word window (two 1024 tiles)
+G = 8  # work items per program
+DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
+
+
+def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
+                   data_ref, docs_ref, freqs_ref, scratch, sems):
+    pid = pl.program_id(0)
+
+    def start_dma(g):
+        i = pid * G + g
+        row0 = (off_ref[i] >> 10) * 8  # 1024-word-aligned start row
+        return pltpu.make_async_copy(
+            data_ref.at[pl.ds(row0, WIN_ROWS), :], scratch.at[g], sems.at[g]
+        )
+
+    for g in range(G):
+        start_dma(g).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WIN_ROWS), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+
+    for g in range(G):
+        i = pid * G + g
+        start_dma(g).wait()
+        words = scratch[g]  # int32[WIN_ROWS, 128]
+        # 8-bit limbs: exact under the MXU's bf16 input rounding (<=255
+        # needs 8 mantissa bits; 16-bit halves would be corrupted)
+        limbs = [
+            ((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)
+        ]
+        local = off_ref[i] & 1023  # word offset inside the window
+
+        def fetch(widx):
+            """widx int32[128,1] window-absolute word index -> uint32[128,1]."""
+            rowsel = (row_iota == (widx >> 7)).astype(jnp.float32)  # [128,16]
+            row_int = jnp.zeros((BLOCK, BLOCK), jnp.int32)
+            for j in range(4):
+                part = jnp.dot(rowsel, limbs[j], preferred_element_type=jnp.float32)
+                row_int = row_int | (part.astype(jnp.int32) << (8 * j))
+            colsel = (col_iota == (widx & 127)).astype(jnp.int32)  # [128,128]
+            w = jnp.sum(colsel * row_int, axis=1, keepdims=True)
+            return w.astype(jnp.uint32)
+
+        def extract(bits, word_base):
+            bitpos = lane * bits
+            widx = local + word_base + (bitpos >> 5)
+            shift = (bitpos & 31).astype(jnp.uint32)
+            w0 = fetch(widx)
+            w1 = fetch(widx + 1)
+            lo = w0 >> shift
+            hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
+            mask = jnp.where(
+                bits >= 32,
+                jnp.uint32(0xFFFFFFFF),
+                (jnp.uint32(1) << jnp.uint32(bits)) - jnp.uint32(1),
+            )
+            return ((lo | hi) & mask).astype(jnp.int32)
+
+        db = dbits_ref[i]
+        deltas = extract(db, 0)
+        # inclusive prefix sum: 7 shift-add steps (no cumsum in Mosaic);
+        # rolled-in tail entries are masked off by lane index
+        acc = deltas
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            rolled = pltpu.roll(acc, shift=s, axis=0)
+            acc = acc + jnp.where(lane >= s, rolled, 0)
+        docs_ref[g, :] = (base_ref[i] + acc)[:, 0]
+        freqs_ref[g, :] = extract(fbits_ref[i], 4 * db)[:, 0]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_work_items_pallas(
+    data2d: jax.Array,  # int32[N/128, 128]; N 1024-aligned with >=2048 pad
+    off: jax.Array,  # int32[W] word offsets
+    dbits: jax.Array,
+    fbits: jax.Array,
+    base: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Raw (docs, freqs) int32[W,128]; caller applies count/validity masks.
+    W must be a multiple of G (work lists are power-of-two padded)."""
+    w = off.shape[0]
+    assert w % G == 0, f"work list {w} not a multiple of {G}"
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(w // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            # index_map receives (grid idx, *scalar_prefetch_refs)
+            pl.BlockSpec((G, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, WIN_ROWS, BLOCK), jnp.int32),
+            pltpu.SemaphoreType.DMA((G,)),
+        ],
+    )
+    docs, freqs = pl.pallas_call(
+        _decode_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
+        ],
+        grid_spec=spec,
+        interpret=interpret,
+    )(off, dbits, fbits, base, data2d)
+    return docs, freqs

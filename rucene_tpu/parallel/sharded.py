@@ -114,15 +114,15 @@ class ShardedIndex:
         self.doc_base = jax.device_put(np.asarray(doc_base, dtype=np.int32), shard_spec)
 
 
-@partial(jax.jit, static_argnames=("k", "mesh"))
-def _sharded_search_step(mesh, stacked, fq, doc_base, k: int):
+@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas"))
+def _sharded_search_step(mesh, stacked, fq, doc_base, k: int, use_pallas: bool = False):
     """One fused device program: per-(shard,dp) flat execute + ICI
     all-gather merge over the shard axis."""
 
     def local(dev_s, fq_s, base_s):
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
-        scores, docs, hits = execute_flat_impl(dev, q, k)
+        scores, docs, hits = execute_flat_impl(dev, q, k, use_pallas=use_pallas)
         gdocs = jnp.where(scores > -jnp.inf, docs + base_s[0], jnp.int32(_DOC_PAD))
         sg = jax.lax.all_gather(scores, "shard")  # [S, B', k]
         dg = jax.lax.all_gather(gdocs, "shard")
@@ -247,8 +247,9 @@ class ShardedSearcher:
             cache=stackf(6),
         )
         fq = jax.device_put(fq)
+        use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
         scores, docs, hits = _sharded_search_step(
-            mesh, self.index.stacked, fq, self.index.doc_base, k
+            mesh, self.index.stacked, fq, self.index.doc_base, k, use_pallas
         )
         scores = np.asarray(scores)
         docs = np.asarray(docs)

@@ -75,11 +75,12 @@ class FlatQueryBatch(NamedTuple):
 
 
 def execute_flat_impl(
-    dev: DeviceSegment, q: FlatQueryBatch, k: int
+    dev: DeviceSegment, q: FlatQueryBatch, k: int, use_pallas: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
-    total_hits i32[B])."""
+    total_hits i32[B]). use_pallas selects the fused Mosaic decode kernel
+    (TPU only)."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
     norm_flat = dev.norms.reshape(-1)
@@ -92,8 +93,18 @@ def execute_flat_impl(
     base = dev.blk_base[blk]
     cnt = jnp.where(q.wi_valid, dev.blk_count[blk], 0)
 
-    docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
-    freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+    if use_pallas:
+        from rucene_tpu.ops.decode import INVALID_DOC
+        from rucene_tpu.ops.pallas_decode import decode_work_items_pallas
+
+        data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
+        raw_docs, raw_freqs = decode_work_items_pallas(data2d, off, dbits, fbits, base)
+        valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
+        docs = jnp.where(valid, raw_docs, INVALID_DOC)
+        freqs = jnp.where(valid, raw_freqs, 0)
+    else:
+        docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
+        freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
 
     docc = jnp.where(valid, docs, 0)
     norm_byte = norm_flat[q.wi_fid[:, None] * md + docc].astype(jnp.int32)
@@ -184,7 +195,7 @@ def execute_flat_impl(
     return top_scores, top_docs, total_hits
 
 
-execute_flat = jax.jit(execute_flat_impl, static_argnames=("k",))
+execute_flat = jax.jit(execute_flat_impl, static_argnames=("k", "use_pallas"))
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -105,7 +105,7 @@ def build_flat_work(
     start_of = np.concatenate([[0], np.cumsum(bc)])[:-1]
     within = np.arange(n) - start_of[item_slot]
 
-    w = next_pow2(max(n, 1), 1) if w_pad is None else w_pad
+    w = next_pow2(max(n, 1), 8) if w_pad is None else w_pad  # floor 8: pallas G
     if n > w:
         raise ValueError(f"work list {n} exceeds pad {w}")
     wi_block = np.zeros(w, np.int32)
@@ -146,6 +146,8 @@ class IndexSearcher:
         self.reader = reader
         self.similarity = similarity or BM25Similarity()
         self._stats: dict[str, CollectionStats] = {}
+        # fused Mosaic decode kernel only lowers on real TPU backends
+        self._use_pallas = jax.default_backend() not in ("cpu",)
 
     def _past_deadline(self) -> bool:
         dl = getattr(self, "_deadline", None)
@@ -272,7 +274,7 @@ class IndexSearcher:
                     cache=cache,
                 )
             )
-            res = execute_flat(leaf.device, fq, k=k)
+            res = execute_flat(leaf.device, fq, k=k, use_pallas=self._use_pallas)
             if match_all_rows.any():
                 ms, mdoc, mh = execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
                 s, d, h = jax.device_get(res)
@@ -337,6 +339,76 @@ class IndexSearcher:
             for i in order
         ]
         return TopFieldDocs(total, fds, sort)
+
+    def search_sorted_early_terminated(self, query: Query, k: int, sort, per_leaf_limit: int):
+        """Early-terminating sorted search over an index sorted by the SAME
+        sort (reference collector/early_terminating.rs:17): only the first
+        `per_leaf_limit` matches per segment (in doc order == sort order)
+        are considered; total_hits becomes a lower bound."""
+        from rucene_tpu.search.sort_field import FieldDoc, TopFieldDocs, sort_keys_for_leaf
+
+        doc_freqs, stats = self._gather_stats_query(query)
+        all_docs, all_scores, all_keys = [], [], None
+        total = 0
+        for leaf in self.reader.leaves:
+            match, acc = host_engine.evaluate_query(
+                leaf, query, self.similarity, stats, doc_freqs
+            )
+            if leaf.live is not None:
+                match = match & leaf.live[: leaf.max_doc]
+            docs = np.nonzero(match)[0][:per_leaf_limit]
+            total += len(docs)
+            keys = sort_keys_for_leaf(leaf, sort, docs, acc[docs])
+            all_docs.append(docs.astype(np.int64) + leaf.doc_base)
+            all_scores.append(acc[docs])
+            if all_keys is None:
+                all_keys = [[kk] for kk in keys]
+            else:
+                for i, kk in enumerate(keys):
+                    all_keys[i].append(kk)
+        if not all_docs:
+            return TopFieldDocs(0, [], sort)
+        gdocs = np.concatenate(all_docs)
+        gscores = np.concatenate(all_scores)
+        key_cols = [np.concatenate(c) for c in all_keys] if all_keys else []
+        from rucene_tpu.search.sort_field import SortFieldType
+
+        lex = [gdocs]
+        for sf, col in zip(reversed(sort.fields), reversed(key_cols)):
+            desc = (sf.type == SortFieldType.SCORE) != sf.reverse
+            lex.append(-col.astype(np.float64) if desc else col)
+        order = np.lexsort(tuple(lex))[:k]
+        fds = [
+            FieldDoc(int(gdocs[i]), float(gscores[i]), [col[i].item() for col in key_cols])
+            for i in order
+        ]
+        return TopFieldDocs(total, fds, sort)
+
+    def search_collapse(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
+        """Field collapsing: keep only the best hit per collapse-key
+        (reference sort_field/collapse_top_docs.rs:239, search_group.rs —
+        the Zhihu grouping extension). Key = numeric DV value; docs without
+        the field collapse under key 0."""
+        doc_freqs, stats = self._gather_stats_query(query)
+        best: dict[int, tuple[float, int]] = {}  # key -> (score, gdoc)
+        total = 0
+        for leaf in self.reader.leaves:
+            match, acc = host_engine.evaluate_query(
+                leaf, query, self.similarity, stats, doc_freqs
+            )
+            if leaf.live is not None:
+                match = match & leaf.live[: leaf.max_doc]
+            docs = np.nonzero(match)[0]
+            total += len(docs)
+            dv = leaf.numeric_doc_values(collapse_field)
+            keys = dv[0][docs] if dv is not None else np.zeros(len(docs), np.int64)
+            for d, key, sc in zip(docs, keys, acc[docs]):
+                gdoc = int(d) + leaf.doc_base
+                cur = best.get(int(key))
+                if cur is None or (-sc, gdoc) < (-cur[0], cur[1]):
+                    best[int(key)] = (float(sc), gdoc)
+        hits = sorted(best.values(), key=lambda t: (-t[0], t[1]))[:k]
+        return TopDocs(total, [ScoreDoc(doc, sc) for sc, doc in hits])
 
     # --- explain (reference Weight::explain, term_query.rs:183-215) ---
     def explain(self, query: Query, doc: int) -> "Explanation":

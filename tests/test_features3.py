@@ -1,0 +1,103 @@
+"""Index sorting, early-terminating sorted search, field collapsing."""
+
+import numpy as np
+
+from rucene_tpu import (
+    Document,
+    IndexSearcher,
+    NumericDocValuesField,
+    StringField,
+    Term,
+    TermQuery,
+    TextField,
+)
+from rucene_tpu.index.reader import open_directory_reader
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.search.sort_field import Sort
+from rucene_tpu.store.directory import RAMDirectory
+
+
+def _doc(i, text, rank, group):
+    d = Document()
+    d.add(StringField("id", str(i), stored=True))
+    d.add(TextField("body", text))
+    d.add(NumericDocValuesField("rank", rank))
+    d.add(NumericDocValuesField("group", group))
+    return d
+
+
+def test_index_sorting():
+    d = RAMDirectory()
+    cfg = IndexWriterConfig(index_sort=Sort.by("rank"))
+    w = IndexWriter(d, cfg)
+    ranks = [50, 10, 40, 20, 30]
+    for i, r in enumerate(ranks):
+        w.add_document(_doc(i, f"common word{i}", r, i % 2))
+    w.commit()
+    r = w.get_reader()
+    leaf = r.leaves[0]
+    # docs physically reordered by rank ascending
+    vals, _ = leaf.numeric_doc_values("rank")
+    assert vals.tolist() == sorted(ranks)
+    # stored fields follow the permutation
+    assert leaf.document(0)["id"] == "1"  # rank 10 was original doc 1
+    # postings remain consistent
+    s = IndexSearcher(r)
+    assert s.search(TermQuery(Term("body", "common")), 10).total_hits == 5
+    assert s.search(TermQuery(Term("body", "word1")), 10).score_docs[0].doc == 0
+    w.close()
+
+
+def test_early_terminated_sorted_search():
+    d = RAMDirectory()
+    cfg = IndexWriterConfig(index_sort=Sort.by("rank"), max_buffered_docs=8)
+    w = IndexWriter(d, cfg)
+    rng = np.random.default_rng(11)
+    ranks = rng.permutation(32).tolist()
+    for i, r in enumerate(ranks):
+        w.add_document(_doc(i, "common filler", r, 0))
+    r = w.get_reader()
+    s = IndexSearcher(r)
+    full = s.search_sorted(TermQuery(Term("body", "common")), k=5, sort=Sort.by("rank"))
+    early = s.search_sorted_early_terminated(
+        TermQuery(Term("body", "common")), k=5, sort=Sort.by("rank"), per_leaf_limit=6
+    )
+    # index is rank-sorted per segment, so the first 6 docs of each leaf
+    # contain each leaf's best 6 -> global top-5 identical
+    assert [fd.fields[0] for fd in early.field_docs] == [fd.fields[0] for fd in full.field_docs]
+    assert early.total_hits <= full.total_hits  # lower bound
+    w.close()
+
+
+def test_collapse():
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    # 3 groups; scores driven by tf of 'fox'
+    corpus = [
+        ("fox", 0), ("fox fox", 0), ("fox fox fox pad pad", 1),
+        ("fox pad", 1), ("fox", 2),
+    ]
+    for i, (t, g) in enumerate(corpus):
+        w.add_document(_doc(i, t, i, g))
+    s = IndexSearcher(w.get_reader())
+    td = s.search_collapse(TermQuery(Term("body", "fox")), k=10, collapse_field="group")
+    assert td.total_hits == 5
+    assert len(td.score_docs) == 3  # one per group
+    groups_seen = set()
+    r = s.reader
+    for sd in td.score_docs:
+        leaf = r.leaves[0]
+        g = int(leaf.numeric_doc_values("group")[0][sd.doc])
+        assert g not in groups_seen
+        groups_seen.add(g)
+    # each group's winner beats the other member
+    plain = s.search(TermQuery(Term("body", "fox")), k=10)
+    best_by_group = {}
+    for sd in plain.score_docs:
+        g = int(r.leaves[0].numeric_doc_values("group")[0][sd.doc])
+        if g not in best_by_group:
+            best_by_group[g] = sd
+    for sd in td.score_docs:
+        g = int(r.leaves[0].numeric_doc_values("group")[0][sd.doc])
+        assert sd.doc == best_by_group[g].doc
+    w.close()
