@@ -171,6 +171,10 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
             "norm_fields": sorted(packed.norms),
             "dv_fields": sorted(packed.numeric_dv),
             "point_fields": sorted(packed.points),
+            "bdv_fields": sorted(packed.binary_dv or {}),
+            "sdv_fields": sorted(packed.sorted_dv or {}),
+            "sndv_fields": sorted(packed.sorted_numeric_dv or {}),
+            "ssdv_fields": sorted(packed.sorted_set_dv or {}),
         },
     )
     for key in ("blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base", "blk_count",
@@ -186,6 +190,32 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
         vals, docs = packed.points[f]
         w.add_npy(f"pt.{f}.vals", vals)
         w.add_npy(f"pt.{f}.docs", docs)
+    if packed.binary_dv:
+        for f, per_doc in sorted(packed.binary_dv.items()):
+            blob = b"".join(v or b"" for v in per_doc)
+            offs = np.zeros(len(per_doc) + 1, np.int64)
+            offs[1:] = np.cumsum([len(v) if v else 0 for v in per_doc])
+            present = np.array([v is not None for v in per_doc], bool)
+            w.add_npy(f"bdv.{f}.blob", np.frombuffer(blob, np.uint8).copy())
+            w.add_npy(f"bdv.{f}.offs", offs)
+            w.add_npy(f"bdv.{f}.present", present)
+    if packed.sorted_dv:
+        for f, (values, ords) in sorted(packed.sorted_dv.items()):
+            to, tb = _terms_to_arrays(values)
+            w.add_npy(f"sdv.{f}.voffs", to)
+            w.add_npy(f"sdv.{f}.vbytes", tb)
+            w.add_npy(f"sdv.{f}.ords", ords)
+    if packed.sorted_numeric_dv:
+        for f, (flat, offs) in sorted(packed.sorted_numeric_dv.items()):
+            w.add_npy(f"sndv.{f}.flat", flat)
+            w.add_npy(f"sndv.{f}.offs", offs)
+    if packed.sorted_set_dv:
+        for f, (values, flat_ords, offs) in sorted(packed.sorted_set_dv.items()):
+            to, tb = _terms_to_arrays(values)
+            w.add_npy(f"ssdv.{f}.voffs", to)
+            w.add_npy(f"ssdv.{f}.vbytes", tb)
+            w.add_npy(f"ssdv.{f}.ords", flat_ords)
+            w.add_npy(f"ssdv.{f}.offs", offs)
 
     # stored fields: zlib-json chunks
     n_chunks = (len(packed.stored) + STORED_CHUNK - 1) // STORED_CHUNK
@@ -277,6 +307,41 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
             for f in meta.get("point_fields", [])
         },
         term_vectors=term_vectors,
+        binary_dv=(
+            {
+                f: _read_binary_dv(r, f)
+                for f in meta.get("bdv_fields", [])
+            }
+            or None
+        ),
+        sorted_dv=(
+            {
+                f: (
+                    _terms_from_arrays(r.npy(f"sdv.{f}.voffs"), r.npy(f"sdv.{f}.vbytes")),
+                    r.npy(f"sdv.{f}.ords"),
+                )
+                for f in meta.get("sdv_fields", [])
+            }
+            or None
+        ),
+        sorted_numeric_dv=(
+            {
+                f: (r.npy(f"sndv.{f}.flat"), r.npy(f"sndv.{f}.offs"))
+                for f in meta.get("sndv_fields", [])
+            }
+            or None
+        ),
+        sorted_set_dv=(
+            {
+                f: (
+                    _terms_from_arrays(r.npy(f"ssdv.{f}.voffs"), r.npy(f"ssdv.{f}.vbytes")),
+                    r.npy(f"ssdv.{f}.ords"),
+                    r.npy(f"ssdv.{f}.offs"),
+                )
+                for f in meta.get("ssdv_fields", [])
+            }
+            or None
+        ),
     )
 
 
@@ -323,6 +388,15 @@ def read_live(directory: Directory, name: str, gen: int) -> np.ndarray:
     (n,) = struct.unpack_from("<Q", payload, 0)
     bits = np.frombuffer(payload[8:], dtype=np.uint8)
     return np.unpackbits(bits)[:n].astype(bool)
+
+
+def _read_binary_dv(r: SectionReader, f: str) -> list:
+    blob = r.npy(f"bdv.{f}.blob").tobytes()
+    offs = r.npy(f"bdv.{f}.offs")
+    present = r.npy(f"bdv.{f}.present")
+    return [
+        blob[offs[d] : offs[d + 1]] if present[d] else None for d in range(len(present))
+    ]
 
 
 # ---------------- commit metadata (segments_N) ----------------

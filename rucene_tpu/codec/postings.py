@@ -74,6 +74,10 @@ class PackedSegment:
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]
     points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted vals, docs)
     term_vectors: list | None = None  # per-doc {field: {term: [(pos,start,end)]}}
+    binary_dv: dict | None = None
+    sorted_dv: dict | None = None
+    sorted_numeric_dv: dict | None = None
+    sorted_set_dv: dict | None = None
 
     @property
     def num_blocks(self) -> int:
@@ -245,6 +249,10 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         numeric_dv=seg.numeric_dv,
         points=dict(getattr(seg, "points", {}) or {}),
         term_vectors=getattr(seg, "term_vectors", None),
+        binary_dv=getattr(seg, "binary_dv", None),
+        sorted_dv=getattr(seg, "sorted_dv", None),
+        sorted_numeric_dv=getattr(seg, "sorted_numeric_dv", None),
+        sorted_set_dv=getattr(seg, "sorted_set_dv", None),
     )
 
 

@@ -75,6 +75,10 @@ STRING_FIELD_TYPE_NOT_STORED = FieldType(
 )
 STORED_ONLY_TYPE = FieldType(index_options=IndexOptions.NONE, stored=True, tokenized=False)
 NUMERIC_DV_TYPE = FieldType(doc_values_type=DocValuesType.NUMERIC)
+BINARY_DV_TYPE = FieldType(doc_values_type=DocValuesType.BINARY)
+SORTED_DV_TYPE = FieldType(doc_values_type=DocValuesType.SORTED)
+SORTED_NUMERIC_DV_TYPE = FieldType(doc_values_type=DocValuesType.SORTED_NUMERIC)
+SORTED_SET_DV_TYPE = FieldType(doc_values_type=DocValuesType.SORTED_SET)
 
 
 @dataclass
@@ -109,6 +113,22 @@ def StoredField(name: str, value: Any) -> Field:
 
 def NumericDocValuesField(name: str, value: int) -> Field:
     return Field(name, int(value), NUMERIC_DV_TYPE)
+
+
+def BinaryDocValuesField(name: str, value: bytes) -> Field:
+    return Field(name, bytes(value), BINARY_DV_TYPE)
+
+
+def SortedDocValuesField(name: str, value: str) -> Field:
+    return Field(name, str(value), SORTED_DV_TYPE)
+
+
+def SortedNumericDocValuesField(name: str, value: int) -> Field:
+    return Field(name, int(value), SORTED_NUMERIC_DV_TYPE)
+
+
+def SortedSetDocValuesField(name: str, value: str) -> Field:
+    return Field(name, str(value), SORTED_SET_DV_TYPE)
 
 
 INT_POINT_TYPE = FieldType(point_dimension_count=1, point_num_bytes=8, tokenized=False)

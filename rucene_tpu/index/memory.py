@@ -85,6 +85,12 @@ class SegmentData:
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (i64 vals, bool present)
     points: dict[str, tuple[np.ndarray, np.ndarray]]  # field -> (sorted i64 vals, i32 docs)
     term_vectors: list[dict[str, dict[str, list[tuple[int, int, int]]]]] | None = None
+    # extra doc-values families (reference Lucene54 DV: binary / sorted /
+    # sorted-numeric / sorted-set, doc_values/lucene54/*):
+    binary_dv: dict[str, list[bytes | None]] | None = None
+    sorted_dv: dict[str, tuple[list[str], np.ndarray]] | None = None  # (values, ord i32[max_doc], -1 missing)
+    sorted_numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]] | None = None  # (flat sorted vals, offsets i64[md+1])
+    sorted_set_dv: dict[str, tuple[list[str], np.ndarray, np.ndarray]] | None = None  # (values, flat ords, offsets)
 
 
 class SegmentBuffer:
@@ -121,6 +127,10 @@ class SegmentBuffer:
         self._stats: dict[str, FieldStats] = {}
         self._stored: list[dict[str, object]] = []
         self._numeric_dv: dict[str, dict[int, int]] = {}
+        self._binary_dv: dict[str, dict[int, bytes]] = {}
+        self._sorted_dv: dict[str, dict[int, str]] = {}
+        self._sorted_num_dv: dict[str, dict[int, list[int]]] = {}
+        self._sorted_set_dv: dict[str, dict[int, set[str]]] = {}
         self._points: dict[str, list[tuple[int, int]]] = {}
         # per doc: {field: {term: [(pos, start, end), ...]}}
         self._term_vectors: list[dict[str, dict[str, list[tuple[int, int, int]]]]] = []
@@ -183,6 +193,23 @@ class SegmentBuffer:
             if ft.doc_values_type == DocValuesType.NUMERIC:
                 info.doc_values_type = DocValuesType.NUMERIC
                 self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
+            elif ft.doc_values_type == DocValuesType.BINARY:
+                info.doc_values_type = DocValuesType.BINARY
+                v = f.value if isinstance(f.value, bytes) else str(f.value).encode()
+                self._binary_dv.setdefault(f.name, {})[doc_id] = v
+            elif ft.doc_values_type == DocValuesType.SORTED:
+                info.doc_values_type = DocValuesType.SORTED
+                self._sorted_dv.setdefault(f.name, {})[doc_id] = str(f.value)
+            elif ft.doc_values_type == DocValuesType.SORTED_NUMERIC:
+                info.doc_values_type = DocValuesType.SORTED_NUMERIC
+                self._sorted_num_dv.setdefault(f.name, {}).setdefault(doc_id, []).append(
+                    int(f.value)
+                )
+            elif ft.doc_values_type == DocValuesType.SORTED_SET:
+                info.doc_values_type = DocValuesType.SORTED_SET
+                self._sorted_set_dv.setdefault(f.name, {}).setdefault(doc_id, set()).add(
+                    str(f.value)
+                )
             if ft.point_dimension_count:
                 info.point_dimension_count = ft.point_dimension_count
                 info.point_num_bytes = ft.point_num_bytes
@@ -266,6 +293,38 @@ class SegmentBuffer:
             order = np.lexsort((arr[:, 1], arr[:, 0]))
             points_out[field] = (arr[order, 0], arr[order, 1].astype(np.int32))
 
+        binary_out = {}
+        for field, by_doc in self._binary_dv.items():
+            binary_out[field] = [by_doc.get(d) for d in range(max_doc)]
+        sorted_out = {}
+        for field, by_doc in self._sorted_dv.items():
+            values = sorted(set(by_doc.values()))
+            vmap = {v: i for i, v in enumerate(values)}
+            ords = np.full(max_doc, -1, np.int32)
+            for d, v in by_doc.items():
+                ords[d] = vmap[v]
+            sorted_out[field] = (values, ords)
+        snum_out = {}
+        for field, by_doc in self._sorted_num_dv.items():
+            offsets = np.zeros(max_doc + 1, np.int64)
+            flat: list[int] = []
+            for d in range(max_doc):
+                vals = sorted(by_doc.get(d, []))
+                flat.extend(vals)
+                offsets[d + 1] = len(flat)
+            snum_out[field] = (np.asarray(flat, np.int64), offsets)
+        sset_out = {}
+        for field, by_doc in self._sorted_set_dv.items():
+            values = sorted({v for s in by_doc.values() for v in s})
+            vmap = {v: i for i, v in enumerate(values)}
+            offsets = np.zeros(max_doc + 1, np.int64)
+            flat_ords: list[int] = []
+            for d in range(max_doc):
+                ords = sorted(vmap[v] for v in by_doc.get(d, ()))
+                flat_ords.extend(ords)
+                offsets[d + 1] = len(flat_ords)
+            sset_out[field] = (values, np.asarray(flat_ords, np.int32), offsets)
+
         return SegmentData(
             max_doc=max_doc,
             field_infos=self.field_infos,
@@ -276,4 +335,8 @@ class SegmentBuffer:
             numeric_dv=dv_out,
             points=points_out,
             term_vectors=self._term_vectors if any(self._term_vectors) else None,
+            binary_dv=binary_out or None,
+            sorted_dv=sorted_out or None,
+            sorted_numeric_dv=snum_out or None,
+            sorted_set_dv=sset_out or None,
         )

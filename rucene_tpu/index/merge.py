@@ -170,6 +170,85 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
             order = np.lexsort((dd, v))
             points_out[field] = (v[order], dd[order].astype(np.int32))
 
+    def live_docs_of(si):
+        return np.nonzero(masks[si])[0]
+
+    bdv_fields = sorted({f for s in snapshots if s.packed.binary_dv for f in s.packed.binary_dv})
+    bdv_out = {}
+    for field in bdv_fields:
+        per_doc = []
+        for si, snap in enumerate(snapshots):
+            col = (snap.packed.binary_dv or {}).get(field)
+            for d in live_docs_of(si):
+                per_doc.append(col[d] if col is not None else None)
+        bdv_out[field] = per_doc
+
+    sdv_fields = sorted({f for s in snapshots if s.packed.sorted_dv for f in s.packed.sorted_dv})
+    sdv_out = {}
+    for field in sdv_fields:
+        # global value dict = union; remap per-segment ords
+        union = sorted({
+            v
+            for s in snapshots
+            if s.packed.sorted_dv and field in s.packed.sorted_dv
+            for v in s.packed.sorted_dv[field][0]
+        })
+        vmap = {v: i for i, v in enumerate(union)}
+        ords_out = np.full(new_max_doc, -1, np.int32)
+        for si, snap in enumerate(snapshots):
+            e = (snap.packed.sorted_dv or {}).get(field)
+            if e is None:
+                continue
+            values, ords = e
+            remap = np.array([vmap[v] for v in values], np.int32) if values else np.zeros(0, np.int32)
+            for d in live_docs_of(si):
+                o = ords[d]
+                if o >= 0:
+                    ords_out[maps[si][d]] = remap[o]
+        sdv_out[field] = (union, ords_out)
+
+    sndv_fields = sorted({f for s in snapshots if s.packed.sorted_numeric_dv for f in s.packed.sorted_numeric_dv})
+    sndv_out = {}
+    for field in sndv_fields:
+        flat, offs = [], np.zeros(new_max_doc + 1, np.int64)
+        rows = [[] for _ in range(new_max_doc)]
+        for si, snap in enumerate(snapshots):
+            e = (snap.packed.sorted_numeric_dv or {}).get(field)
+            if e is None:
+                continue
+            fl, of = e
+            for d in live_docs_of(si):
+                rows[maps[si][d]] = list(fl[of[d] : of[d + 1]])
+        for d in range(new_max_doc):
+            flat.extend(rows[d])
+            offs[d + 1] = len(flat)
+        sndv_out[field] = (np.asarray(flat, np.int64), offs)
+
+    ssdv_fields = sorted({f for s in snapshots if s.packed.sorted_set_dv for f in s.packed.sorted_set_dv})
+    ssdv_out = {}
+    for field in ssdv_fields:
+        union = sorted({
+            v
+            for s in snapshots
+            if s.packed.sorted_set_dv and field in s.packed.sorted_set_dv
+            for v in s.packed.sorted_set_dv[field][0]
+        })
+        vmap = {v: i for i, v in enumerate(union)}
+        rows = [[] for _ in range(new_max_doc)]
+        for si, snap in enumerate(snapshots):
+            e = (snap.packed.sorted_set_dv or {}).get(field)
+            if e is None:
+                continue
+            values, flat_ords, of = e
+            remap = np.array([vmap[v] for v in values], np.int32) if values else np.zeros(0, np.int32)
+            for d in live_docs_of(si):
+                rows[maps[si][d]] = sorted(remap[flat_ords[of[d] : of[d + 1]]].tolist())
+        flat_o, offs = [], np.zeros(new_max_doc + 1, np.int64)
+        for d in range(new_max_doc):
+            flat_o.extend(rows[d])
+            offs[d + 1] = len(flat_o)
+        ssdv_out[field] = (union, np.asarray(flat_o, np.int32), offs)
+
     seg = SegmentData(
         max_doc=new_max_doc,
         field_infos=field_infos,
@@ -180,6 +259,10 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         numeric_dv=dv_out,
         points=points_out,
         term_vectors=tv_out,
+        binary_dv=bdv_out or None,
+        sorted_dv=sdv_out or None,
+        sorted_numeric_dv=sndv_out or None,
+        sorted_set_dv=ssdv_out or None,
     )
     return pack_segment(seg)
 

@@ -174,6 +174,22 @@ class SegmentSnapshot:
         present[docs] = True
         return vals, present
 
+    def binary_doc_values(self, field: str) -> list | None:
+        """Per-doc bytes or None (reference Lucene54 binary DV)."""
+        return (self.packed.binary_dv or {}).get(field)
+
+    def sorted_doc_values(self, field: str):
+        """(values sorted list[str], ords i32[max_doc] with -1 missing)."""
+        return (self.packed.sorted_dv or {}).get(field)
+
+    def sorted_numeric_doc_values(self, field: str):
+        """(flat sorted values i64, offsets i64[max_doc+1])."""
+        return (self.packed.sorted_numeric_dv or {}).get(field)
+
+    def sorted_set_doc_values(self, field: str):
+        """(values list[str], flat ords i32, offsets i64[max_doc+1])."""
+        return (self.packed.sorted_set_dv or {}).get(field)
+
     def term_vector(self, local_doc: int, field: str) -> dict[str, list] | None:
         """Per-doc mini inverted index: {term: [(pos, start, end), ...]}
         (reference term_vectors_reader.rs; feeds the highlighter)."""

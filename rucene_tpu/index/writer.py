@@ -36,6 +36,7 @@ from rucene_tpu.index.merge import TieredMergePolicy, merge_segments
 from rucene_tpu.index.merge_scheduler import SerialMergeScheduler
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 from rucene_tpu.store.directory import Directory
+from rucene_tpu.util.metrics import METRICS
 
 
 def _seg_name(n: int) -> str:
@@ -200,6 +201,8 @@ class IndexWriter:
             self._apply_pending_deletes(flushed_name=None)
             self._apply_pending_dv_updates(flushed_name=None)
             return
+        METRICS.incr("writer.flushes")
+        t_flush = __import__("time").perf_counter()
         seg_data = self._buffer.finish()
         if self.config.index_sort is not None:
             from rucene_tpu.index.index_sorting import sort_segment_data
@@ -217,6 +220,7 @@ class IndexWriter:
         # pending deletes/updates may also target the freshly flushed segment
         self._apply_pending_deletes(flushed_name=name)
         self._apply_pending_dv_updates(flushed_name=name)
+        METRICS.observe("writer.flush", __import__("time").perf_counter() - t_flush)
 
     def _apply_pending_deletes(self, flushed_name: str | None) -> None:
         """BufferedUpdatesStream::apply_deletes_and_updates analog
@@ -398,6 +402,7 @@ class IndexWriter:
                     self._do_merge(cand.segments)
 
     def _do_merge(self, names: list[str]) -> None:
+        METRICS.incr("writer.merges")
         by_name = {i.name: i for i in self._infos.segments}
         infos = [by_name[n] for n in names if n in by_name]
         if len(infos) < 2:

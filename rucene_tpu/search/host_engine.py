@@ -104,6 +104,20 @@ def hits_from_dense(
     return HostHits(total_hits=total, docs=order.astype(np.int32), scores=scores[order])
 
 
+def extract_terms_of(query) -> list:
+    """Terms a query needs statistics for (Weight::extract_terms analog)."""
+    from rucene_tpu.doc.term import Term
+
+    if hasattr(query, "extract_terms"):
+        return list(query.extract_terms())
+    rq = query.rewrite()
+    out = [c.term for c in rq.clauses]
+    out.extend(c.term for _, ms in rq.groups for c in ms)
+    for f, ts, _ in rq.phrases:
+        out.extend(Term(f, t) for t in ts)
+    return out
+
+
 def evaluate_query(leaf, query, sim, stats, doc_freqs) -> tuple[np.ndarray, np.ndarray]:
     """(match bool[max_doc], scores f32[max_doc]) for any query: special
     queries (spans, dismax) implement host_eval; the rest go through the
@@ -182,7 +196,13 @@ def evaluate_rewritten(
             has_not |= g_match
 
     for r in rq.ranges:
-        docs = leaf.point_range_docs(r.field, r.lower, r.upper)
+        from rucene_tpu.search.cache import DEFAULT_QUERY_CACHE
+
+        docs = DEFAULT_QUERY_CACHE.get_or_compute(
+            leaf,
+            ("range", r.field, r.lower, r.upper),
+            lambda r=r: leaf.point_range_docs(r.field, r.lower, r.upper),
+        )
         if r.occur in (Occur.SHOULD, Occur.MUST):
             acc[docs] += np.float32(r.boost)  # constant-score semantics
         if r.occur in (Occur.MUST, Occur.FILTER):

@@ -149,6 +149,107 @@ class PhraseQuery(Query):
         return RewrittenQuery(phrases=[(self.field, list(self.terms), self.boost)])
 
 
+class ConstantScoreQuery(Query):
+    """Matches whatever the wrapped query matches, scoring a constant
+    `boost` (reference match_all_query.rs ConstantScoreQuery)."""
+
+    def __init__(self, query: Query, boost: float = 1.0):
+        self.query = query
+        self.boost = boost
+
+    def extract_terms(self):
+        from rucene_tpu.search.host_engine import extract_terms_of
+
+        return extract_terms_of(self.query)
+
+    def host_eval(self, leaf, sim, stats, doc_freqs):
+        import numpy as np
+
+        from rucene_tpu.search import host_engine
+
+        m, _ = host_engine.evaluate_query(leaf, self.query, sim, stats, doc_freqs)
+        return m, np.where(m, np.float32(self.boost), np.float32(0.0)).astype(np.float32)
+
+
+class FilterQuery(ConstantScoreQuery):
+    """Non-scoring filter wrapper (reference filter_query.rs): constant 0."""
+
+    def __init__(self, query: Query):
+        super().__init__(query, boost=0.0)
+
+
+class ExistsQuery(Query):
+    """Matches docs that HAVE the field — via norms, doc values or points
+    (reference exists_query.rs:30)."""
+
+    def __init__(self, field: str, boost: float = 1.0):
+        self.field = field
+        self.boost = boost
+
+    def extract_terms(self):
+        return []
+
+    def host_eval(self, leaf, sim, stats, doc_freqs):
+        import numpy as np
+
+        md = leaf.max_doc
+        m = np.zeros(md, dtype=bool)
+        norms = leaf.packed.norms.get(self.field)
+        if norms is not None:
+            m |= norms[:md] > 0
+        dv = leaf.numeric_doc_values(self.field)
+        if dv is not None:
+            m |= dv[1][:md]
+        bdv = leaf.binary_doc_values(self.field)
+        if bdv is not None:
+            m |= np.array([v is not None for v in bdv[:md]], bool)
+        sdv = leaf.sorted_doc_values(self.field)
+        if sdv is not None:
+            m |= sdv[1][:md] >= 0
+        sndv = leaf.sorted_numeric_doc_values(self.field)
+        if sndv is not None:
+            m |= np.diff(sndv[1][: md + 1]) > 0
+        ssdv = leaf.sorted_set_doc_values(self.field)
+        if ssdv is not None:
+            m |= np.diff(ssdv[2][: md + 1]) > 0
+        pt = leaf.packed.points.get(self.field)
+        if pt is not None:
+            m[pt[1]] = True
+        pf = leaf.packed.fields.get(self.field)
+        if pf is not None and self.field not in leaf.packed.norms:
+            # untokenized/omit-norms indexed fields: walk postings
+            for t in pf.terms:
+                m[leaf.read_postings(self.field, t)[0]] = True
+        return m, np.where(m, np.float32(self.boost), np.float32(0.0)).astype(np.float32)
+
+
+class BoostingQuery(Query):
+    """Demote (not exclude) docs matching `negative`: positive scores are
+    multiplied by negative_boost where the negative query matches
+    (reference boosting_query.rs:29)."""
+
+    def __init__(self, positive: Query, negative: Query, negative_boost: float):
+        self.positive = positive
+        self.negative = negative
+        self.negative_boost = negative_boost
+        self.boost = 1.0
+
+    def extract_terms(self):
+        from rucene_tpu.search.host_engine import extract_terms_of
+
+        return extract_terms_of(self.positive) + extract_terms_of(self.negative)
+
+    def host_eval(self, leaf, sim, stats, doc_freqs):
+        import numpy as np
+
+        from rucene_tpu.search import host_engine
+
+        pm, ps = host_engine.evaluate_query(leaf, self.positive, sim, stats, doc_freqs)
+        nm, _ = host_engine.evaluate_query(leaf, self.negative, sim, stats, doc_freqs)
+        scores = np.where(nm, (ps * np.float32(self.negative_boost)).astype(np.float32), ps)
+        return pm, scores.astype(np.float32)
+
+
 class DisjunctionMaxQuery(Query):
     """score = max(sub scores) + tie_breaker * (sum of other sub scores)
     (reference disjunction_max_query.rs / DisjunctionMaxScorer

@@ -26,6 +26,7 @@ from rucene_tpu.search.executor import FlatQueryBatch, execute_flat, execute_mat
 from rucene_tpu.search.query import Occur, Query, RewrittenQuery
 from rucene_tpu.search.similarity import BM25Similarity, CollectionStats
 from rucene_tpu.util import next_pow2
+from rucene_tpu.util.metrics import METRICS
 
 
 @dataclass
@@ -179,6 +180,8 @@ class IndexSearcher:
         error-based early termination between leaves)."""
         self._deadline = None if timeout_s is None else (time.monotonic() + timeout_s)
         self.timed_out = False
+        METRICS.incr("search.queries", len(queries))
+        t_start = time.perf_counter()
         rewritten = [None if hasattr(q, "host_eval") else q.rewrite() for q in queries]
         results: list[TopDocs | None] = [None] * len(queries)
 
@@ -199,6 +202,7 @@ class IndexSearcher:
                 results[i] = td
         for i in host_idx:
             results[i] = self._search_host(queries[i], k)
+        METRICS.observe("search.batch", time.perf_counter() - t_start)
         return results  # type: ignore[return-value]
 
     # --- shared helpers ---

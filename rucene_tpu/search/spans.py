@@ -206,3 +206,24 @@ class SpanNearQuery(SpanQuery):
             return np.zeros((0, 2), np.int64)
         arr = np.array(sorted(out), dtype=np.int64)
         return arr
+
+
+class SpanBoostQuery(SpanQuery):
+    """Boost wrapper over any span query (reference span_boost.rs)."""
+
+    def __init__(self, query: SpanQuery, boost: float):
+        self.query = query
+        self.field = query.field
+        self.boost = boost * getattr(query, "boost", 1.0)
+
+    def extract_terms(self):
+        return self.query.extract_terms()
+
+    def min_width(self) -> int:
+        return self.query.min_width()
+
+    def candidate_docs(self, leaf):
+        return self.query.candidate_docs(leaf)
+
+    def spans_for_doc(self, cache, leaf, local_doc):
+        return self.query.spans_for_doc(cache, leaf, local_doc)
