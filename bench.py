@@ -71,11 +71,28 @@ def build_queries(n_queries: int, vocab, probs, seed: int = 13):
     return queries
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: executor shapes recompile across
+    processes otherwise (~1-5 min per shape over the TPU tunnel)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", 50000))
     n_queries = int(os.environ.get("BENCH_QUERIES", 512))
     batch = int(os.environ.get("BENCH_BATCH", 256))
     k = int(os.environ.get("BENCH_K", 100))
+    prune = os.environ.get("BENCH_PRUNE", "0") == "1"
 
     from rucene_tpu import Document, IndexSearcher, TextField
     from rucene_tpu.codec.postings import pack_segment
@@ -98,12 +115,12 @@ def main():
 
     # warmup (compile every batch's shape bucket) then timed batched runs
     for i in range(0, n_queries, batch):
-        searcher.search_batch(queries[i : i + batch], k=k)
+        searcher.search_batch(queries[i : i + batch], k=k, prune=prune)
     t1 = time.time()
     reps = 0
     while time.time() - t1 < 5.0 or reps < 3:
         for i in range(0, n_queries, batch):
-            searcher.search_batch(queries[i : i + batch], k=k)
+            searcher.search_batch(queries[i : i + batch], k=k, prune=prune)
         reps += 1
         if reps >= 20:
             break
@@ -122,7 +139,8 @@ def main():
     base_qps = len(sample) / (time.time() - t2)
 
     result = {
-        "metric": f"BM25 top-{k} QPS, {n_docs} docs, mixed term/bool batch={batch}",
+        "metric": f"BM25 top-{k} QPS, {n_docs} docs, mixed term/bool batch={batch}"
+        + (" +prune" if prune else ""),
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / base_qps, 2),

@@ -135,13 +135,13 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
     out.write_header(fname)
     w = SectionWriter(out)
 
+    from rucene_tpu.util.front_coding import encode_terms
+
     field_meta = []
     for fname_, pf in sorted(packed.fields.items(), key=lambda kv: kv[1].field_id):
         field_meta.append({"name": fname_, "field_id": pf.field_id})
-        offs, blob = _terms_to_arrays(pf.terms)
         pre = f"f{pf.field_id}."
-        w.add_npy(pre + "term_offsets", offs)
-        w.add_npy(pre + "term_bytes", blob)
+        w.add_npy(pre + "terms_fc", np.frombuffer(encode_terms(pf.terms), np.uint8).copy())
         w.add_npy(pre + "doc_freq", pf.doc_freq)
         w.add_npy(pre + "total_tf", pf.total_tf)
         w.add_npy(pre + "block_start", pf.block_start)
@@ -253,10 +253,15 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         )
         field_infos.by_name[info.name] = info
 
+    from rucene_tpu.util.front_coding import decode_terms
+
     fields: dict[str, PackedField] = {}
     for fm in meta["fields"]:
         pre = f"f{fm['field_id']}."
-        terms = _terms_from_arrays(r.npy(pre + "term_offsets"), r.npy(pre + "term_bytes"))
+        if (pre + "terms_fc") in r:
+            terms = decode_terms(r.npy(pre + "terms_fc").tobytes())
+        else:  # older files: raw offsets + bytes
+            terms = _terms_from_arrays(r.npy(pre + "term_offsets"), r.npy(pre + "term_bytes"))
         fields[fm["name"]] = PackedField(
             name=fm["name"],
             field_id=fm["field_id"],

@@ -131,20 +131,25 @@ def SortedSetDocValuesField(name: str, value: str) -> Field:
     return Field(name, str(value), SORTED_SET_DV_TYPE)
 
 
-INT_POINT_TYPE = FieldType(point_dimension_count=1, point_num_bytes=8, tokenized=False)
-FLOAT_POINT_TYPE = FieldType(point_dimension_count=1, point_num_bytes=8, tokenized=False)
+def IntPoint(name: str, *values: int) -> Field:
+    """1-8 dimensional numeric point for range queries (reference
+    point_range_query.rs:366; 1-D reduces to a sorted column, multi-dim to
+    a row scan — the BKD tree's roles without the tree)."""
+    if not 1 <= len(values) <= 8:
+        raise ValueError("points support 1-8 dimensions")
+    ft = FieldType(point_dimension_count=len(values), point_num_bytes=8, tokenized=False)
+    vals = tuple(int(v) for v in values)
+    return Field(name, vals if len(vals) > 1 else vals[0], ft)
 
 
-def IntPoint(name: str, value: int) -> Field:
-    """1-D numeric point for range queries (reference point_range_query.rs
-    IntPoint :37+; BKD reduces to a sorted column for the 1-D case)."""
-    return Field(name, int(value), INT_POINT_TYPE)
-
-
-def FloatPoint(name: str, value: float) -> Field:
-    """Floats map to sortable int64 via the same order-preserving trick as
+def FloatPoint(name: str, *values: float) -> Field:
+    """Floats map to sortable ints via the same order-preserving trick as
     Lucene's FloatPoint.encodeDimension."""
-    return Field(name, float(value), FLOAT_POINT_TYPE)
+    if not 1 <= len(values) <= 8:
+        raise ValueError("points support 1-8 dimensions")
+    ft = FieldType(point_dimension_count=len(values), point_num_bytes=8, tokenized=False)
+    vals = tuple(float(v) for v in values)
+    return Field(name, vals if len(vals) > 1 else vals[0], ft)
 
 
 def float_to_sortable_int(value: float) -> int:

@@ -215,10 +215,10 @@ class SegmentBuffer:
                 info.point_num_bytes = ft.point_num_bytes
                 from rucene_tpu.doc.field import float_to_sortable_int
 
-                enc = (
-                    float_to_sortable_int(f.value)
-                    if isinstance(f.value, float)
-                    else int(f.value)
+                raw = f.value if isinstance(f.value, tuple) else (f.value,)
+                enc = tuple(
+                    float_to_sortable_int(v) if isinstance(v, float) else int(v)
+                    for v in raw
                 )
                 self._points.setdefault(f.name, []).append((enc, doc_id))
 
@@ -289,9 +289,14 @@ class SegmentBuffer:
 
         points_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for field, pairs in self._points.items():
-            arr = np.asarray(pairs, dtype=np.int64)
-            order = np.lexsort((arr[:, 1], arr[:, 0]))
-            points_out[field] = (arr[order, 0], arr[order, 1].astype(np.int32))
+            vals = np.asarray([p[0] for p in pairs], dtype=np.int64)  # [N, D]
+            docs = np.asarray([p[1] for p in pairs], dtype=np.int64)
+            order = np.lexsort((docs,) + tuple(vals[:, j] for j in range(vals.shape[1] - 1, -1, -1)))
+            vals, docs = vals[order], docs[order]
+            if vals.shape[1] == 1:
+                points_out[field] = (vals[:, 0], docs.astype(np.int32))
+            else:
+                points_out[field] = (vals, docs.astype(np.int32))
 
         binary_out = {}
         for field, by_doc in self._binary_dv.items():

@@ -152,6 +152,16 @@ class SegmentSnapshot:
         if pt is None:
             return np.zeros(0, dtype=np.int64)
         vals, docs = pt
+        if vals.ndim == 2:  # multi-dim: per-point row scan over all dims
+            lo = lower if lower is not None else (None,) * vals.shape[1]
+            hi = upper if upper is not None else (None,) * vals.shape[1]
+            mask = np.ones(len(docs), dtype=bool)
+            for j in range(vals.shape[1]):
+                if lo[j] is not None:
+                    mask &= vals[:, j] >= lo[j]
+                if hi[j] is not None:
+                    mask &= vals[:, j] <= hi[j]
+            return np.unique(docs[mask]).astype(np.int64)
         lo = 0 if lower is None else int(np.searchsorted(vals, lower, side="left"))
         hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
         return np.unique(docs[lo:hi]).astype(np.int64)

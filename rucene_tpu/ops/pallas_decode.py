@@ -100,6 +100,9 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
 from functools import partial
 
 
+MAX_CHUNK = 8192  # scalar-prefetch arrays live in SMEM: 4 * 32KB per chunk
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def decode_work_items_pallas(
     data2d: jax.Array,  # int32[N/128, 128]; N 1024-aligned with >=2048 pad
@@ -110,8 +113,27 @@ def decode_work_items_pallas(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw (docs, freqs) int32[W,128]; caller applies count/validity masks.
-    W must be a multiple of G (work lists are power-of-two padded)."""
-    w = off.shape[0]
+    W must be a multiple of G (work lists are power-of-two padded). Large
+    work lists are split into MAX_CHUNK slices so per-item metadata fits
+    in SMEM."""
+    w_total = off.shape[0]
+    if w_total > MAX_CHUNK:
+        outs = [
+            decode_work_items_pallas(
+                data2d,
+                off[s : s + MAX_CHUNK],
+                dbits[s : s + MAX_CHUNK],
+                fbits[s : s + MAX_CHUNK],
+                base[s : s + MAX_CHUNK],
+                interpret=interpret,
+            )
+            for s in range(0, w_total, MAX_CHUNK)
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+        )
+    w = w_total
     assert w % G == 0, f"work list {w} not a multiple of {G}"
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -306,12 +306,17 @@ class PointRangeQuery(Query):
     upper: int | float | None
     boost: float = 1.0
 
-    def _encode(self, v) -> int | None:
+    def _encode(self, v):
         if v is None:
             return None
-        if isinstance(v, float):
-            from rucene_tpu.doc.field import float_to_sortable_int
+        from rucene_tpu.doc.field import float_to_sortable_int
 
+        if isinstance(v, tuple):
+            return tuple(
+                None if x is None else (float_to_sortable_int(x) if isinstance(x, float) else int(x))
+                for x in v
+            )
+        if isinstance(v, float):
             return float_to_sortable_int(v)
         return int(v)
 

@@ -105,6 +105,7 @@ def build_flat_work(
     item_slot = np.repeat(np.arange(len(bc)), bc)
     start_of = np.concatenate([[0], np.cumsum(bc)])[:-1]
     within = np.arange(n) - start_of[item_slot]
+    slot_flat = np.flatnonzero(sel)  # original (row*t + tslot) per slot
 
     w = next_pow2(max(n, 1), 8) if w_pad is None else w_pad  # floor 8: pallas G
     if n > w:
@@ -115,13 +116,15 @@ def build_flat_work(
     wi_fid = np.zeros(w, np.int32)
     wi_enc = np.zeros(w, np.int32)
     wi_valid = np.zeros(w, bool)
+    wi_tslot = np.zeros(w, np.int32)  # clause index (for block-max bounds)
     wi_block[:n] = bs[item_slot] + within
     wi_row[:n] = rows[item_slot]
     wi_weight[:n] = wsl[item_slot]
     wi_fid[:n] = fid[item_slot]
     wi_enc[:n] = enc[item_slot]
     wi_valid[:n] = True
-    return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n
+    wi_tslot[:n] = (slot_flat % t)[item_slot]
+    return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n, wi_tslot
 
 
 def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarray:
@@ -173,7 +176,11 @@ class IndexSearcher:
         return self.search(query, 1).total_hits
 
     def search_batch(
-        self, queries: list[Query], k: int = 10, timeout_s: float | None = None
+        self,
+        queries: list[Query],
+        k: int = 10,
+        timeout_s: float | None = None,
+        prune: bool = False,
     ) -> list[TopDocs]:
         """timeout_s: wall-clock budget; leaves not visited in time are
         skipped and results marked partial (reference collector/timeout.rs:
@@ -197,7 +204,7 @@ class IndexSearcher:
         host_idx = [i for i in range(len(queries)) if i not in set(device_idx)]
 
         if device_idx:
-            batch_res = self._search_device([rewritten[i] for i in device_idx], k)
+            batch_res = self._search_device([rewritten[i] for i in device_idx], k, prune=prune)
             for i, td in zip(device_idx, batch_res):
                 results[i] = td
         for i in host_idx:
@@ -243,7 +250,9 @@ class IndexSearcher:
         )
 
     # --- device path ---
-    def _search_device(self, rqs: list[RewrittenQuery], k: int) -> list[TopDocs]:
+    def _search_device(
+        self, rqs: list[RewrittenQuery], k: int, prune: bool = False
+    ) -> list[TopDocs]:
         sim = self.similarity
         doc_freqs, stats = self._gather_stats(rqs)
         b_actual = len(rqs)
@@ -262,36 +271,144 @@ class IndexSearcher:
                 break
             cache = build_leaf_cache(leaf, sim, stats)
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
-            wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, _ = build_flat_work(
-                block_start, block_count, weight, field_id, occur
-            )
-            fq = jax.device_put(
-                FlatQueryBatch(
-                    wi_block=wi_block,
-                    wi_row=wi_row,
-                    wi_weight=wi_weight,
-                    wi_fid=wi_fid,
-                    wi_enc=wi_enc,
-                    wi_valid=wi_valid,
-                    n_required=n_required,
-                    min_should=min_should,
-                    cache=cache,
-                )
-            )
-            res = execute_flat(leaf.device, fq, k=k, use_pallas=self._use_pallas)
+            work = build_flat_work(block_start, block_count, weight, field_id, occur)
+
+            if prune:
+                s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, rqs)
+            else:
+                s, d, h = self._run_work(leaf, work[:6], cache, n_required, min_should, k)
             if match_all_rows.any():
-                ms, mdoc, mh = execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
-                s, d, h = jax.device_get(res)
-                ms, mdoc, mh = np.asarray(ms), np.asarray(mdoc), np.asarray(mh)
+                ms, mdoc, mh = jax.device_get(
+                    execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
+                )
                 s = np.where(match_all_rows[:, None], ms, s)
                 d = np.where(match_all_rows[:, None], mdoc, d)
                 h = np.where(match_all_rows, mh, h)
-            else:
-                s, d, h = jax.device_get(res)  # one fused transfer
             for i in range(b_actual):
                 per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
 
         return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
+
+    def _run_work(self, leaf, arrays, cache, n_required, min_should, k):
+        """One executor dispatch for a (possibly subset) work list."""
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
+        fq = jax.device_put(
+            FlatQueryBatch(
+                wi_block=wi_block,
+                wi_row=wi_row,
+                wi_weight=wi_weight,
+                wi_fid=wi_fid,
+                wi_enc=wi_enc,
+                wi_valid=wi_valid,
+                n_required=n_required,
+                min_should=min_should,
+                cache=cache,
+            )
+        )
+        res = execute_flat(leaf.device, fq, k=k, use_pallas=self._use_pallas)
+        s, d, h = jax.device_get(res)
+        return np.asarray(s), np.asarray(d), np.asarray(h)
+
+    def _run_pruned(self, leaf, work, cache, n_required, min_should, k, rqs):
+        """Block-max (WAND-style) two-pass pruning for pure disjunctions
+        (the reference's skip-list role, SURVEY §5 'block-max metadata').
+
+        Pass 1 scores each prunable query's highest-upper-bound blocks to get
+        a score threshold t; remaining blocks with upper bound < t can never
+        enter the top-k (safe skip; ties kept via >=). Affected queries rerun
+        in full. total_hits is a lower bound for pruned queries (Lucene's
+        WAND reports GTE relations for the same reason)."""
+        from rucene_tpu.search.executor import ENC_SHOULD
+
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n_items, wi_tslot = work
+        w = len(wi_block)
+        b_rows = len(n_required)
+        packed = leaf.packed
+        # upper bound per item: w2 * bmf / (bmf + min cache value of field)
+        bmf = packed.blk_max_freq[np.clip(wi_block, 0, max(packed.num_blocks - 1, 0))].astype(
+            np.float32
+        )
+        cval_min = cache.min(axis=1)[np.clip(wi_fid, 0, cache.shape[0] - 1)]
+        with np.errstate(invalid="ignore"):
+            ub = np.where(wi_valid, wi_weight * bmf / (bmf + cval_min), -np.inf)
+
+        # WAND bound: a doc in a skipped block of clause c can still collect
+        # every OTHER clause's best-block contribution, so the skip test uses
+        # ub_item + sum_{c' != c} max_block_ub(c')  (merge_policy-free analog
+        # of the reference's WAND sum over scorer maxScores)
+        t_slots = int(wi_tslot.max()) + 1 if w else 1
+        clause_maxub = np.full((b_rows, t_slots), -np.inf, np.float32)
+        np.maximum.at(clause_maxub, (wi_row, wi_tslot), np.where(wi_valid, ub, -np.inf))
+        clause_maxub_pos = np.where(np.isfinite(clause_maxub), clause_maxub, 0.0)
+        row_ub_sum = clause_maxub_pos.sum(axis=1)
+        others_ub = row_ub_sum[wi_row] - clause_maxub_pos[wi_row, wi_tslot]
+        bound = ub + others_ub.astype(np.float32)
+
+        # prunable rows: pure disjunction, min_should <= 1
+        prunable_rows = (n_required == 0) & (min_should <= 1)
+        item_prunable = prunable_rows[wi_row] & wi_valid & (wi_enc == ENC_SHOULD)
+
+        # pass-1 selection: per row, highest-ub items until >= 4k docs seen
+        order = np.lexsort((-ub, wi_row))  # by row, ub desc
+        cnt_sorted = np.where(item_prunable[order], 128, 0)
+        row_sorted = wi_row[order]
+        csum = np.cumsum(cnt_sorted)
+        row_start = np.searchsorted(row_sorted, row_sorted, side="left")
+        # docs seen in this row up to and including this item
+        within = csum - csum[row_start] + cnt_sorted[row_start]
+        keep_sorted = within <= max(4 * k, 512)
+        pass1 = np.ones(w, dtype=bool)
+        sel_idx = order[item_prunable[order] & ~keep_sorted]
+        pass1[sel_idx] = False  # deferred items
+        pass1 &= wi_valid
+
+        if pass1.sum() == wi_valid.sum():  # nothing to prune
+            return self._run_work(
+                leaf, (wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid), cache,
+                n_required, min_should, k,
+            )
+
+        sub = self._subset_work(work, pass1)
+        s1, d1, h1 = self._run_work(leaf, sub, cache, n_required, min_should, k)
+        t = s1[:, k - 1] if k <= s1.shape[1] else np.full(s1.shape[0], -np.inf, np.float32)
+
+        survivors = (~pass1) & wi_valid & (bound >= t[wi_row])
+        affected = np.zeros(len(n_required), dtype=bool)
+        affected[wi_row[survivors]] = True
+        METRICS.incr("search.pruned_blocks", int(((~pass1) & wi_valid & ~survivors).sum()))
+        if not affected.any():
+            return s1, d1, h1
+        # rerun affected rows with their full work lists
+        full_mask = wi_valid & affected[wi_row]
+        sub2 = self._subset_work(work, full_mask)
+        s2, d2, h2 = self._run_work(leaf, sub2, cache, n_required, min_should, k)
+        out_s = np.where(affected[:, None], s2, s1)
+        out_d = np.where(affected[:, None], d2, d1)
+        out_h = np.where(affected, h2, h1)
+        return out_s, out_d, out_h
+
+    @staticmethod
+    def _subset_work(work, mask):
+        """Compact a work list to the masked items (power-of-two padded)."""
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+        idx = np.nonzero(mask)[0]
+        n = len(idx)
+        w = next_pow2(max(n, 1), 8)
+        out = (
+            np.zeros(w, np.int32),
+            np.zeros(w, np.int32),
+            np.zeros(w, np.float32),
+            np.zeros(w, np.int32),
+            np.zeros(w, np.int32),
+            np.zeros(w, bool),
+        )
+        out[0][:n] = wi_block[idx]
+        out[1][:n] = wi_row[idx]
+        out[2][:n] = wi_weight[idx]
+        out[3][:n] = wi_fid[idx]
+        out[4][:n] = wi_enc[idx]
+        out[5][:n] = True
+        return out
 
     # --- sorted search (reference sort_field machinery) ---
     def search_sorted(self, query: Query, k: int, sort) -> "TopFieldDocs":

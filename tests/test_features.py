@@ -137,3 +137,30 @@ def test_points_survive_disk_roundtrip(tmp_path, feature_searcher):
     np.testing.assert_array_equal(rt.points["price"][1], packed.points["price"][1])
     s2 = IndexSearcher(IndexReader([SegmentSnapshot("p0", rt)]))
     assert s2.search(PointRangeQuery("price", 10, 25), k=10).total_hits == 3
+
+
+def test_multi_dim_points():
+    from rucene_tpu.doc.field import IntPoint as IP
+
+    buf = SegmentBuffer()
+    pts = [(1, 10), (5, 50), (9, 90), (5, 95)]
+    for i, (x, y) in enumerate(pts):
+        d = Document()
+        d.add(StringField("id", str(i), stored=True))
+        d.add(IP("loc", x, y))
+        buf.add_document(d)
+    s = IndexSearcher(IndexReader([SegmentSnapshot("md", pack_segment(buf.finish()))]))
+    td = s.search(PointRangeQuery("loc", (2, 20), (9, 92)), k=10)
+    assert sorted(sd.doc for sd in td.score_docs) == [1, 2]
+    # open-ended on one dim
+    td2 = s.search(PointRangeQuery("loc", (5, None), (None, None)), k=10)
+    assert sorted(sd.doc for sd in td2.score_docs) == [1, 2, 3]
+    # doc with several points matches if ANY point is inside
+    buf2 = SegmentBuffer()
+    d = Document()
+    d.add(IP("loc", 0, 0))
+    d.add(IP("loc", 100, 100))
+    buf2.add_document(d)
+    s2 = IndexSearcher(IndexReader([SegmentSnapshot("md2", pack_segment(buf2.finish()))]))
+    assert s2.search(PointRangeQuery("loc", (99, 99), (101, 101)), k=5).total_hits == 1
+    assert s2.search(PointRangeQuery("loc", (40, 40), (60, 60)), k=5).total_hits == 0

@@ -101,3 +101,26 @@ def test_collapse():
         g = int(r.leaves[0].numeric_doc_values("group")[0][sd.doc])
         assert sd.doc == best_by_group[g].doc
     w.close()
+
+
+def test_index_lookup():
+    from rucene_tpu import TextField as TF
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.index_lookup import LeafIndexLookup
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+
+    buf = SegmentBuffer()
+    for t in ["alpha beta alpha", "beta gamma", "alpha"]:
+        d = Document()
+        d.add(TF("body", t, stored=True, term_vectors=True))
+        buf.add_document(d)
+    leaf = SegmentSnapshot("il", pack_segment(buf.finish()))
+    lookup = LeafIndexLookup(leaf)
+    t = lookup["body"]["alpha"]
+    assert t.df == 2 and t.ttf == 3
+    assert t.tf(0) == 2 and t.tf(1) == 0 and t.tf(2) == 1
+    ps = t.positions(0)
+    assert [p.position for p in ps] == [0, 2]
+    assert ps[0].start_offset == 0 and ps[0].end_offset == 5
+    assert lookup.field_statistics("body").doc_count == 3

@@ -64,3 +64,45 @@ def test_more_matches_than_k():
     assert td.total_hits > 5
     scores = [sd.score for sd in td.score_docs]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pruned_matches_exact():
+    """Block-max pruning must return the identical top-k (docs and scores)
+    as exhaustive evaluation; only total_hits may drop to a lower bound."""
+    rng = np.random.default_rng(404)
+    # skewed impact distribution: a few high-tf docs up front, a long tail
+    # of tf=1 blocks whose upper bound cannot reach the top-10 threshold
+    texts = ["boost boost boost boost boost pad pad pad" for _ in range(300)]
+    texts += ["boost pad pad pad pad pad pad pad" for _ in range(3700)]
+    texts += random_corpus(rng, 500)
+    s = _searcher(texts)
+    queries = [TermQuery(Term("body", "boost")), TermQuery(Term("body", "pad"))]
+    q_or = BooleanQuery()
+    q_or.should(TermQuery(Term("body", "boost")))
+    q_or.should(TermQuery(Term("body", "fox")))
+    queries.append(q_or)
+    exact = s.search_batch(queries, k=10)
+    pruned = s.search_batch(queries, k=10, prune=True)
+    for e, p in zip(exact, pruned):
+        assert [(sd.doc, sd.score) for sd in p.score_docs] == [
+            (sd.doc, sd.score) for sd in e.score_docs
+        ]
+        assert p.total_hits <= e.total_hits
+    from rucene_tpu.util.metrics import METRICS
+
+    assert METRICS.snapshot()["counters"].get("search.pruned_blocks", 0) > 0
+
+
+def test_pruned_safe_on_uniform_ties():
+    """Uniform corpora give every block the same upper bound: pruning must
+    detect the unsafe skip and fall back to full evaluation."""
+    rng = np.random.default_rng(405)
+    texts = random_corpus(rng, 3000)
+    s = _searcher(texts)
+    queries = [TermQuery(Term("body", w)) for w in ["the", "fox", "dog"]]
+    exact = s.search_batch(queries, k=10)
+    pruned = s.search_batch(queries, k=10, prune=True)
+    for e, p in zip(exact, pruned):
+        assert [(sd.doc, sd.score) for sd in p.score_docs] == [
+            (sd.doc, sd.score) for sd in e.score_docs
+        ]

@@ -78,3 +78,19 @@ def test_bits_required():
     assert bits_required(127) == 7
     assert bits_required(128) == 8
     assert bits_required(2**31 - 1) == 31
+
+
+def test_front_coding_roundtrip():
+    from rucene_tpu.util.front_coding import decode_terms, encode_terms
+
+    terms = sorted(
+        ["apple", "applesauce", "application", "banana", "band", "bandana", "café", "z" * 300]
+        + [f"prefix_shared_{i:04d}" for i in range(100)]
+    )
+    blob = encode_terms(terms)
+    assert decode_terms(blob) == terms
+    # compresses shared prefixes
+    raw = sum(len(t.encode()) for t in terms)
+    assert len(blob) < raw
+    assert decode_terms(encode_terms([])) == []
+    assert decode_terms(encode_terms(["only"])) == ["only"]
