@@ -13,6 +13,22 @@ design.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("RUCENE_TPU_NO_COMPILE_CACHE") != "1":
+    # Persistent XLA compile cache: executor shapes cost minutes to compile
+    # over remote-TPU links; caching makes every process after the first fast.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_comp")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from rucene_tpu.analysis import LowercaseWhitespaceAnalyzer, WhitespaceAnalyzer
 from rucene_tpu.doc import (
     Document,
