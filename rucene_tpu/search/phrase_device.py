@@ -1,0 +1,184 @@
+"""Device-side exact-phrase execution.
+
+reference: rucene src/core/search/scorer/phrase_scorer.rs:122
+(ExactPhraseScorer): conjunction of the phrase terms, then per-doc
+verification that positions line up consecutively; scoring is BM25 with
+freq = number of phrase occurrences.
+
+TPU shape of that pipeline, one jitted program per batch of phrase queries:
+
+  1. decode every (query, slot, block) work item of every phrase term
+     (slot = position of the term in the phrase), keeping per-lane position
+     offsets: blk_pos_base + running freq sum locates each (term, doc)'s
+     slice of the flat positions stream;
+  2. sort lanes by (row, doc, slot): a doc is a candidate iff its group has
+     one lane per slot (count == n_terms) — the conjunction;
+  3. compact candidates into a [C, NMAX] table (rank-scatter), gather each
+     slot's position window [C, NMAX, FMAX];
+  4. verify: phrase_freq(c) = |{p in slot0 positions : p + j in slot_j}|,
+     a static loop of vectorized membership tests;
+  5. BM25 with tf = phrase_freq, then the exact candidate top-k.
+
+Static capacity knobs (C candidates, FMAX positions/term/doc) bound the
+shapes; rows that overflow either are flagged and re-run on the host
+engine, so results stay exact for every input.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rucene_tpu.codec.device import DeviceSegment
+from rucene_tpu.ops.decode import decode_doc_blocks, decode_freq_blocks
+
+NMAX = 8  # max phrase length (terms); longer -> host
+DOC_PAD = jnp.int32(2**31 - 1)
+
+
+class PhraseBatch(NamedTuple):
+    wi_block: jax.Array  # i32[W] block id
+    wi_row: jax.Array  # i32[W] query row
+    wi_slot: jax.Array  # i32[W] term position within the phrase
+    wi_valid: jax.Array  # bool[W]
+    n_terms: jax.Array  # i32[B]
+    weight: jax.Array  # f32[B] = boost * sum(idf) * (k1+1)
+    fid: jax.Array  # i32[B] field row (cache/norms)
+    cache: jax.Array  # f32[F,256]
+
+
+def execute_phrases_impl(
+    dev: DeviceSegment, pb: PhraseBatch, k: int, cand_cap: int, fmax: int
+):
+    """Returns (scores f32[B,k], docs i32[B,k], hits i32[B], overflow bool[B])."""
+    b = pb.n_terms.shape[0]
+    md = dev.max_doc_padded
+
+    blk = pb.wi_block
+    off = dev.blk_off[blk]
+    dbits = dev.blk_doc_bits[blk]
+    fbits = dev.blk_freq_bits[blk]
+    base = dev.blk_base[blk]
+    cnt = jnp.where(pb.wi_valid, dev.blk_count[blk], 0)
+    pos_base = dev.blk_pos_base[blk]
+
+    docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
+    freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+    # per-lane start into the positions stream
+    pos_off = pos_base[:, None] + (jnp.cumsum(freqs, axis=1) - freqs)
+
+    # ---- flatten lanes and group by (row, doc) ----
+    l = docs.size
+    f_row = jnp.broadcast_to(pb.wi_row[:, None], docs.shape).reshape(-1)
+    f_slot = jnp.broadcast_to(pb.wi_slot[:, None], docs.shape).reshape(-1)
+    f_doc = jnp.where(valid, docs, DOC_PAD).reshape(-1)
+    f_pos = pos_off.reshape(-1)
+    f_freq = freqs.reshape(-1)
+    f_ok = valid.reshape(-1) & dev.live[jnp.clip(f_doc, 0, md - 1)] & (f_doc < md)
+
+    key_row = jnp.where(f_ok, f_row, jnp.int32(b))
+    key_doc = jnp.where(f_ok, f_doc, DOC_PAD)
+    s_row, s_doc, s_slot, s_pos, s_freq = jax.lax.sort(
+        (key_row, key_doc, f_slot, f_pos, f_freq), num_keys=3, dimension=-1
+    )
+
+    # group extents: a candidate group has exactly n_terms lanes, slots 0..n-1
+    prev_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_row[:-1]])
+    prev_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_doc[:-1]])
+    is_start = (s_row < b) & ((s_row != prev_row) | (s_doc != prev_doc))
+    # group id = cumsum of starts - 1
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    gid = jnp.where((s_row < b), gid, cand_cap + 1)  # park padding lanes
+    # count lanes per group; candidate iff count == n_terms[row]
+    grp_count = (
+        jnp.zeros((cand_cap + 2,), jnp.int32)
+        .at[jnp.clip(gid, 0, cand_cap + 1)]
+        .add(jnp.where(s_row < b, 1, 0), mode="drop")
+    )
+    # scatter group tables
+    grp_row = jnp.full((cand_cap + 2,), b, jnp.int32).at[
+        jnp.where(is_start, jnp.clip(gid, 0, cand_cap + 1), cand_cap + 1)
+    ].set(s_row, mode="drop")
+    grp_doc = jnp.full((cand_cap + 2,), DOC_PAD).at[
+        jnp.where(is_start, jnp.clip(gid, 0, cand_cap + 1), cand_cap + 1)
+    ].set(s_doc, mode="drop")
+    # per-slot pos/freq: index by (gid, slot of lane within phrase)
+    tbl_pos = jnp.zeros((cand_cap + 2, NMAX), jnp.int32).at[
+        jnp.clip(gid, 0, cand_cap + 1), jnp.clip(s_slot, 0, NMAX - 1)
+    ].set(s_pos, mode="drop")
+    tbl_freq = jnp.zeros((cand_cap + 2, NMAX), jnp.int32).at[
+        jnp.clip(gid, 0, cand_cap + 1), jnp.clip(s_slot, 0, NMAX - 1)
+    ].set(s_freq, mode="drop")
+
+    c_row = grp_row[:cand_cap]
+    c_doc = grp_doc[:cand_cap]
+    c_ok = (c_row < b) & (grp_count[:cand_cap] == pb.n_terms[jnp.clip(c_row, 0, b - 1)])
+
+    # overflow handling: too many groups, or any candidate occurrence count
+    # beyond FMAX -> that row must be recomputed on the host
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
+    too_many = n_groups > cand_cap
+    freq_over = jnp.zeros((b + 1,), jnp.bool_).at[jnp.clip(c_row, 0, b)].max(
+        c_ok & (jnp.max(tbl_freq[:cand_cap], axis=1) > fmax), mode="drop"
+    )
+    overflow = freq_over[:b] | too_many
+
+    # ---- position windows + verification ----
+    fidx = jnp.arange(fmax, dtype=jnp.int32)
+    pidx = tbl_pos[:cand_cap, :, None] + fidx[None, None, :]  # [C, NMAX, FMAX]
+    pvalid = fidx[None, None, :] < tbl_freq[:cand_cap, :, None]
+    pos_limit = dev.positions.shape[0] - 1
+    pwin = dev.positions[jnp.clip(pidx, 0, pos_limit)]
+    pwin = jnp.where(pvalid, pwin, jnp.int32(-(2**30)))
+
+    base_pos = pwin[:, 0, :]  # [C, FMAX] slot-0 positions
+    base_valid = pvalid[:, 0, :]
+    match_f0 = base_valid
+    for j in range(1, NMAX):
+        need = (jnp.int32(j) < pb.n_terms[jnp.clip(c_row, 0, b - 1)])[:, None]
+        hit = jnp.any(
+            pwin[:, j, None, :] == (base_pos[:, :, None] + j), axis=-1
+        )  # [C, FMAX]
+        match_f0 = match_f0 & jnp.where(need, hit, True)
+    pf = jnp.sum(match_f0 & base_valid, axis=1).astype(jnp.float32)  # [C]
+
+    # ---- BM25 with tf = phrase_freq ----
+    safe_row = jnp.clip(c_row, 0, b - 1)
+    safe_doc = jnp.clip(c_doc, 0, md - 1)
+    norm_b = dev.norms.reshape(-1)[pb.fid[safe_row] * md + safe_doc].astype(jnp.int32)
+    cval = pb.cache.reshape(-1)[pb.fid[safe_row] * 256 + norm_b]
+    score = pb.weight[safe_row] * pf / (pf + cval)
+    matched = c_ok & (pf > 0)
+
+    # ---- exact per-row top-k over candidates ----
+    key_r = jnp.where(matched, c_row, jnp.int32(b))
+    key_s = jnp.where(matched, -score, jnp.inf)
+    key_d = jnp.where(matched, c_doc, DOC_PAD)
+    o_row, o_negs, o_doc = jax.lax.sort((key_r, key_s, key_d), num_keys=3)
+    pr = jnp.concatenate([jnp.full((1,), -1, jnp.int32), o_row[:-1]])
+    fresh = o_row < b  # docs unique per row already
+    fint = fresh.astype(jnp.int32)
+    c_excl = jnp.cumsum(fint) - fint
+    idx = jnp.arange(cand_cap, dtype=jnp.int32)
+    row_change = o_row != pr
+    row_start = jax.lax.associative_scan(jnp.maximum, jnp.where(row_change, idx, 0))
+    rank = c_excl - jnp.take(c_excl, row_start)
+    sel = fresh & (rank < k)
+    out_scores = jnp.full((b, k), -jnp.inf, jnp.float32).at[
+        jnp.where(sel, o_row, b), jnp.where(sel, rank, 0)
+    ].set(-o_negs, mode="drop")
+    out_docs = jnp.full((b, k), DOC_PAD).at[
+        jnp.where(sel, o_row, b), jnp.where(sel, rank, 0)
+    ].set(o_doc, mode="drop")
+    hits = jnp.zeros((b,), jnp.int32).at[jnp.where(fresh, o_row, b)].add(
+        jnp.ones_like(o_row), mode="drop"
+    )
+    return out_scores, out_docs, hits, overflow
+
+
+execute_phrases = jax.jit(
+    execute_phrases_impl, static_argnames=("k", "cand_cap", "fmax")
+)

@@ -201,11 +201,24 @@ class IndexSearcher:
             and not rq.groups
             and not (rq.match_all and rq.clauses)
         ]
-        host_idx = [i for i in range(len(queries)) if i not in set(device_idx)]
+        phrase_idx = [
+            i
+            for i, rq in enumerate(rewritten)
+            if i not in set(device_idx) and self._phrase_device_eligible(rq)
+        ]
+        host_idx = [
+            i for i in range(len(queries)) if i not in set(device_idx) | set(phrase_idx)
+        ]
 
         if device_idx:
             batch_res = self._search_device([rewritten[i] for i in device_idx], k, prune=prune)
             for i, td in zip(device_idx, batch_res):
+                results[i] = td
+        if phrase_idx:
+            ph_res = self._search_phrases_device(
+                [queries[i] for i in phrase_idx], [rewritten[i] for i in phrase_idx], k
+            )
+            for i, td in zip(phrase_idx, ph_res):
                 results[i] = td
         for i in host_idx:
             results[i] = self._search_host(queries[i], k)
@@ -620,6 +633,102 @@ class IndexSearcher:
             return no_match(f"doc {doc} does not match the query")
         total = float(np.float32(sum(np.float32(d.value) for d in details)))
         return Explanation(True, total, "sum of:", details)
+
+    # --- device phrase path ---
+    def _phrase_device_eligible(self, rq) -> bool:
+        from rucene_tpu.search.phrase_device import NMAX
+
+        return (
+            rq is not None
+            and len(rq.phrases) == 1
+            and not rq.clauses
+            and not rq.ranges
+            and not rq.groups
+            and not rq.match_all
+            and 2 <= len(rq.phrases[0][1]) <= NMAX
+        )
+
+    def _search_phrases_device(self, queries, rqs, k: int) -> list[TopDocs]:
+        """Batch of pure PhraseQueries on the device pipeline; rows flagged
+        overflow (too many candidates / occurrences) rerun on the host."""
+        from rucene_tpu.search.phrase_device import PhraseBatch, execute_phrases
+
+        sim = self.similarity
+        doc_freqs, stats = self._gather_stats(rqs)
+        b_actual = len(rqs)
+        b_pad = next_pow2(b_actual, 1)
+
+        n_terms = np.zeros(b_pad, np.int32)
+        weight = np.zeros(b_pad, np.float32)
+        for i, rq in enumerate(rqs):
+            field, terms, boost = rq.phrases[0]
+            st = stats[field]
+            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                idf_sum = np.float32(idf_sum + sim.idf(doc_freqs[(field, t)], doc_count))
+            w = np.float32(idf_sum * np.float32(boost))
+            weight[i] = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))
+            n_terms[i] = len(terms)
+
+        per_query_leaf = [[] for _ in range(b_actual)]
+        for leaf in self.reader.leaves:
+            cache = build_leaf_cache(leaf, sim, stats)
+            fid = np.zeros(b_pad, np.int32)
+            items = []  # (block, row, slot)
+            n_lanes = 0
+            for i, rq in enumerate(rqs):
+                field, terms, _ = rq.phrases[0]
+                pf = leaf.packed.fields.get(field)
+                if pf is None:
+                    continue
+                fid[i] = pf.field_id
+                for j, t in enumerate(terms):
+                    rec = leaf.term_record(field, t)
+                    if rec is None:
+                        continue
+                    for bblk in range(rec.block_start, rec.block_start + rec.block_count):
+                        items.append((bblk, i, j))
+                        n_lanes += 1
+            w_pad = next_pow2(max(len(items), 1), 8)
+            wi_block = np.zeros(w_pad, np.int32)
+            wi_row = np.zeros(w_pad, np.int32)
+            wi_slot = np.zeros(w_pad, np.int32)
+            wi_valid = np.zeros(w_pad, bool)
+            for x, (bb, rr, ss) in enumerate(items):
+                wi_block[x], wi_row[x], wi_slot[x] = bb, rr, ss
+                wi_valid[x] = True
+
+            # candidates <= lanes; cap the verification table, overflow -> host
+            cand_cap = min(w_pad * 128, 65536)
+            pb = jax.device_put(
+                PhraseBatch(
+                    wi_block=wi_block,
+                    wi_row=wi_row,
+                    wi_slot=wi_slot,
+                    wi_valid=wi_valid,
+                    n_terms=n_terms,
+                    weight=weight,
+                    fid=fid,
+                    cache=cache,
+                )
+            )
+            s, d, h, ov = jax.device_get(
+                execute_phrases(leaf.device, pb, k=k, cand_cap=cand_cap, fmax=32)
+            )
+            METRICS.incr("search.phrase_device", b_actual)
+            for i in range(b_actual):
+                if ov[i]:
+                    # exact fallback for this row on this leaf
+                    METRICS.incr("search.phrase_host_fallback")
+                    m, acc = host_engine.evaluate_query(
+                        leaf, queries[i], sim, stats, doc_freqs
+                    )
+                    hh = host_engine.hits_from_dense(leaf, m, acc, k)
+                    per_query_leaf[i].append((leaf.doc_base, hh.docs, hh.scores, hh.total_hits))
+                else:
+                    per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
+        return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
 
     # --- host path (phrases, ranges, groups, spans, dismax) ---
     def _search_host(self, query: Query, k: int) -> TopDocs:
