@@ -1,0 +1,77 @@
+"""Whole-segment columnar postings decode (host, vectorized numpy).
+
+Merging re-reads every posting of every term (reference SegmentMerger
+drives codec readers the same way, segment_merger.rs:36). Doing that via
+per-term block loops is Python-bound; here all blocks of a segment decode
+in a handful of vectorized passes — blocks grouped by bit width so each
+group unpacks as one strided numpy operation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rucene_tpu.codec.postings import PackedSegment
+from rucene_tpu.util.packing import BLOCK_SIZE
+
+
+def read_all_postings(packed: PackedSegment) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode every block: returns (docs i64[NB,128], freqs i64[NB,128],
+    valid bool[NB,128]) in block order (term-major)."""
+    nb = packed.num_blocks
+    docs = np.zeros((nb, BLOCK_SIZE), np.int64)
+    freqs = np.zeros((nb, BLOCK_SIZE), np.int64)
+    lane = np.arange(BLOCK_SIZE)
+    valid = lane[None, :] < packed.blk_count[:, None]
+    if nb == 0:
+        return docs, freqs, valid
+
+    data = packed.data.astype(np.uint64)
+    padded = np.concatenate([data, np.zeros(1, np.uint64)])
+
+    def unpack_group(offs: np.ndarray, bits: int) -> np.ndarray:
+        """Unpack len(offs) blocks at one fixed width: [G, 128] uint64."""
+        bitpos = lane[None, :] * bits  # [1,128]
+        widx = offs[:, None] + (bitpos >> 5)
+        shift = (bitpos & 31).astype(np.uint64)
+        lo = padded[widx] >> shift
+        hi = np.where(
+            shift == 0, np.uint64(0), padded[np.minimum(widx + 1, len(padded) - 1)] << (np.uint64(32) - shift)
+        )
+        mask = np.uint64(0xFFFFFFFF) if bits == 32 else (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
+        return (lo | hi) & mask
+
+    blk_off = packed.blk_off.astype(np.int64)
+    for bits in np.unique(packed.blk_doc_bits):
+        sel = np.flatnonzero(packed.blk_doc_bits == bits)
+        deltas = unpack_group(blk_off[sel], int(bits)).astype(np.int64)
+        docs[sel] = packed.blk_base[sel, None] + np.cumsum(deltas, axis=1)
+    for bits in np.unique(packed.blk_freq_bits):
+        sel = np.flatnonzero(packed.blk_freq_bits == bits)
+        offs = blk_off[sel] + 4 * packed.blk_doc_bits[sel].astype(np.int64)
+        freqs[sel] = unpack_group(offs, int(bits)).astype(np.int64)
+
+    docs[~valid] = -1
+    freqs[~valid] = 0
+    return docs, freqs, valid
+
+
+def segment_postings_columnar(packed: PackedSegment):
+    """Flatten the whole segment to columnar postings:
+    (field_name[] aligned with gterm ranges is the caller's business)
+    returns per-global-term CSR: (post_start i64[T+1], docs i64[P],
+    freqs i64[P]) in global term order."""
+    docs_b, freqs_b, valid = read_all_postings(packed)
+    # blocks are laid out term-major; valid lanes concatenate to postings
+    flat_docs = docs_b[valid]
+    flat_freqs = freqs_b[valid]
+    # per-term extents from doc_freq
+    t_total = sum(len(pf.terms) for pf in packed.fields.values())
+    df = np.zeros(t_total, np.int64)
+    pos = 0
+    for name in sorted(packed.fields, key=lambda n: packed.fields[n].field_id):
+        pf = packed.fields[name]
+        df[pos : pos + len(pf.terms)] = pf.doc_freq
+        pos += len(pf.terms)
+    post_start = np.concatenate([[0], np.cumsum(df)])
+    return post_start, flat_docs, flat_freqs

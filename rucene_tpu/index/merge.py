@@ -51,52 +51,104 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
     terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
     stats_out: dict[str, FieldStats] = {}
 
+    # one vectorized whole-segment decode per snapshot, shared across fields
+    from rucene_tpu.codec.bulk_read import segment_postings_columnar
+
+    columnar = [segment_postings_columnar(s.packed) for s in snapshots]
+    # per snapshot: global-term offset of each field (field_id order)
+    field_tbase = []
+    for snap in snapshots:
+        offs = {}
+        pos = 0
+        for name in sorted(snap.packed.fields, key=lambda n: snap.packed.fields[n].field_id):
+            offs[name] = pos
+            pos += len(snap.packed.fields[name].terms)
+        field_tbase.append(offs)
+
     for field in all_fields:
-        # k-way merge of sorted term lists
-        heads: list[tuple[str, int]] = []  # (term, seg_idx)
-        iters = []
+        # union of sorted term lists
+        import heapq
+
+        seg_terms = [
+            snap.packed.fields[field].terms if field in snap.packed.fields else []
+            for snap in snapshots
+        ]
+        union: list[str] = []
+        for t in heapq.merge(*seg_terms):
+            if not union or union[-1] != t:
+                union.append(t)
+        umap_cache = {t: i for i, t in enumerate(union)}
+
+        tid_parts, doc_parts, freq_parts, posrun_parts, poslen_parts = [], [], [], [], []
+        pos_offset = 0
+        pos_arrays = []
         for si, snap in enumerate(snapshots):
             pf = snap.packed.fields.get(field)
-            iters.append(iter(pf.terms) if pf is not None else iter(()))
-        for si, it in enumerate(iters):
-            t = next(it, None)
-            if t is not None:
-                heapq.heappush(heads, (t, si))
+            seg_positions = snap.packed.positions
+            if pf is None:
+                continue
+            post_start, docs_all, freqs_all = columnar[si]
+            t0 = field_tbase[si][field]
+            s0, e0 = int(post_start[t0]), int(post_start[t0 + len(pf.terms)])
+            fdocs = docs_all[s0:e0]
+            ffreqs = freqs_all[s0:e0]
+            df = pf.doc_freq.astype(np.int64)
+            # per-posting local term ord and union term id
+            tid_local = np.repeat(np.arange(len(pf.terms)), df)
+            remap = np.fromiter((umap_cache[t] for t in pf.terms), np.int64, len(pf.terms))
+            tids = remap[tid_local]
+            # per-posting position run starts (within this segment's stream)
+            cf = np.cumsum(ffreqs) - ffreqs
+            term_first = np.concatenate([[0], np.cumsum(df)])[:-1]
+            within = cf - np.repeat(cf[term_first] if len(cf) else np.zeros(0, np.int64), df)
+            run_start = np.repeat(pf.pos_start.astype(np.int64), df) + within + pos_offset
+            # live filter + doc remap
+            keep = masks[si][fdocs]
+            tid_parts.append(tids[keep])
+            doc_parts.append(maps[si][fdocs[keep]])
+            freq_parts.append(ffreqs[keep])
+            posrun_parts.append(run_start[keep])
+            poslen_parts.append(ffreqs[keep])
+            pos_arrays.append(seg_positions)
+            pos_offset += len(seg_positions)
 
-        fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         st = FieldStats()
-        while heads:
-            term = heads[0][0]
-            segs_with_term = []
-            while heads and heads[0][0] == term:
-                _, si = heapq.heappop(heads)
-                segs_with_term.append(si)
-                nxt = next(iters[si], None)
-                if nxt is not None:
-                    heapq.heappush(heads, (nxt, si))
-            docs_parts, freqs_parts, pos_parts = [], [], []
-            for si in sorted(segs_with_term):
-                snap = snapshots[si]
-                docs, freqs, pos = snap.read_postings(field, term, with_positions=True)
-                keep = masks[si][docs]
-                if not keep.any():
+        if tid_parts:
+            tids = np.concatenate(tid_parts)
+            ndocs = np.concatenate(doc_parts)
+            nfreqs = np.concatenate(freq_parts)
+            runs = np.concatenate(posrun_parts)
+            order = np.lexsort((ndocs, tids))
+            tids = tids[order]
+            ndocs = ndocs[order].astype(np.int32)
+            nfreqs_i64 = nfreqs[order]
+            runs = runs[order]
+            nfreqs = nfreqs_i64.astype(np.int32)
+            pos_all = (
+                np.concatenate(pos_arrays) if pos_arrays else np.zeros(0, np.int32)
+            )
+            # gather position runs in merged posting order
+            total_pos = int(nfreqs_i64.sum())
+            if total_pos:
+                bases = np.concatenate([[0], np.cumsum(nfreqs_i64)])[:-1]
+                idx = np.repeat(runs - bases, nfreqs_i64) + np.arange(total_pos)
+                mpos = pos_all[idx].astype(np.int32)
+            else:
+                mpos = np.zeros(0, np.int32)
+            # CSR per union term
+            final_df = np.bincount(tids, minlength=len(union)).astype(np.int64)
+            pstart = np.concatenate([[0], np.cumsum(final_df)])
+            fstart = np.concatenate([[0], np.cumsum(nfreqs_i64)])
+            fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for u, term in enumerate(union):
+                a, z = int(pstart[u]), int(pstart[u + 1])
+                if a == z:
                     continue
-                docs_k = maps[si][docs[keep]]
-                freqs_k = freqs[keep]
-                # positions: per-doc runs of length freq
-                run_id = np.repeat(np.arange(len(docs)), freqs)
-                pos_keep = keep[run_id]
-                docs_parts.append(docs_k)
-                freqs_parts.append(freqs_k)
-                pos_parts.append(pos[pos_keep])
-            if docs_parts:
-                d = np.concatenate(docs_parts)
-                f = np.concatenate(freqs_parts)
-                p = np.concatenate(pos_parts)
-                fout[term] = (d.astype(np.int32), f.astype(np.int32), p.astype(np.int32))
-                st.sum_doc_freq += len(d)
-        if fout:
-            terms_out[field] = fout
+                # zero-copy views into the columnar arrays
+                fout[term] = (ndocs[a:z], nfreqs[a:z], mpos[int(fstart[a]) : int(fstart[z])])
+                st.sum_doc_freq += z - a
+            if fout:
+                terms_out[field] = fout
         stats_out[field] = st
 
     # norms / stored / dv: live-filtered concat

@@ -403,8 +403,10 @@ class IndexWriter:
 
     def _do_merge(self, names: list[str]) -> None:
         METRICS.incr("writer.merges")
-        by_name = {i.name: i for i in self._infos.segments}
-        infos = [by_name[n] for n in names if n in by_name]
+        # merge in segment order so concatenation preserves doc ids when
+        # nothing is deleted (the policy may have selected by size)
+        wanted = set(names)
+        infos = [i for i in self._infos.segments if i.name in wanted]
         if len(infos) < 2:
             return
         snaps = [self._snapshot(i) for i in infos]
