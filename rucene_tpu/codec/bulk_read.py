@@ -75,3 +75,51 @@ def segment_postings_columnar(packed: PackedSegment):
         pos += len(pf.terms)
     post_start = np.concatenate([[0], np.cumsum(df)])
     return post_start, flat_docs, flat_freqs
+
+
+def decode_all_positions(packed: PackedSegment, flat_freqs: np.ndarray) -> np.ndarray:
+    """Decode the whole segment's positions back to absolute values in global
+    occurrence order (merge path). flat_freqs = per-posting freqs in global
+    term order (from segment_postings_columnar) — they delimit the per-doc
+    delta runs. Vectorized: occurrences grouped by per-term width."""
+    # per-term width/word-start/ttf in global term order
+    widths, wstarts, ttfs, pstarts = [], [], [], []
+    for name in sorted(packed.fields, key=lambda n: packed.fields[n].field_id):
+        pf = packed.fields[name]
+        widths.append(pf.pos_width.astype(np.int64))
+        wstarts.append(pf.pos_word_start.astype(np.int64))
+        ttfs.append(pf.total_tf.astype(np.int64))
+        pstarts.append(pf.pos_start.astype(np.int64))
+    if not widths:
+        return np.zeros(0, np.int64)
+    width = np.concatenate(widths)
+    wstart = np.concatenate(wstarts)
+    ttf = np.concatenate(ttfs)
+    pstart = np.concatenate(pstarts)
+    total = int(ttf.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+
+    occ_term = np.repeat(np.arange(len(ttf)), ttf)
+    within = np.arange(total) - pstart[occ_term]
+    deltas = np.zeros(total, np.int64)
+    padded = np.concatenate([packed.positions.astype(np.uint64), np.zeros(1, np.uint64)])
+    for wb in np.unique(width[ttf > 0]):
+        sel = np.flatnonzero(width[occ_term] == wb)
+        bitpos = within[sel] * int(wb)
+        widx = wstart[occ_term[sel]] + (bitpos >> 5)
+        shift = (bitpos & 31).astype(np.uint64)
+        lo = padded[widx] >> shift
+        hi = np.where(
+            shift == 0,
+            np.uint64(0),
+            padded[np.minimum(widx + 1, len(padded) - 1)] << (np.uint64(32) - shift),
+        )
+        mask = np.uint64(0xFFFFFFFF) if wb == 32 else (np.uint64(1) << np.uint64(wb)) - np.uint64(1)
+        deltas[sel] = ((lo | hi) & mask).astype(np.int64)
+
+    # deltas -> absolute per doc run
+    c = np.cumsum(deltas)
+    run_start = np.concatenate([[0], np.cumsum(flat_freqs)])[:-1].astype(np.int64)
+    base = c[run_start] - deltas[run_start]
+    return c - np.repeat(base, flat_freqs)

@@ -30,8 +30,8 @@ class DeviceSegment(NamedTuple):
     blk_max_freq: jnp.ndarray  # i32[NBp]
     norms: jnp.ndarray  # u8[F, MDp] (omit-norms fields: zero rows)
     live: jnp.ndarray  # bool[MDp]  (padding docs are dead)
-    positions: jnp.ndarray  # i32[Pp] absolute positions per occurrence
-    blk_pos_base: jnp.ndarray  # i32[NBp] global occurrence index of block start
+    positions: jnp.ndarray  # u32[Pp] packed per-term position-delta streams
+    blk_pos_base: jnp.ndarray  # i32[NBp] within-term occurrence index of block start
 
     @property
     def max_doc_padded(self) -> int:
@@ -101,7 +101,7 @@ def build_device_segment(
         blk_max_freq=conv(_pad1(packed.blk_max_freq, nbp)),
         norms=conv(norms),
         live=conv(live_arr),
-        positions=conv(_pad1(packed.positions.astype(np.int32), npp, -1)),
+        positions=conv(_pad1(packed.positions.astype(np.uint32), npp, 0)),
         blk_pos_base=conv(_pad1(blk_pos_base.astype(np.int32), nbp)),
     )
 

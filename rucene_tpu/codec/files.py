@@ -147,6 +147,8 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
         w.add_npy(pre + "block_start", pf.block_start)
         w.add_npy(pre + "block_count", pf.block_count)
         w.add_npy(pre + "pos_start", pf.pos_start)
+        w.add_npy(pre + "pos_width", pf.pos_width)
+        w.add_npy(pre + "pos_word_start", pf.pos_word_start)
 
     infos = [
         {
@@ -272,6 +274,10 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
             block_start=r.npy(pre + "block_start"),
             block_count=r.npy(pre + "block_count"),
             pos_start=r.npy(pre + "pos_start"),
+            pos_width=r.npy(pre + "pos_width") if (pre + "pos_width") in r else None,
+            pos_word_start=(
+                r.npy(pre + "pos_word_start") if (pre + "pos_word_start") in r else None
+            ),
         )
 
     stats = {

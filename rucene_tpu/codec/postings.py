@@ -50,7 +50,9 @@ class PackedField:
     total_tf: np.ndarray  # i64[T]
     block_start: np.ndarray  # i32[T] into the segment-global block tables
     block_count: np.ndarray  # i32[T]
-    pos_start: np.ndarray  # i64[T] occurrence offset into positions stream
+    pos_start: np.ndarray  # i64[T] global occurrence index of the term's first position
+    pos_width: np.ndarray | None = None  # i32[T] bits per packed position delta
+    pos_word_start: np.ndarray | None = None  # i64[T] word offset of the term's stream
 
 
 @dataclass
@@ -66,9 +68,11 @@ class PackedSegment:
     blk_base: np.ndarray  # i32[NB] doc id preceding the block (-1 at list head)
     blk_count: np.ndarray  # i32[NB]
     blk_max_freq: np.ndarray  # i32[NB]
-    blk_pos_base: np.ndarray  # i32[NB] global occurrence index of block's first occurrence
+    blk_pos_base: np.ndarray  # i32[NB] WITHIN-TERM occurrence index of block's first occurrence
     data: np.ndarray  # u32[W]
-    positions: np.ndarray  # i32[P]
+    # positions: within-doc deltas (first value = absolute position) packed at
+    # a fixed per-term width into word-aligned per-term streams
+    positions: np.ndarray  # u32[Pw] packed words
     norms: dict[str, np.ndarray]  # field -> u8[max_doc]
     stored: list[dict[str, object]]
     numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]]
@@ -131,13 +135,13 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         docs = np.concatenate(docs_parts).astype(np.int64)
         freqs = np.concatenate(freqs_parts).astype(np.int64)
         positions = (
-            np.concatenate(pos_parts).astype(np.int32) if pos_parts else np.zeros(0, np.int32)
+            np.concatenate(pos_parts).astype(np.int64) if pos_parts else np.zeros(0, np.int64)
         )
         df = np.asarray(df_list, dtype=np.int64)
     else:
         docs = np.zeros(0, np.int64)
         freqs = np.zeros(0, np.int64)
-        positions = np.zeros(0, np.int32)
+        positions = np.zeros(0, np.int64)
         df = np.zeros(0, np.int64)
 
     n_post = len(docs)
@@ -185,10 +189,12 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         blk_count = np.zeros(nb_total, dtype=np.int64)
         np.add.at(blk_count, gblk, 1)
 
-        # occurrence offset of each block's first posting (for positions)
+        # within-term occurrence offset of each block's first posting
         cumfreq_excl = np.concatenate([[0], np.cumsum(freqs)])[:-1]
         blk_pos_base = np.zeros(nb_total, dtype=np.int64)
-        blk_pos_base[gblk[first_lane]] = cumfreq_excl[first_lane]
+        blk_pos_base[gblk[first_lane]] = (
+            cumfreq_excl[first_lane] - pos_start_per_term[term_of_post[first_lane]]
+        )
 
         # word layout: [doc words | freq words] per block
         words_per_blk = 4 * (blk_doc_bits.astype(np.int64) + blk_freq_bits.astype(np.int64))
@@ -200,6 +206,37 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         _scatter_pack(out, dvals, blk_doc_bits, blk_off)
         _scatter_pack(out, fvals, blk_freq_bits, blk_off + 4 * blk_doc_bits.astype(np.int64))
         data = out.astype(np.uint32)
+
+        # --- positions: within-doc deltas at fixed per-term width ---
+        n_occ = len(positions)
+        pos_width = np.ones(len(df), np.int32)
+        if n_occ:
+            occ_term = np.repeat(np.arange(len(df)), tf_per_term)
+            run_first = np.zeros(n_occ, dtype=bool)
+            run_first[cumfreq_excl] = True
+            prev_pos = np.empty(n_occ, dtype=np.int64)
+            prev_pos[1:] = positions[:-1]
+            prev_pos[0] = 0
+            pdelta = np.where(run_first, positions, positions - prev_pos)
+            if np.any(pdelta < 0):
+                raise ValueError("positions must be non-decreasing within a doc")
+            np.maximum.at(pos_width, occ_term, _bits_for(pdelta))
+            words_per_term = (tf_per_term * pos_width + 31) // 32
+            pos_word_start_all = np.concatenate([[0], np.cumsum(words_per_term)])
+            pos_out = np.zeros(int(pos_word_start_all[-1]) + 1, dtype=np.uint64)
+            within_occ = np.arange(n_occ) - pos_start_per_term[occ_term]
+            for wbits in np.unique(pos_width[np.unique(occ_term)]):
+                selo = np.flatnonzero(pos_width[occ_term] == wbits)
+                bitpos = within_occ[selo] * int(wbits)
+                widx = pos_word_start_all[occ_term[selo]] + (bitpos >> 5)
+                shift = (bitpos & 31).astype(np.uint64)
+                v = pdelta[selo].astype(np.uint64)
+                np.bitwise_or.at(pos_out, widx, (v << shift) & np.uint64(0xFFFFFFFF))
+                np.bitwise_or.at(pos_out, widx + 1, v >> (np.uint64(32) - shift))
+            pos_data = pos_out.astype(np.uint32)
+        else:
+            pos_word_start_all = np.zeros(len(df) + 1, np.int64)
+            pos_data = np.zeros(1, np.uint32)
     else:
         nb_total = 0
         blk_doc_bits = np.zeros(0, np.int32)
@@ -212,6 +249,9 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         term_blk_start = np.zeros(1, np.int64)
         blocks_per_term = np.zeros(0, np.int64)
         data = np.zeros(1, dtype=np.uint32)
+        pos_width = np.ones(0, np.int32)
+        pos_word_start_all = np.zeros(1, np.int64)
+        pos_data = np.zeros(1, np.uint32)
 
     # --- per-field term tables ---
     gterm = 0
@@ -227,6 +267,8 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             block_start=term_blk_start[t0:t1].astype(np.int32),
             block_count=blocks_per_term[t0:t1].astype(np.int32) if nb_total else np.zeros(t1 - t0, np.int32),
             pos_start=pos_start_per_term[t0:t1].copy() if len(df) else np.zeros(0, np.int64),
+            pos_width=pos_width[t0:t1].copy(),
+            pos_word_start=pos_word_start_all[t0:t1].copy(),
         )
         gterm = t1
 
@@ -243,7 +285,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         blk_max_freq=blk_max_freq,
         blk_pos_base=blk_pos_base.astype(np.int32),
         data=data,
-        positions=positions,
+        positions=pos_data,
         norms=dict(seg.norms),
         stored=seg.stored,
         numeric_dv=seg.numeric_dv,

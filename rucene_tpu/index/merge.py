@@ -52,9 +52,12 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
     stats_out: dict[str, FieldStats] = {}
 
     # one vectorized whole-segment decode per snapshot, shared across fields
-    from rucene_tpu.codec.bulk_read import segment_postings_columnar
+    from rucene_tpu.codec.bulk_read import decode_all_positions, segment_postings_columnar
 
     columnar = [segment_postings_columnar(s.packed) for s in snapshots]
+    decoded_positions = [
+        decode_all_positions(s.packed, col[2]) for s, col in zip(snapshots, columnar)
+    ]
     # per snapshot: global-term offset of each field (field_id order)
     field_tbase = []
     for snap in snapshots:
@@ -84,7 +87,7 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         pos_arrays = []
         for si, snap in enumerate(snapshots):
             pf = snap.packed.fields.get(field)
-            seg_positions = snap.packed.positions
+            seg_positions = decoded_positions[si]
             if pf is None:
                 continue
             post_start, docs_all, freqs_all = columnar[si]

@@ -20,6 +20,22 @@ from rucene_tpu.search.similarity import CollectionStats
 from rucene_tpu.util.packing import BLOCK_SIZE, unpack_block
 
 
+def _decode_positions(
+    pos_data: np.ndarray, word_start: int, width: int, total: int, freqs: np.ndarray
+) -> np.ndarray:
+    """Unpack a term's fixed-width position deltas and restore absolute
+    positions per doc run (delta[0] of a run is already absolute)."""
+    if total == 0:
+        return np.zeros(0, np.int64)
+    nwords = (total * width + 31) // 32 + 1
+    words = pos_data[word_start : word_start + nwords].astype(np.uint64)
+    deltas = unpack_block(words, width, n=total).astype(np.int64)
+    c = np.cumsum(deltas)
+    run_start = np.concatenate([[0], np.cumsum(freqs)])[:-1].astype(np.int64)
+    base = c[run_start] - deltas[run_start]  # cumsum before each run
+    return c - np.repeat(base, freqs)
+
+
 @dataclass(frozen=True)
 class TermRecord:
     ord: int
@@ -27,7 +43,9 @@ class TermRecord:
     total_tf: int
     block_start: int
     block_count: int
-    pos_start: int
+    pos_start: int  # global occurrence index of the term's first position
+    pos_width: int = 32  # packed position-delta bit width
+    pos_word_start: int = 0  # word offset of the term's position stream
 
 
 class SegmentSnapshot:
@@ -99,6 +117,8 @@ class SegmentSnapshot:
             block_start=int(pf.block_start[ord_]),
             block_count=int(pf.block_count[ord_]),
             pos_start=int(pf.pos_start[ord_]),
+            pos_width=int(pf.pos_width[ord_]) if pf.pos_width is not None else 32,
+            pos_word_start=int(pf.pos_word_start[ord_]) if pf.pos_word_start is not None else 0,
         )
 
     def field_stats(self, field: str) -> CollectionStats | None:
@@ -137,7 +157,9 @@ class SegmentSnapshot:
         positions = None
         if with_positions:
             total = int(freqs.sum())
-            positions = p.positions[rec.pos_start : rec.pos_start + total].astype(np.int64)
+            positions = _decode_positions(
+                p.positions, rec.pos_word_start, rec.pos_width, total, freqs
+            )
         return docs, freqs, positions
 
     def document(self, local_doc: int) -> dict[str, object]:

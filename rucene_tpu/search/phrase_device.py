@@ -48,6 +48,8 @@ class PhraseBatch(NamedTuple):
     weight: jax.Array  # f32[B] = boost * sum(idf) * (k1+1)
     fid: jax.Array  # i32[B] field row (cache/norms)
     cache: jax.Array  # f32[F,256]
+    pos_width: jax.Array  # i32[B,NMAX] packed position-delta width per slot
+    pos_word_start: jax.Array  # i32[B,NMAX] word offset of slot's stream
 
 
 def execute_phrases_impl(
@@ -126,12 +128,28 @@ def execute_phrases_impl(
     )
     overflow = freq_over[:b] | too_many
 
-    # ---- position windows + verification ----
+    # ---- position windows: unpack fixed-width deltas + cumsum ----
     fidx = jnp.arange(fmax, dtype=jnp.int32)
-    pidx = tbl_pos[:cand_cap, :, None] + fidx[None, None, :]  # [C, NMAX, FMAX]
+    occ = tbl_pos[:cand_cap, :, None] + fidx[None, None, :]  # [C, NMAX, FMAX]
     pvalid = fidx[None, None, :] < tbl_freq[:cand_cap, :, None]
+    w_slot = pb.pos_width[safe_row_c := jnp.clip(grp_row[:cand_cap], 0, b - 1)]  # [C,NMAX]
+    ws_slot = pb.pos_word_start[safe_row_c]
+    bitpos = occ * w_slot[:, :, None]
+    widx = ws_slot[:, :, None] + (bitpos >> 5)
+    shift = (bitpos & 31).astype(jnp.uint32)
     pos_limit = dev.positions.shape[0] - 1
-    pwin = dev.positions[jnp.clip(pidx, 0, pos_limit)]
+    w0 = dev.positions[jnp.clip(widx, 0, pos_limit)]
+    w1 = dev.positions[jnp.clip(widx + 1, 0, pos_limit)]
+    lo = w0 >> shift
+    hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
+    mask = jnp.where(
+        w_slot[:, :, None] >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << w_slot[:, :, None].astype(jnp.uint32)) - jnp.uint32(1),
+    )
+    deltas = ((lo | hi) & mask).astype(jnp.int32)
+    deltas = jnp.where(pvalid, deltas, 0)
+    pwin = jnp.cumsum(deltas, axis=-1)  # absolute positions per run
     pwin = jnp.where(pvalid, pwin, jnp.int32(-(2**30)))
 
     base_pos = pwin[:, 0, :]  # [C, FMAX] slot-0 positions

@@ -671,10 +671,14 @@ class IndexSearcher:
             weight[i] = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))
             n_terms[i] = len(terms)
 
+        from rucene_tpu.search.phrase_device import NMAX
+
         per_query_leaf = [[] for _ in range(b_actual)]
         for leaf in self.reader.leaves:
             cache = build_leaf_cache(leaf, sim, stats)
             fid = np.zeros(b_pad, np.int32)
+            pos_width = np.ones((b_pad, NMAX), np.int32)
+            pos_word_start = np.zeros((b_pad, NMAX), np.int32)
             items = []  # (block, row, slot)
             n_lanes = 0
             for i, rq in enumerate(rqs):
@@ -687,6 +691,8 @@ class IndexSearcher:
                     rec = leaf.term_record(field, t)
                     if rec is None:
                         continue
+                    pos_width[i, j] = rec.pos_width
+                    pos_word_start[i, j] = rec.pos_word_start
                     for bblk in range(rec.block_start, rec.block_start + rec.block_count):
                         items.append((bblk, i, j))
                         n_lanes += 1
@@ -711,6 +717,8 @@ class IndexSearcher:
                     weight=weight,
                     fid=fid,
                     cache=cache,
+                    pos_width=pos_width,
+                    pos_word_start=pos_word_start,
                 )
             )
             s, d, h, ov = jax.device_get(
