@@ -89,6 +89,18 @@ int32_t rtpu_inv_add_doc(InvHandle* h, int32_t doc_id, const char* text,
     return pos - base_pos;
 }
 
+// Bulk variant: docs concatenated in one UTF-8 buffer with offsets.
+// Writes per-doc token counts to out_counts. One GIL release per chunk.
+void rtpu_inv_add_docs(InvHandle* h, const char* buf, const int64_t* offsets,
+                       int32_t n_docs, const int32_t* doc_ids, int32_t lowercase,
+                       int32_t* out_counts) {
+    for (int32_t d = 0; d < n_docs; d++) {
+        out_counts[d] = rtpu_inv_add_doc(
+            h, doc_ids[d], buf + offsets[d], offsets[d + 1] - offsets[d],
+            lowercase, 0);
+    }
+}
+
 int64_t rtpu_inv_num_terms(InvHandle* h) { return (int64_t)h->terms.size(); }
 
 int64_t rtpu_inv_term_bytes_len(InvHandle* h) {

@@ -238,6 +238,90 @@ class SegmentBuffer:
         self.num_docs += 1
         return doc_id
 
+    def add_documents_bulk(self, docs) -> None:
+        """Bulk ingestion: eligible text fields route through ONE native
+        call per (field, chunk) — the GIL is released for the whole C++
+        inversion pass, which is what makes thread-parallel ingestion
+        (index/doc_writer.py) actually scale. Multi-valued text fields are
+        joined with a space (identical tokens/positions under the
+        whitespace tokenizer). Everything else follows the per-doc path."""
+        if not self._use_native:
+            for d in docs:
+                self.add_document(d)
+            return
+        from rucene_tpu.doc.field import DocValuesType
+
+        start_id = self.num_docs
+        # collected per field: (doc_id, text)
+        bulk: dict[str, list[tuple[int, str]]] = {}
+        for n, doc in enumerate(docs):
+            doc_id = start_id + n
+            stored: dict[str, object] = {}
+            texts_of: dict[str, list[str]] = {}
+            slow_fields = []
+            for f in doc:
+                ft = f.field_type
+                if (
+                    ft.indexed
+                    and ft.tokenized
+                    and not ft.store_term_vectors
+                    and isinstance(f.value, str)
+                    and f.value.isascii()
+                ):
+                    info = self.field_infos.get_or_add(f.name)
+                    if ft.index_options > info.index_options:
+                        info.index_options = ft.index_options
+                    info.omit_norms = info.omit_norms or ft.omit_norms
+                    texts_of.setdefault(f.name, []).append(f.value)
+                    if ft.stored:
+                        stored[f.name] = f.value
+                    if ft.doc_values_type == DocValuesType.NUMERIC:
+                        info.doc_values_type = DocValuesType.NUMERIC
+                        self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
+                else:
+                    slow_fields.append(f)
+            for name, vals in texts_of.items():
+                bulk.setdefault(name, []).append((doc_id, " ".join(vals)))
+            if slow_fields or not texts_of:
+                from rucene_tpu.doc.document import Document as _Doc
+
+                # run the per-doc path for the remaining fields only
+                sub = _Doc(slow_fields)
+                saved = self.num_docs
+                self.num_docs = doc_id
+                self.add_document(sub)
+                self.num_docs = saved
+                # add_document appended stored/tv rows for doc_id; merge ours
+                self._stored[doc_id].update(stored)
+            else:
+                self._stored.append(stored)
+                self._term_vectors.append({})
+            self.num_docs = doc_id + 1
+
+        for name, entries in bulk.items():
+            inv = self._native.get(name)
+            if inv is None:
+                inv = self._native[name] = self._native_mod.NativeInverter()
+            doc_ids = np.fromiter((e[0] for e in entries), np.int32, len(entries))
+            blobs = [e[1].encode() for e in entries]
+            offsets = np.zeros(len(blobs) + 1, np.int64)
+            if blobs:
+                offsets[1:] = np.cumsum([len(b_) for b_ in blobs])
+            counts = inv.add_docs(doc_ids, b"".join(blobs), offsets, self._lowercase)
+            # vectorized norms + stats
+            info = self.field_infos.get(name)
+            st = self._stats.setdefault(name, FieldStats())
+            nz = counts > 0
+            st.doc_count += int(nz.sum())
+            st.sum_total_term_freq += int(counts.sum())
+            if not info.omit_norms:
+                norms = float_to_byte315(
+                    np.float32(1.0) / np.sqrt(counts[nz].astype(np.float32))
+                )
+                field_norms = self._norm_bytes.setdefault(name, {})
+                for d, v in zip(doc_ids[nz], norms):
+                    field_norms[int(d)] = int(v)
+
     def finish(self) -> SegmentData:
         max_doc = self.num_docs
         terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}

@@ -8,9 +8,10 @@ commit / get_reader / force_merge), doc_writer.rs (flush), bufferd_updates.rs
 delete_policy.rs (KeepOnlyLastCommit).
 
 Differences by design:
-- single-threaded ingestion into one SegmentBuffer (the DWPT-pool thread
-  affinity dance is host-side concurrency the TPU design doesn't need;
-  batched adds amortize instead);
+- the default path ingests into one SegmentBuffer; concurrent ingestion
+  uses per-thread buffers handed over via add_flushed_buffer
+  (index/doc_writer.py — the DWPT-pool analog; the C++ inverter releases
+  the GIL so threads overlap on the hot loop);
 - flush packs the buffer into device tensors AND writes the .seg file
   immediately (no fsync until commit), like Lucene;
 - deletes buffer as (term, watermark) pairs and apply functionally at
@@ -286,6 +287,24 @@ class IndexWriter:
                 )
                 self._dv_dirty.add(info.name)
         self._pending_dv_updates.clear()
+
+    def add_flushed_buffer(self, buffer) -> None:
+        """Accept a privately built SegmentBuffer (DWPT handoff): pack it as
+        a new segment under the writer lock (doc_writer.rs ticket queue
+        analog — per-thread inversion happens outside the lock)."""
+        seg_data = buffer.finish()  # outside the lock: the expensive part
+        if self.config.index_sort is not None:
+            from rucene_tpu.index.index_sorting import sort_segment_data
+
+            seg_data = sort_segment_data(seg_data, self.config.index_sort)
+        packed = pack_segment(seg_data)
+        with self._lock:
+            self._ensure_open()
+            name = _seg_name(self._infos.counter)
+            self._infos.counter += 1
+            segfiles.write_segment(self.directory, name, packed)
+            self._pool[name] = SegmentSnapshot(name, packed)
+            self._uncommitted.append(SegmentCommitInfo(name=name, max_doc=packed.max_doc))
 
     def flush(self) -> None:
         with self._lock:

@@ -56,6 +56,12 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
     ]
+    lib.rtpu_inv_add_docs.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32),
+    ]
     for name in ("rtpu_inv_num_terms", "rtpu_inv_term_bytes_len",
                  "rtpu_inv_num_postings", "rtpu_inv_num_positions"):
         fn = getattr(lib, name)
@@ -98,6 +104,17 @@ class NativeInverter:
         return _lib.rtpu_inv_add_doc(
             self._h, doc_id, text, len(text), 1 if lowercase else 0, base_pos
         )
+
+    def add_docs(self, doc_ids: np.ndarray, concat: bytes, offsets: np.ndarray,
+                 lowercase: bool) -> np.ndarray:
+        """Bulk add: one C call for a chunk of docs; returns token counts."""
+        n = len(doc_ids)
+        counts = np.zeros(n, np.int32)
+        _lib.rtpu_inv_add_docs(
+            self._h, concat, offsets.astype(np.int64), n,
+            doc_ids.astype(np.int32), 1 if lowercase else 0, counts,
+        )
+        return counts
 
     def export(self):
         """-> (terms list[str], post_start i64[T+1], docs i32[P], freqs i32[P],
