@@ -420,6 +420,35 @@ class IndexWriter:
                 for cand in cands:
                     self._do_merge(cand.segments)
 
+    def force_merge_deletes(self) -> None:
+        """Rewrite every segment carrying deletes, dropping dead docs
+        (reference MergePolicy::find_forced_deletes_merges /
+        index_writer.rs force_merge_deletes)."""
+        with self._lock:
+            self._ensure_open()
+            self._flush_buffer()
+            self._infos.segments = self._all_infos()
+            self._uncommitted = []
+            with_dels = [i.name for i in self._infos.segments if i.del_count > 0
+                         or (self._pool.get(i.name) is not None
+                             and self._pool[i.name].del_count > 0)]
+            for name in with_dels:
+                info = next(i for i in self._infos.segments if i.name == name)
+                snap = self._snapshot(info)
+                if snap.del_count == 0:
+                    continue
+                merged = merge_segments([snap])
+                new_name = _seg_name(self._infos.counter)
+                self._infos.counter += 1
+                segfiles.write_segment(self.directory, new_name, merged)
+                new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
+                self._pool[new_name] = SegmentSnapshot(new_name, merged)
+                self._infos.segments = [
+                    new_info if i.name == name else i for i in self._infos.segments
+                ]
+                self._pool.pop(name, None)
+                self._live_dirty.discard(name)
+
     def _do_merge(self, names: list[str]) -> None:
         METRICS.incr("writer.merges")
         # merge in segment order so concatenation preserves doc ids when

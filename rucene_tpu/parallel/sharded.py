@@ -177,9 +177,31 @@ class ShardedSearcher:
         mesh = self.index.mesh
         s = self.index.n_shards
         dp = mesh.shape["dp"]
+        rqs = [None if hasattr(q, "host_eval") else q.rewrite() for q in queries]
+        # phrases/ranges/groups/match-all and host_eval queries fall back to
+        # the per-leaf searcher (single-process path) for now
+        fallback_idx = [
+            i
+            for i, rq in enumerate(rqs)
+            if rq is None or rq.phrases or rq.ranges or rq.groups or rq.match_all
+        ]
+        if fallback_idx:
+            from rucene_tpu.search.searcher import IndexSearcher
+
+            local = IndexSearcher(self.reader, self.similarity)
+            fb_results = {
+                i: local.search_batch([queries[i]], k=k)[0] for i in fallback_idx
+            }
+            keep = [i for i in range(len(queries)) if i not in fb_results]
+            if not keep:
+                return [fb_results[i] for i in range(len(queries))]
+            sub = self.search_batch([queries[i] for i in keep], k=k)
+            out = []
+            it = iter(sub)
+            for i in range(len(queries)):
+                out.append(fb_results[i] if i in fb_results else next(it))
+            return out
         rqs = [q.rewrite() for q in queries]
-        if any(rq.phrases or rq.match_all for rq in rqs):
-            raise NotImplementedError("sharded path supports term/boolean queries")
         sim = self.similarity
 
         doc_freqs = {}

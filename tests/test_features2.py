@@ -183,3 +183,73 @@ def test_search_timeout(span_searcher):
     res2 = span_searcher.search_batch([TermQuery(Term("body", "alpha"))], k=5, timeout_s=30.0)
     assert span_searcher.timed_out is False
     assert res2[0].total_hits == 4
+
+
+def test_rescorer():
+    from rucene_tpu.search.rescorer import QueryRescorer
+
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    for i, t in enumerate(["fox alpha", "fox beta", "fox alpha beta", "nothing here"]):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", t))
+        w.add_document(doc)
+    s = IndexSearcher(w.get_reader())
+    first = s.search(TermQuery(Term("body", "fox")), k=10)
+    rescored = QueryRescorer(TermQuery(Term("body", "beta")), rescore_weight=10.0).rescore(
+        s, first, top_n=10
+    )
+    assert rescored.total_hits == first.total_hits
+    # docs with 'beta' must now outrank the others
+    top2 = {sd.doc for sd in rescored.score_docs[:2]}
+    assert top2 == {1, 2}
+    w.close()
+
+
+def test_force_merge_deletes():
+    d = RAMDirectory()
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=3))
+    for i in range(9):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", f"common tok{i}"))
+        w.add_document(doc)
+    w.delete_documents_by_term(Term("id", "1"))
+    w.delete_documents_by_term(Term("id", "4"))
+    r0 = w.get_reader()
+    assert r0.num_docs == 7 and r0.max_doc == 9
+    w.force_merge_deletes()
+    r1 = w.get_reader()
+    assert r1.num_docs == 7 and r1.max_doc == 7  # dead docs expunged
+    s = IndexSearcher(r1)
+    assert s.search(TermQuery(Term("body", "common")), 10).total_hits == 7
+    w.close()
+
+
+def test_sharded_fallback_queries():
+    import jax
+
+    from rucene_tpu import PhraseQuery
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+    from rucene_tpu.parallel.sharded import ShardedIndex, ShardedSearcher, make_mesh
+
+    texts = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon", "zeta eta"]
+    snaps = []
+    for i in range(2):
+        buf = SegmentBuffer()
+        for t in texts[i * 2 : i * 2 + 2]:
+            doc = Document()
+            doc.add(TextField("body", t))
+            buf.add_document(doc)
+        snaps.append(SegmentSnapshot(f"fb{i}", pack_segment(buf.finish())))
+    reader = IndexReader(snaps)
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    sh = ShardedSearcher(ShardedIndex(mesh, reader))
+    res = sh.search_batch(
+        [PhraseQuery("body", ["beta", "gamma"]), TermQuery(Term("body", "gamma"))], k=5
+    )
+    assert res[0].total_hits == 2  # phrase via fallback
+    assert res[1].total_hits == 3  # term via sharded path
