@@ -52,7 +52,7 @@ class FieldQuery:
                 fq.terms.setdefault(c.term.field, {})[c.term.text] = max(
                     c.boost, fq.terms.get(c.term.field, {}).get(c.term.text, 0.0)
                 )
-        for f, terms, boost in rq.phrases:
+        for f, terms, boost, _slop in rq.phrases:
             fq.phrases.setdefault(f, []).append((terms, boost))
             for t in terms:
                 fq.terms.setdefault(f, {}).setdefault(t, 0.0)

@@ -31,11 +31,16 @@ class HostHits:
 
 
 def phrase_postings(
-    leaf: SegmentSnapshot, field: str, terms: list[str]
+    leaf: SegmentSnapshot, field: str, terms: list[str], slop: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact-phrase virtual postings: (docs, phrase_freqs) for docs where the
-    terms appear at consecutive positions (ExactPhraseScorer semantics,
-    reference phrase_scorer.rs:122)."""
+    """Phrase virtual postings: (docs, phrase_freqs).
+
+    slop=0: exact consecutive positions (ExactPhraseScorer,
+    phrase_scorer.rs:122); freqs are occurrence counts.
+    slop>0: ordered matching with total gap <= slop; freq = sum of
+    sloppy_freq(distance) = 1/(distance+1) per match (SloppyPhraseScorer
+    analog, phrase_scorer.rs:442) — returned as f32-compatible floats.
+    """
     lists = []
     for t in terms:
         p = leaf.read_postings(field, t, with_positions=True)
@@ -58,20 +63,43 @@ def phrase_postings(
     for docs_j, freqs_j, pos_j in lists:
         s = np.concatenate([[0], np.cumsum(freqs_j)])
         starts.append((s, pos_j))
+    n = len(terms)
     for ci in range(len(cand)):
-        first = None
-        for j, (docs_j, freqs_j, _) in enumerate(lists):
-            row = idxs[j][ci]
-            s, pos_j = starts[j]
-            p = pos_j[s[row] : s[row + 1]] - j
-            first = p if first is None else np.intersect1d(first, p, assume_unique=True)
-            if len(first) == 0:
-                break
-        pf = len(first) if first is not None else 0
+        if slop == 0:
+            first = None
+            for j in range(n):
+                row = idxs[j][ci]
+                s, pos_j = starts[j]
+                p = pos_j[s[row] : s[row + 1]] - j
+                first = p if first is None else np.intersect1d(first, p, assume_unique=True)
+                if len(first) == 0:
+                    break
+            pf = len(first) if first is not None else 0
+        else:
+            plists = []
+            for j in range(n):
+                row = idxs[j][ci]
+                s, pos_j = starts[j]
+                plists.append(pos_j[s[row] : s[row + 1]])
+            pf = 0.0
+            for p0 in plists[0]:
+                prev = int(p0)
+                ok = True
+                for j in range(1, n):
+                    nxt = plists[j][plists[j] > prev]
+                    if len(nxt) == 0:
+                        ok = False
+                        break
+                    prev = int(nxt[0])
+                if ok:
+                    distance = (prev - int(p0)) - (n - 1)
+                    if distance <= slop:
+                        pf += 1.0 / (distance + 1.0)
+            pf = np.float32(pf)
         if pf > 0:
             out_docs.append(int(cand[ci]))
             out_freqs.append(pf)
-    return np.asarray(out_docs, dtype=np.int64), np.asarray(out_freqs, dtype=np.int64)
+    return np.asarray(out_docs, dtype=np.int64), np.asarray(out_freqs, dtype=np.float64)
 
 
 def execute_on_segment(
@@ -212,8 +240,8 @@ def evaluate_rewritten(
         elif r.occur == Occur.MUST_NOT:
             has_not[docs] = True
 
-    for field, terms, boost in rq.phrases:
-        docs, pfreqs = phrase_postings(leaf, field, terms)
+    for field, terms, boost, slop in rq.phrases:
+        docs, pfreqs = phrase_postings(leaf, field, terms, slop)
         # phrase weight: sum of per-term idfs (PhraseWeight -> Similarity with
         # all terms' stats; reference BM25Similarity::idf sums over terms)
         doc_count = stats[field].doc_count if stats[field].doc_count != -1 else stats[field].max_doc

@@ -49,8 +49,8 @@ class RewrittenQuery:
     min_should_match: int = 0
     match_all: bool = False  # MatchAllDocsQuery component
     boost: float = 1.0
-    # phrase verification groups: each is (field, [terms in order], boost)
-    phrases: list[tuple[str, list[str], float]] = dc_field(default_factory=list)
+    # phrase verification groups: (field, [terms in order], boost, slop)
+    phrases: list[tuple[str, list[str], float, int]] = dc_field(default_factory=list)
     ranges: list[RangeClause] = dc_field(default_factory=list)
     # nested pure-disjunction sub-clauses: (occur, [terms]) — a group matches
     # if ANY member matches; scoring sums matching members' BM25
@@ -120,7 +120,7 @@ class BoostQuery(Query):
         rq.clauses = [
             TermClause(c.occur, c.term, c.boost * self.boost) for c in rq.clauses
         ]
-        rq.phrases = [(f, ts, b * self.boost) for (f, ts, b) in rq.phrases]
+        rq.phrases = [(f, ts, b * self.boost, sl) for (f, ts, b, sl) in rq.phrases]
         rq.ranges = [
             RangeClause(r.occur, r.field, r.lower, r.upper, r.boost * self.boost)
             for r in rq.ranges
@@ -131,22 +131,24 @@ class BoostQuery(Query):
 
 @dataclass
 class PhraseQuery(Query):
-    """Exact phrase (slop=0): conjunction of terms + positional verification.
-
-    reference phrase_query.rs:48 / ExactPhraseScorer (phrase_scorer.rs:122):
-    scoring uses BM25 with freq = number of phrase occurrences in the doc.
-    """
+    """Phrase query. slop=0: exact consecutive positions
+    (ExactPhraseScorer, phrase_scorer.rs:122; device pipeline). slop>0:
+    ordered matching with a gap budget and sloppy-freq scoring
+    (SloppyPhraseScorer analog, phrase_scorer.rs:442; host path)."""
 
     field: str
     terms: list[str]
     boost: float = 1.0
+    slop: int = 0
 
     def rewrite(self) -> RewrittenQuery:
         if len(self.terms) == 1:
             return RewrittenQuery(
                 clauses=[TermClause(Occur.SHOULD, Term(self.field, self.terms[0]), self.boost)]
             )
-        return RewrittenQuery(phrases=[(self.field, list(self.terms), self.boost)])
+        return RewrittenQuery(
+            phrases=[(self.field, list(self.terms), self.boost, self.slop)]
+        )
 
 
 class ConstantScoreQuery(Query):
@@ -376,7 +378,7 @@ class BooleanQuery(Query):
             if sq.phrases:
                 if occur != Occur.MUST_NOT:
                     out.phrases.extend(
-                        (f, ts, b * self.boost) for (f, ts, b) in sq.phrases
+                        (f, ts, b * self.boost, sl) for (f, ts, b, sl) in sq.phrases
                     )
                     continue
                 raise NotImplementedError("MUST_NOT phrase clauses not supported yet")

@@ -236,7 +236,7 @@ class IndexSearcher:
                 key = (c.term.field, c.term.text)
                 if key not in doc_freqs:
                     doc_freqs[key] = self.reader.doc_freq(*key)
-            for f, terms, _ in rq.phrases:
+            for f, terms, _b, _s in rq.phrases:
                 fields.add(f)
                 for t in terms:
                     if (f, t) not in doc_freqs:
@@ -645,6 +645,7 @@ class IndexSearcher:
             and not rq.ranges
             and not rq.groups
             and not rq.match_all
+            and rq.phrases[0][3] == 0  # sloppy phrases run on the host
             and 2 <= len(rq.phrases[0][1]) <= NMAX
         )
 
@@ -661,7 +662,7 @@ class IndexSearcher:
         n_terms = np.zeros(b_pad, np.int32)
         weight = np.zeros(b_pad, np.float32)
         for i, rq in enumerate(rqs):
-            field, terms, boost = rq.phrases[0]
+            field, terms, boost, _slop = rq.phrases[0]
             st = stats[field]
             doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
             idf_sum = np.float32(0.0)
@@ -682,7 +683,7 @@ class IndexSearcher:
             items = []  # (block, row, slot)
             n_lanes = 0
             for i, rq in enumerate(rqs):
-                field, terms, _ = rq.phrases[0]
+                field, terms, _b, _s = rq.phrases[0]
                 pf = leaf.packed.fields.get(field)
                 if pf is None:
                     continue

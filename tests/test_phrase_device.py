@@ -87,3 +87,23 @@ def test_phrase_with_repeated_term():
         [(sd.doc, sd.score) for sd in got.score_docs],
         [(sd.doc, sd.score) for sd in want.score_docs],
     )
+
+
+def test_sloppy_phrase():
+    texts = [
+        "quick brown fox",          # exact
+        "quick red brown fox",      # 'quick ... fox' needs crossing 'red brown'
+        "quick fox",                # gap 0 for (quick, fox)? adjacent
+        "fox quick",                # wrong order
+        "quick a b c d fox",        # gap 4
+    ]
+    s = _searcher(texts)
+    exact = s.search(PhraseQuery("body", ["quick", "fox"]), k=10)
+    assert sorted(sd.doc for sd in exact.score_docs) == [2]
+    s1 = s.search(PhraseQuery("body", ["quick", "fox"], slop=2), k=10)
+    assert sorted(sd.doc for sd in s1.score_docs) == [0, 1, 2]
+    s4 = s.search(PhraseQuery("body", ["quick", "fox"], slop=4), k=10)
+    assert sorted(sd.doc for sd in s4.score_docs) == [0, 1, 2, 4]
+    # tighter matches score higher (sloppy freq 1/(d+1))
+    by_doc = {sd.doc: sd.score for sd in s4.score_docs}
+    assert by_doc[2] > by_doc[0] > by_doc[4]
