@@ -41,32 +41,62 @@ from rucene_tpu.doc import (
     Term,
     TextField,
 )
+from rucene_tpu.doc.field import (
+    BinaryDocValuesField,
+    FloatPoint,
+    IntPoint,
+    SortedDocValuesField,
+    SortedNumericDocValuesField,
+    SortedSetDocValuesField,
+)
 from rucene_tpu.search.query import (
     BooleanQuery,
+    BoostingQuery,
     BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    ExistsQuery,
+    FilterQuery,
     MatchAllDocsQuery,
     Occur,
     PhraseQuery,
+    PointRangeQuery,
     TermQuery,
 )
+from rucene_tpu.search.query_string import parse_query_string
+from rucene_tpu.search.sort_field import Sort, SortField
 from rucene_tpu.search.searcher import IndexSearcher, ScoreDoc, TopDocs
 from rucene_tpu.search.similarity import BM25Similarity
 
 __all__ = [
     "BM25Similarity",
+    "BinaryDocValuesField",
     "BooleanQuery",
     "BoostQuery",
+    "BoostingQuery",
+    "ConstantScoreQuery",
+    "DisjunctionMaxQuery",
     "Document",
+    "ExistsQuery",
     "Field",
     "FieldType",
+    "FilterQuery",
+    "FloatPoint",
     "IndexOptions",
     "IndexSearcher",
+    "IntPoint",
     "LowercaseWhitespaceAnalyzer",
     "MatchAllDocsQuery",
     "NumericDocValuesField",
     "Occur",
     "PhraseQuery",
+    "PointRangeQuery",
     "ScoreDoc",
+    "Sort",
+    "SortField",
+    "SortedDocValuesField",
+    "SortedNumericDocValuesField",
+    "SortedSetDocValuesField",
     "StoredField",
     "StringField",
     "Term",
@@ -74,4 +104,5 @@ __all__ = [
     "TextField",
     "TopDocs",
     "WhitespaceAnalyzer",
+    "parse_query_string",
 ]

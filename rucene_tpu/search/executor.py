@@ -115,19 +115,20 @@ def execute_flat_impl(
 
     target = jnp.where(valid, docs, md + 1)  # out of range -> dropped
     rows = q.wi_row[:, None].astype(jnp.int32)
-    acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
-    inc = jnp.where(valid, q.wi_enc[:, None], 0)
-    acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
 
     # --- match + top-k: shape-adaptive strategy ---
-    # Dense: boolean-mask the [B, md] accumulators and run vectorized top-k
+    # Dense: scatter-add into [B, md] accumulators and run vectorized top-k
     # (3 passes over B*md) — wins for small corpora / big work lists.
-    # Candidate: a doc can only match if some clause's postings touch it, so
-    # the work lanes enumerate every candidate; sorting the L touched lanes
-    # by (row, score desc, doc) makes cost independent of max_doc — wins for
-    # big corpora. Both sizes are static at trace time.
+    # Candidate: no dense arrays at all — sort the touched lanes by
+    # (row, doc), combine same-doc contributions with a segmented scan, then
+    # order by (row, score desc, doc). Memory and time are independent of
+    # max_doc, which is what makes many-million-doc corpora viable. Both
+    # sizes are static at trace time.
     l_lanes = target.size
     if b * md <= 12 * l_lanes:
+        acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
+        inc = jnp.where(valid, q.wi_enc[:, None], 0)
+        acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
         req_count = acc_counts >> 16
         should_count = (acc_counts >> 8) & 0xFF
         has_not = (acc_counts & 0xFF) > 0
@@ -144,32 +145,59 @@ def execute_flat_impl(
 
     cdocs = target.reshape(-1)  # [L], md+1 for padding lanes
     crows = jnp.broadcast_to(rows, target.shape).reshape(-1)
+    lane_sc = sc.reshape(-1)
+    lane_enc = jnp.where(valid, q.wi_enc[:, None], 0).reshape(-1)
     in_range = cdocs < md
-    safe_docs = jnp.where(in_range, cdocs, 0)
-    g_counts = acc_counts[crows, safe_docs]
-    g_scores = acc_score[crows, safe_docs]
-    req_count = g_counts >> 16
-    should_count = (g_counts >> 8) & 0xFF
-    has_not = (g_counts & 0xFF) > 0
+
+    # sort lanes by (row, doc) so each doc's contributions are contiguous
+    g_row = jnp.where(in_range, crows, jnp.int32(b))
+    g_doc = jnp.where(in_range, cdocs, jnp.int32(2**31 - 1))
+    o_row, o_doc, o_sc, o_enc = jax.lax.sort(
+        (g_row, g_doc, lane_sc, lane_enc), num_keys=2, dimension=-1
+    )
+    p_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), o_row[:-1]])
+    p_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), o_doc[:-1]])
+    seg_start = (o_row != p_row) | (o_doc != p_doc)
+
+    # segmented inclusive scan: per-(row,doc) running sums. Tree association
+    # keeps integer counts exact; f32 sums land within the usual reorder
+    # tolerance (the dense scatter's combine order is unspecified too).
+    def comb(a, x):
+        av, ac, af = a
+        xv, xc, xf = x
+        keep = jnp.logical_not(xf)
+        return (xv + jnp.where(keep, av, 0.0), xc + jnp.where(keep, ac, 0), af | xf)
+
+    sum_sc, sum_enc, _ = jax.lax.associative_scan(
+        comb, (o_sc, o_enc, seg_start)
+    )
+    # group totals live on each group's LAST lane
+    n_row = jnp.concatenate([o_row[1:], jnp.full((1,), -2, jnp.int32)])
+    n_doc = jnp.concatenate([o_doc[1:], jnp.full((1,), -2, jnp.int32)])
+    seg_end = (o_row != n_row) | (o_doc != n_doc)
+
+    req_count = sum_enc >> 16
+    should_count = (sum_enc >> 8) & 0xFF
+    has_not = (sum_enc & 0xFF) > 0
+    safe_docs = jnp.clip(o_doc, 0, md - 1)
     g_match = (
-        in_range
-        & (req_count == q.n_required[crows])
-        & (should_count >= q.min_should[crows])
+        seg_end
+        & (o_row < b)
+        & (req_count == q.n_required[jnp.clip(o_row, 0, b - 1)])
+        & (should_count >= q.min_should[jnp.clip(o_row, 0, b - 1)])
         & jnp.logical_not(has_not)
         & dev.live[safe_docs]
     )
 
-    # order by (row, score desc, doc asc); non-matching lanes sink to the end
-    key_row = jnp.where(g_match, crows, jnp.int32(b))
-    key_score = jnp.where(g_match, -g_scores, jnp.inf)
-    key_doc = jnp.where(g_match, cdocs, jnp.int32(2**31 - 1))
+    # order groups by (row, score desc, doc asc)
+    key_row = jnp.where(g_match, o_row, jnp.int32(b))
+    key_score = jnp.where(g_match, -sum_sc, jnp.inf)
+    key_doc = jnp.where(g_match, o_doc, jnp.int32(2**31 - 1))
     s_row, s_negscore, s_doc = jax.lax.sort(
         (key_row, key_score, key_doc), num_keys=3, dimension=-1
     )
-    # duplicate lanes (same doc touched by several clauses) are adjacent
     prev_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_row[:-1]])
-    prev_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_doc[:-1]])
-    fresh = (s_row < b) & ((s_row != prev_row) | (s_doc != prev_doc))
+    fresh = s_row < b  # one lane per group already
     # rank of each fresh lane within its row = fresh lanes before it in the
     # same row (exact integer prefix sums; row start found by max-scan)
     f_int = fresh.astype(jnp.int32)
