@@ -16,7 +16,7 @@ import numpy as np
 
 from rucene_tpu.analysis import Analyzer, LowercaseWhitespaceAnalyzer, Token
 from rucene_tpu.doc.document import Document
-from rucene_tpu.doc.field import DocValuesType, IndexOptions
+from rucene_tpu.doc.field import DocValuesType
 from rucene_tpu.index.field_infos import FieldInfos
 from rucene_tpu.util.small_float import float_to_byte315
 

@@ -17,7 +17,7 @@ import numpy as np
 from rucene_tpu.codec.device import DeviceSegment, build_device_segment, with_live
 from rucene_tpu.codec.postings import PackedSegment
 from rucene_tpu.search.similarity import CollectionStats
-from rucene_tpu.util.packing import BLOCK_SIZE, unpack_block
+from rucene_tpu.util.packing import unpack_block
 
 
 def _decode_positions(

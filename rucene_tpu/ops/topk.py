@@ -26,18 +26,18 @@ def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     b, n = scores.shape
     kk = min(k, n)
 
-    vals, _ = jax.lax.top_k(scores, kk)  # true score values, [B,kk]
+    vals, idx = jax.lax.top_k(scores, kk)  # [B,kk], sorted desc
     thr = vals[:, -1]  # k-th best score per row
 
     above = scores > thr[:, None]
     m = jnp.sum(above, axis=1).astype(jnp.int32)  # strictly-above count (< kk when thr finite)
 
-    # part 1: every strictly-above doc (count m <= kk)
-    a_scores, a_idx = jax.lax.top_k(jnp.where(above, scores, NEG_INF), kk)
+    # part 1: every strictly-above doc — top_k sorts descending, so they are
+    # exactly the first m entries of the same pass (no second top_k needed)
     j = jnp.arange(kk, dtype=jnp.int32)[None, :]
     a_valid = j < m[:, None]
-    a_scores = jnp.where(a_valid, a_scores, NEG_INF)
-    a_docs = jnp.where(a_valid, a_idx.astype(jnp.int32), _DOC_PAD)
+    a_scores = jnp.where(a_valid, vals, NEG_INF)
+    a_docs = jnp.where(a_valid, idx.astype(jnp.int32), _DOC_PAD)
 
     # part 2: ties at the threshold, smallest doc ids first
     doc_ids = jnp.arange(n, dtype=jnp.int32)[None, :]

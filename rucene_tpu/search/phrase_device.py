@@ -26,7 +26,6 @@ engine, so results stay exact for every input.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
