@@ -96,7 +96,11 @@ class SectionReader:
             from rucene_tpu import native
 
             (orig,) = struct.unpack_from("<Q", blob, 0)
-            return json.loads(native.lz4_decompress(blob[8:], orig))
+            if native.available:
+                return json.loads(native.lz4_decompress(blob[8:], orig))
+            from rucene_tpu.util.lz4_py import lz4_decompress
+
+            return json.loads(lz4_decompress(blob[8:], orig))
         assert kind == "zjson"
         return json.loads(zlib.decompress(blob))
 

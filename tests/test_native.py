@@ -83,3 +83,13 @@ def test_lz4_in_segment_file(tmp_path):
     segfiles.write_segment(d, "n0", packed)
     rt = segfiles.read_segment(d, "n0")
     assert rt.stored == packed.stored
+
+
+def test_python_lz4_decoder_matches_native(rng):
+    import os
+
+    from rucene_tpu.util.lz4_py import lz4_decompress as py_decompress
+
+    for data in [b"", b"abc" * 500, os.urandom(3000), open("/root/repo/SURVEY.md", "rb").read()]:
+        c = native.lz4_compress(data)
+        assert py_decompress(c, len(data)) == data
