@@ -148,11 +148,48 @@ def extract_terms_of(query) -> list:
 
 def evaluate_query(leaf, query, sim, stats, doc_freqs) -> tuple[np.ndarray, np.ndarray]:
     """(match bool[max_doc], scores f32[max_doc]) for any query: special
-    queries (spans, dismax) implement host_eval; the rest go through the
-    rewritten boolean evaluator."""
+    queries (spans, dismax) implement host_eval; booleans nesting them
+    combine recursively; the rest go through the rewritten evaluator."""
+    from rucene_tpu.search.query import BooleanQuery, _NeedsHostEval
+
     if hasattr(query, "host_eval"):
         return query.host_eval(leaf, sim, stats, doc_freqs)
-    return evaluate_rewritten(leaf, query.rewrite(), sim, stats, doc_freqs)
+    try:
+        rq = query.rewrite()
+    except _NeedsHostEval:
+        return _evaluate_boolean_generic(leaf, query, sim, stats, doc_freqs)
+    return evaluate_rewritten(leaf, rq, sim, stats, doc_freqs)
+
+
+def _evaluate_boolean_generic(leaf, bq, sim, stats, doc_freqs):
+    """BooleanQuery whose clauses may be arbitrary queries (spans, dismax,
+    constant-score, nested booleans): evaluate each clause recursively and
+    combine with the same count semantics as the flat evaluator."""
+    md = leaf.max_doc
+    acc = np.zeros(md, dtype=np.float32)
+    req_count = np.zeros(md, dtype=np.int32)
+    should_count = np.zeros(md, dtype=np.int32)
+    has_not = np.zeros(md, dtype=bool)
+    n_required = 0
+    n_should = 0
+    for occur, sub in bq.clauses:
+        m, s = evaluate_query(leaf, sub, sim, stats, doc_freqs)
+        o = int(occur)
+        if o in (int(Occur.SHOULD), int(Occur.MUST)):
+            acc = (acc + np.where(m, s, np.float32(0.0))).astype(np.float32)
+        if o in (int(Occur.MUST), int(Occur.FILTER)):
+            n_required += 1
+            req_count += m
+        elif o == int(Occur.SHOULD):
+            n_should += 1
+            should_count += m
+        else:
+            has_not |= m
+    mm = bq.min_should_match
+    if n_required == 0 and n_should > 0:
+        mm = max(1, mm)
+    match = (req_count == n_required) & (should_count >= mm) & ~has_not
+    return match, acc
 
 
 def evaluate_rewritten(

@@ -79,6 +79,15 @@ class RewrittenQuery:
         return mm
 
 
+class _NeedsHostEval(Exception):
+    """Raised by rewrite() when a sub-query needs host evaluation; the
+    searcher then routes the whole query through the generic host boolean
+    evaluator."""
+
+    def __init__(self, query):
+        self.query = query
+
+
 class Query:
     boost: float = 1.0
 
@@ -362,9 +371,19 @@ class BooleanQuery(Query):
     def must_not(self, q: Query) -> "BooleanQuery":
         return self.add(q, Occur.MUST_NOT)
 
+    def extract_terms(self):
+        from rucene_tpu.search.host_engine import extract_terms_of
+
+        out = []
+        for _, sub in self.clauses:
+            out.extend(extract_terms_of(sub))
+        return out
+
     def rewrite(self) -> RewrittenQuery:
         out = RewrittenQuery(min_should_match=self.min_should_match, boost=self.boost)
         for occur, sub in self.clauses:
+            if hasattr(sub, "host_eval"):
+                raise _NeedsHostEval(self)
             sq = sub.rewrite()
             if sq.match_all:
                 if occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER):

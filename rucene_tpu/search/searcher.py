@@ -189,7 +189,17 @@ class IndexSearcher:
         self.timed_out = False
         METRICS.incr("search.queries", len(queries))
         t_start = time.perf_counter()
-        rewritten = [None if hasattr(q, "host_eval") else q.rewrite() for q in queries]
+        from rucene_tpu.search.query import _NeedsHostEval
+
+        def _safe_rewrite(q):
+            if hasattr(q, "host_eval"):
+                return None
+            try:
+                return q.rewrite()
+            except _NeedsHostEval:
+                return None  # generic host boolean path
+
+        rewritten = [_safe_rewrite(q) for q in queries]
         results: list[TopDocs | None] = [None] * len(queries)
 
         device_idx = [
@@ -754,6 +764,8 @@ class IndexSearcher:
     def _gather_stats_query(self, query: Query):
         """Stats for an arbitrary query: ask it for its terms if it exposes
         them (extract_terms, like Weight::extract_terms), else rewrite."""
+        from rucene_tpu.search.query import _NeedsHostEval
+
         if hasattr(query, "extract_terms"):
             terms = query.extract_terms()
             doc_freqs = {}
@@ -765,4 +777,8 @@ class IndexSearcher:
                     doc_freqs[key] = self.reader.doc_freq(*key)
             stats = {f: self.collection_stats(f) for f in fields}
             return doc_freqs, stats
-        return self._gather_stats([query.rewrite()])
+        try:
+            return self._gather_stats([query.rewrite()])
+        except _NeedsHostEval:
+            # shouldn't happen (such queries define extract_terms) but stay safe
+            return {}, {}

@@ -253,3 +253,39 @@ def test_sharded_fallback_queries():
     )
     assert res[0].total_hits == 2  # phrase via fallback
     assert res[1].total_hits == 3  # term via sharded path
+
+
+def test_special_queries_inside_boolean(span_searcher):
+    """Spans / DisMax / ConstantScore compose as boolean clauses."""
+    from rucene_tpu.search.query import ConstantScoreQuery
+
+    s = span_searcher
+    bq = BooleanQuery()
+    bq.must(
+        SpanNearQuery(
+            [SpanTermQuery(Term("body", "alpha")), SpanTermQuery(Term("body", "beta"))],
+            slop=3,
+            in_order=True,
+        )
+    )
+    bq.must_not(TermQuery(Term("body", "gamma")))
+    td = s.search(bq, k=10)
+    # span matches docs 0,1,2 at slop 3; gamma excludes 0 and 1
+    assert sorted(sd.doc for sd in td.score_docs) == [2]
+
+    bq2 = BooleanQuery()
+    bq2.should(ConstantScoreQuery(TermQuery(Term("body", "unrelated")), boost=5.0))
+    bq2.should(TermQuery(Term("body", "delta")))
+    td2 = s.search(bq2, k=10)
+    assert sorted(sd.doc for sd in td2.score_docs) == [0, 1, 4]
+    by_doc = {sd.doc: sd.score for sd in td2.score_docs}
+    assert by_doc[4] >= 5.0  # constant-score clause contribution
+
+    dm = DisjunctionMaxQuery(
+        [TermQuery(Term("body", "alpha")), TermQuery(Term("body", "x"))], tie_breaker=0.1
+    )
+    bq3 = BooleanQuery()
+    bq3.must(dm)
+    bq3.filter(TermQuery(Term("body", "beta")))
+    td3 = s.search(bq3, k=10)
+    assert sorted(sd.doc for sd in td3.score_docs) == [0, 1, 2, 3]
