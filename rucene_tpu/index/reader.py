@@ -61,11 +61,19 @@ class SegmentSnapshot:
         self.name = name
         self.packed = packed
         self.live = live  # None => all live
-        self.device = device if device is not None else build_device_segment(packed, live)
+        self._device = device  # uploaded to HBM lazily on first search
         self.doc_base = 0  # assigned by IndexReader
         # numeric DV updates overlaying the segment's base column
         # (reference doc_values_update.rs — update by term without reindex)
         self.dv_updates: dict[str, dict[int, int]] = {}
+
+    @property
+    def device(self) -> DeviceSegment:
+        """Device tensors, built on first access so host-only consumers
+        (CheckIndex, merges, commits) never touch the accelerator."""
+        if self._device is None:
+            self._device = build_device_segment(self.packed, self.live)
+        return self._device
 
     @property
     def max_doc(self) -> int:
@@ -85,7 +93,8 @@ class SegmentSnapshot:
         snap.name = self.name
         snap.packed = self.packed
         snap.live = live.copy()
-        snap.device = with_live(self.device, live)
+        # share postings tensors if already uploaded; stay lazy otherwise
+        snap._device = with_live(self._device, live) if self._device is not None else None
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
         return snap
@@ -96,7 +105,7 @@ class SegmentSnapshot:
         snap.name = self.name
         snap.packed = self.packed
         snap.live = None if self.live is None else self.live
-        snap.device = self.device
+        snap._device = self._device
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
         snap.dv_updates.setdefault(field, {}).update(by_doc)

@@ -143,3 +143,22 @@ def check_index(directory: Directory, sample_terms_per_field: int | None = None)
         if seg.errors:
             status.clean = False
     return status
+
+
+def main(argv=None) -> int:
+    """CLI: python -m rucene_tpu.tools.check_index <index_dir>"""
+    import sys
+
+    from rucene_tpu.store.directory import FSDirectory
+
+    args = argv if argv is not None else sys.argv[1:]
+    if len(args) != 1:
+        print("usage: python -m rucene_tpu.tools.check_index <index_dir>", file=sys.stderr)
+        return 2
+    status = check_index(FSDirectory(args[0]))
+    print(status.render())
+    return 0 if status.clean else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
