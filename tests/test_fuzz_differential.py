@@ -1,0 +1,92 @@
+"""Randomized differential testing: the jitted device engine vs the numpy
+host engine over random boolean query shapes on a multi-segment index with
+deletes. The reference has nothing comparable (SURVEY §4: no fuzzing)."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import BooleanQuery, IndexSearcher, Occur, StringField, Term, TermQuery, TextField, Document
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.store.directory import RAMDirectory
+from tests.conftest import WORDS, random_corpus
+from tests.hitcheck import assert_hits_equal
+
+
+@pytest.fixture(scope="module")
+def fuzz_searcher():
+    rng = np.random.default_rng(1234)
+    texts = random_corpus(rng, 900)
+    w = IndexWriter(RAMDirectory(), IndexWriterConfig(max_buffered_docs=250))
+    for i, t in enumerate(texts):
+        d = Document()
+        d.add(StringField("id", str(i), stored=True))
+        d.add(TextField("body", t))
+        w.add_document(d)
+    # sprinkle deletes
+    for i in rng.choice(900, size=40, replace=False):
+        w.delete_documents_by_term(Term("id", str(int(i))))
+    return IndexSearcher(w.get_reader())
+
+
+def _random_query(rng) -> BooleanQuery | TermQuery:
+    kind = rng.integers(0, 5)
+    if kind == 0:
+        return TermQuery(Term("body", str(rng.choice(WORDS))), boost=float(rng.choice([0.5, 1.0, 2.0])))
+    q = BooleanQuery(min_should_match=int(rng.integers(0, 3)))
+    n = int(rng.integers(1, 6))
+    words = rng.choice(WORDS, size=n, replace=False)
+    occurs = [Occur.SHOULD, Occur.MUST, Occur.FILTER, Occur.MUST_NOT]
+    for wd in words:
+        occ = occurs[int(rng.integers(0, 4))]
+        q.add(TermQuery(Term("body", str(wd)), boost=float(rng.choice([1.0, 1.5]))), occ)
+    return q
+
+
+def test_fuzz_device_vs_host(fuzz_searcher):
+    from rucene_tpu.search import host_engine
+
+    s = fuzz_searcher
+    rng = np.random.default_rng(999)
+    checked = 0
+    for trial in range(60):
+        q = _random_query(rng)
+        try:
+            rq = q.rewrite()
+        except NotImplementedError:
+            continue
+        td = s.search(q, k=25)
+        # host reference across all leaves
+        doc_freqs, stats = s._gather_stats([rq])
+        per_leaf = []
+        for leaf in s.reader.leaves:
+            m, acc = host_engine.evaluate_rewritten(leaf, rq, s.similarity, stats, doc_freqs)
+            hh = host_engine.hits_from_dense(leaf, m, acc, 25)
+            per_leaf.append((leaf.doc_base, hh.docs, hh.scores, hh.total_hits))
+        want = s._merge_leaf_hits(per_leaf, 25)
+        assert td.total_hits == want.total_hits, (trial, q)
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in td.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
+        checked += 1
+    assert checked >= 55
+
+
+def test_fuzz_pruned_vs_exact(fuzz_searcher):
+    s = fuzz_searcher
+    rng = np.random.default_rng(321)
+    queries = []
+    for _ in range(24):
+        q = BooleanQuery()
+        for wd in rng.choice(WORDS, size=int(rng.integers(1, 4)), replace=False):
+            q.should(TermQuery(Term("body", str(wd))))
+        queries.append(q)
+    exact = s.search_batch(queries, k=10)
+    pruned = s.search_batch(queries, k=10, prune=True)
+    for e, p in zip(exact, pruned):
+        # pass-2 compaction reorders scatter combines: scores match within
+        # the engine's reorder tolerance (same contract as host-vs-device)
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in p.score_docs],
+            [(sd.doc, sd.score) for sd in e.score_docs],
+        )

@@ -84,9 +84,10 @@ def test_pruned_matches_exact():
     exact = s.search_batch(queries, k=10)
     pruned = s.search_batch(queries, k=10, prune=True)
     for e, p in zip(exact, pruned):
-        assert [(sd.doc, sd.score) for sd in p.score_docs] == [
-            (sd.doc, sd.score) for sd in e.score_docs
-        ]
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in p.score_docs],
+            [(sd.doc, sd.score) for sd in e.score_docs],
+        )
         assert p.total_hits <= e.total_hits
     from rucene_tpu.util.metrics import METRICS
 
@@ -103,6 +104,7 @@ def test_pruned_safe_on_uniform_ties():
     exact = s.search_batch(queries, k=10)
     pruned = s.search_batch(queries, k=10, prune=True)
     for e, p in zip(exact, pruned):
-        assert [(sd.doc, sd.score) for sd in p.score_docs] == [
-            (sd.doc, sd.score) for sd in e.score_docs
-        ]
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in p.score_docs],
+            [(sd.doc, sd.score) for sd in e.score_docs],
+        )
