@@ -83,6 +83,10 @@ class IndexWriter:
     def __init__(self, directory: Directory, config: IndexWriterConfig | None = None):
         self.directory = directory
         self.config = config or IndexWriterConfig()
+        # exclusive writer lock: two writers on one directory corrupt it
+        self._write_lock = (
+            directory.obtain_lock() if hasattr(directory, "obtain_lock") else None
+        )
         self._lock = threading.RLock()
         self._infos: SegmentInfos = segfiles.read_segments_file(directory)
         # reader pool: segment name -> current snapshot (with live deletes)
@@ -354,6 +358,7 @@ class IndexWriter:
         (reference index_file_deleter.rs:34-80, delete_policy.rs:92)."""
         referenced = set(self._infos.files())
         referenced.add(f"{segfiles.SEGMENTS_PREFIX}{self._infos.generation}")
+        referenced.add("write.lock")
         for info in self._uncommitted:
             referenced.update(info.files())
         for name in self.directory.list_all():
@@ -505,6 +510,9 @@ class IndexWriter:
             sched.close()
         with self._lock:
             self._closed = True
+            if self._write_lock is not None:
+                self._write_lock.release()
+                self._write_lock = None
 
     def __enter__(self) -> "IndexWriter":
         return self
@@ -514,3 +522,6 @@ class IndexWriter:
             self.close()
         else:
             self._closed = True
+            if self._write_lock is not None:
+                self._write_lock.release()
+                self._write_lock = None

@@ -79,6 +79,12 @@ def check_footer(data: bytes, expect_name: str | None = None) -> bytes:
     return data[10 + name_len : payload_end]
 
 
+class LockObtainFailedError(Exception):
+    """Another IndexWriter holds the directory's write lock
+    (reference: LockValidatingDirectoryWrapper, directory.rs:105 — the
+    reference only has advisory locking; this one actually excludes)."""
+
+
 class Directory(Protocol):
     def list_all(self) -> list[str]: ...
     def file_exists(self, name: str) -> bool: ...
@@ -136,6 +142,33 @@ class FSDirectory:
         finally:
             os.close(fd)
 
+    def obtain_lock(self, name: str = "write.lock"):
+        path = self._p(name)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise LockObtainFailedError(
+                f"write lock held: {path} (remove it only if the owner is dead)"
+            )
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return _FileLock(self, name)
+
+
+class _FileLock:
+    def __init__(self, directory, name: str):
+        self._dir = directory
+        self._name = name
+        self._released = False
+
+    def release(self) -> None:
+        if not self._released:
+            self._released = True
+            try:
+                self._dir.delete_file(self._name)
+            except OSError:
+                pass
+
 
 class RAMDirectory:
     """In-memory directory for tests (reference uses RAMOutputStream)."""
@@ -172,3 +205,9 @@ class RAMDirectory:
 
     def sync(self, names: list[str]) -> None:
         pass
+
+    def obtain_lock(self, name: str = "write.lock"):
+        if name in self.files:
+            raise LockObtainFailedError(f"write lock held: {name}")
+        self.files[name] = b"lock"
+        return _FileLock(self, name)

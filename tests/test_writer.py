@@ -194,3 +194,22 @@ def test_merged_scores_match_unmerged(tmp_path):
     ]
     w1.close()
     w2.close()
+
+
+def test_write_lock_excludes_second_writer(tmp_path):
+    from rucene_tpu.store.directory import LockObtainFailedError
+
+    d = FSDirectory(str(tmp_path / "lk"))
+    w1 = IndexWriter(d)
+    with pytest.raises(LockObtainFailedError):
+        IndexWriter(d)
+    w1.close()
+    # released on close: a new writer can open
+    w2 = IndexWriter(d)
+    w2.close()
+    # RAMDirectory too
+    rd = RAMDirectory()
+    a = IndexWriter(rd)
+    with pytest.raises(LockObtainFailedError):
+        IndexWriter(rd)
+    a.close()
