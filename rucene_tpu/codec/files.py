@@ -105,6 +105,49 @@ class SectionReader:
         return json.loads(zlib.decompress(blob))
 
 
+class LazyStored:
+    """Sequence view over compressed stored-field chunks: a chunk is
+    decompressed on first access (LRU of a few chunks), so opening a
+    segment never inflates the whole row store (the reference reads
+    .fdt chunks on demand the same way, stored_fields_reader.rs)."""
+
+    def __init__(self, reader: "SectionReader", n_docs: int, n_chunks: int):
+        self._r = reader
+        self._n = n_docs
+        self._chunks: dict[int, list] = {}
+        self._order: list[int] = []
+
+    def _chunk(self, c: int) -> list:
+        got = self._chunks.get(c)
+        if got is None:
+            got = self._r.json(f"stored.{c}")
+            self._chunks[c] = got
+            self._order.append(c)
+            if len(self._order) > 8:  # keep a few hot chunks
+                old = self._order.pop(0)
+                self._chunks.pop(old, None)
+        return got
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self._n))]
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        return self._chunk(i // STORED_CHUNK)[i % STORED_CHUNK]
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+
 # ---------------- term table (offsets + bytes; front-coding TBD) -------------
 
 
@@ -288,9 +331,7 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         f: FieldStats(doc_count=s["doc_count"], sum_total_term_freq=s["sum_ttf"], sum_doc_freq=s["sum_df"])
         for f, s in meta["stats"].items()
     }
-    stored: list[dict] = []
-    for c in range(r.json("stored.nchunks")):
-        stored.extend(r.json(f"stored.{c}"))
+    stored = LazyStored(r, meta["max_doc"], r.json("stored.nchunks"))
 
     term_vectors = None
     if "tv.nchunks" in r:
