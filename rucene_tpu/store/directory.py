@@ -143,31 +143,57 @@ class FSDirectory:
             os.close(fd)
 
     def obtain_lock(self, name: str = "write.lock"):
+        """Kernel flock() on write.lock (what the reference's
+        NativeFSLockFactory relies on, native_fs_lock_factory.rs). The OS
+        drops the flock when the holder dies, so a crashed writer never
+        wedges the index — no staleness heuristic, no unlink race (two
+        racing takers serialize on LOCK_EX; exactly one wins LOCK_NB).
+        The pid stamped inside the file is diagnostic only."""
+        import fcntl
+
         path = self._p(name)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            try:
+                owner = os.read(fd, 64).decode("ascii", "replace") or "?"
+            except OSError:
+                owner = "?"
+            os.close(fd)
             raise LockObtainFailedError(
-                f"write lock held: {path} (remove it only if the owner is dead)"
+                f"write lock held by pid {owner}: {path}"
             )
+        os.ftruncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        return _FileLock(self, name)
+        return _FileLock(self, name, fd)
 
 
 class _FileLock:
-    def __init__(self, directory, name: str):
+    def __init__(self, directory, name: str, fd: int | None = None):
         self._dir = directory
         self._name = name
+        self._fd = fd  # flock holder (FSDirectory); None for RAMDirectory
         self._released = False
 
     def release(self) -> None:
         if not self._released:
             self._released = True
-            try:
-                self._dir.delete_file(self._name)
-            except OSError:
-                pass
+            if self._fd is not None:
+                # flock path: NEVER unlink the lock file. Deleting it opens
+                # the open-old-inode/flock-new-inode ABA window where two
+                # writers each hold a lock on a different inode of the same
+                # path. A present-but-unlocked write.lock is normal (same as
+                # Lucene's NativeFSLockFactory).
+                try:
+                    os.close(self._fd)  # close => kernel releases the flock
+                except OSError:
+                    pass
+            else:
+                try:
+                    self._dir.delete_file(self._name)
+                except OSError:
+                    pass
 
 
 class RAMDirectory:

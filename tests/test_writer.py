@@ -213,3 +213,56 @@ def test_write_lock_excludes_second_writer(tmp_path):
     with pytest.raises(LockObtainFailedError):
         IndexWriter(rd)
     a.close()
+
+
+def test_crashed_writer_does_not_wedge_lock(tmp_path):
+    """flock locking: a leftover write.lock FILE from a dead writer never
+    blocks (the kernel dropped the flock with the process); a live flock
+    holder in another process excludes; release keeps the file but drops
+    the flock."""
+    import subprocess
+    import sys
+
+    from rucene_tpu.store.directory import LockObtainFailedError
+
+    d = FSDirectory(str(tmp_path / "crash"))
+    # simulate a crashed writer: the lock FILE exists (with a dead pid in
+    # it) but no process holds the flock
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(d._p("write.lock"), "w") as f:
+        f.write(str(proc.pid))
+    w = IndexWriter(d)  # acquires immediately — no flock is held
+    w.add_document(_doc(0, "alive again"))
+    w.commit()
+    w.close()
+    # release keeps the file (never unlinked: avoids inode-swap races)
+    assert d.file_exists("write.lock")
+    # ... and a new writer can acquire it again
+    IndexWriter(d).close()
+
+    # a REAL holder in another OS process excludes until it dies
+    holder_src = (
+        "import time; "
+        "from rucene_tpu.store.directory import FSDirectory; "
+        f"FSDirectory({d.path!r}).obtain_lock(); print('LOCKED', flush=True); "
+        "time.sleep(60)"
+    )
+    holder = subprocess.Popen(
+        [sys.executable, "-c", holder_src],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        assert holder.stdout.readline().strip() == "LOCKED"
+        with pytest.raises(LockObtainFailedError):
+            IndexWriter(d)
+        holder.kill()
+        holder.wait()
+        # holder died without release(): kernel dropped the flock
+        IndexWriter(d).close()
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+            holder.wait()
