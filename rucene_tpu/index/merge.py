@@ -331,17 +331,60 @@ class TieredMergePolicy:
     """Size-tiered selection (simplified TieredMergePolicy,
     reference merge_policy.rs:414): merge the `merge_factor` smallest
     segments whenever at least `segs_per_tier + merge_factor - 1` segments
-    exist; force_merge collapses everything."""
+    exist; force_merge collapses everything.
 
-    def __init__(self, merge_factor: int = 10, segs_per_tier: int = 10):
+    max_merged_segment_docs caps merge output size (the analog of Lucene's
+    max_merged_segment_mb, merge_policy.rs:455): segments over half the cap
+    are never merge inputs, and a candidate is trimmed so its combined live
+    doc count stays under the cap. deletes_pct_allowed triggers reclaim
+    rewrites of segments whose delete ratio exceeds it, independent of the
+    tier threshold (reference find_forced_deletes_merges)."""
+
+    def __init__(
+        self,
+        merge_factor: int = 10,
+        segs_per_tier: int = 10,
+        max_merged_segment_docs: int | None = None,
+        deletes_pct_allowed: float = 50.0,
+    ):
         self.merge_factor = merge_factor
         self.segs_per_tier = segs_per_tier
+        self.max_merged_segment_docs = max_merged_segment_docs
+        self.deletes_pct_allowed = deletes_pct_allowed
 
-    def find_merges(self, sizes: dict[str, int]) -> list[MergeCandidate]:
-        if len(sizes) < self.segs_per_tier + self.merge_factor - 1:
-            return []
-        by_size = sorted(sizes, key=lambda n: sizes[n])
-        return [MergeCandidate(by_size[: self.merge_factor])]
+    def find_merges(
+        self, sizes: dict[str, int], deletes: dict[str, int] | None = None
+    ) -> list[MergeCandidate]:
+        out: list[MergeCandidate] = []
+        claimed: set[str] = set()
+
+        # deletes-percentage reclaim: rewrite high-garbage segments even
+        # when the tier threshold isn't met (a 1-segment merge drops dead
+        # docs and re-packs)
+        if deletes:
+            for name, size in sizes.items():
+                dels = deletes.get(name, 0)
+                total = size + dels
+                if total > 0 and 100.0 * dels / total > self.deletes_pct_allowed:
+                    out.append(MergeCandidate([name]))
+                    claimed.add(name)
+
+        cap = self.max_merged_segment_docs
+        pool = {
+            n: s
+            for n, s in sizes.items()
+            if n not in claimed and (cap is None or s <= cap // 2)
+        }
+        if len(pool) >= self.segs_per_tier + self.merge_factor - 1:
+            by_size = sorted(pool, key=lambda n: pool[n])
+            cand = by_size[: self.merge_factor]
+            if cap is not None:
+                # trim the biggest inputs until the output fits the cap
+                while len(cand) > 2 and sum(pool[n] for n in cand) > cap:
+                    cand.pop()
+            if len(cand) >= 2 and (cap is None or sum(pool[n] for n in cand) <= cap):
+                out.append(MergeCandidate(cand))
+        return out
 
     def find_forced_merges(self, sizes: dict[str, int], max_segments: int) -> list[MergeCandidate]:
         if len(sizes) <= max_segments:

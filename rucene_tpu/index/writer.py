@@ -394,8 +394,9 @@ class IndexWriter:
             sizes = {
                 info.name: (info.max_doc - info.del_count) for info in self._infos.segments
             }
+            deletes = {info.name: info.del_count for info in self._infos.segments}
             merged = 0
-            for cand in self.config.merge_policy.find_merges(sizes):
+            for cand in self.config.merge_policy.find_merges(sizes, deletes):
                 names = cand.segments
                 self.config.merge_scheduler.merge(lambda n=names: self._merge_job(n))
                 merged += 1
@@ -460,22 +461,26 @@ class IndexWriter:
         # nothing is deleted (the policy may have selected by size)
         wanted = set(names)
         infos = [i for i in self._infos.segments if i.name in wanted]
-        if len(infos) < 2:
+        if not infos:
             return
+        if len(infos) == 1 and infos[0].del_count == 0:
+            return  # singleton rewrite only pays off when it drops deletes
         snaps = [self._snapshot(i) for i in infos]
         merged = merge_segments(snaps)
-        new_name = _seg_name(self._infos.counter)
-        self._infos.counter += 1
-        segfiles.write_segment(self.directory, new_name, merged)
-        new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
-        self._pool[new_name] = SegmentSnapshot(new_name, merged)
+        all_dead = merged.max_doc == 0  # fully-deleted inputs: drop, no output
+        if not all_dead:
+            new_name = _seg_name(self._infos.counter)
+            self._infos.counter += 1
+            segfiles.write_segment(self.directory, new_name, merged)
+            new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
+            self._pool[new_name] = SegmentSnapshot(new_name, merged)
         # swap segment list in place (commit_merge analog)
         kept: list[SegmentCommitInfo] = []
         inserted = False
         drop = {i.name for i in infos}
         for info in self._infos.segments:
             if info.name in drop:
-                if not inserted:
+                if not inserted and not all_dead:
                     kept.append(new_info)
                     inserted = True
                 self._pool.pop(info.name, None)

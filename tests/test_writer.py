@@ -175,6 +175,43 @@ def test_auto_merge_policy(tmp_path):
     w.close()
 
 
+def test_merge_policy_size_cap_and_deletes_reclaim():
+    # cap: jumbo segments (> cap/2) are never inputs; candidate trimmed
+    p = TieredMergePolicy(merge_factor=4, segs_per_tier=1, max_merged_segment_docs=100)
+    sizes = {"_big": 90, "_a": 30, "_b": 30, "_c": 30, "_d": 40}
+    cands = p.find_merges(sizes)
+    assert len(cands) == 1
+    names = cands[0].segments
+    assert "_big" not in names
+    assert sum(sizes[n] for n in names) <= 100
+    assert len(names) >= 2
+
+    # reclaim: high-delete segment selected alone, below tier threshold
+    p2 = TieredMergePolicy(merge_factor=10, segs_per_tier=10, deletes_pct_allowed=30.0)
+    cands = p2.find_merges({"_x": 50, "_y": 100}, deletes={"_x": 40, "_y": 5})
+    assert [c.segments for c in cands] == [["_x"]]
+
+
+def test_writer_reclaims_deletes_via_policy():
+    d = RAMDirectory()
+    cfg = IndexWriterConfig(
+        max_buffered_docs=10,
+        merge_policy=TieredMergePolicy(deletes_pct_allowed=25.0),
+    )
+    w = IndexWriter(d, cfg)
+    for i in range(20):
+        w.add_document(_doc(i, f"tok{i} shared"))
+    w.commit()
+    for i in range(4):  # 40% of the first segment
+        w.delete_documents_by_term(Term("id", str(i)))
+    w.commit()  # merge_on_commit: reclaim fires right here
+    assert all(i.del_count == 0 for i in w._infos.segments)
+    r = w.get_reader()
+    assert r.num_docs == 16
+    assert IndexSearcher(r).search(TermQuery(Term("body", "shared")), 20).total_hits == 16
+    w.close()
+
+
 def test_merged_scores_match_unmerged(tmp_path):
     """Merging must not change scores when nothing is deleted."""
     d1, d2 = RAMDirectory(), RAMDirectory()
