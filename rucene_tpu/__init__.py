@@ -63,6 +63,7 @@ from rucene_tpu.search.query import (
     PointRangeQuery,
     TermQuery,
 )
+from rucene_tpu.analysis.tokenizer import Token
 from rucene_tpu.search.query_string import parse_query_string
 from rucene_tpu.search.sort_field import Sort, SortField
 from rucene_tpu.search.searcher import IndexSearcher, ScoreDoc, TopDocs
@@ -102,6 +103,7 @@ __all__ = [
     "Term",
     "TermQuery",
     "TextField",
+    "Token",
     "TopDocs",
     "WhitespaceAnalyzer",
     "parse_query_string",

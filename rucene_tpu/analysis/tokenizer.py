@@ -16,6 +16,8 @@ class Token:
     position: int  # absolute position (position_increment always 1 here)
     start_offset: int
     end_offset: int
+    payload: bytes | None = None  # per-occurrence payload (reference
+    # PayloadAttribute, token_stream.rs); only pre-analyzed fields carry one
 
 
 def tokenize_whitespace(text: str, lowercase: bool = False) -> list[Token]:

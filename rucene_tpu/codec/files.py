@@ -229,6 +229,17 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
     for key in ("blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base", "blk_count",
                 "blk_max_freq", "blk_pos_base", "data", "positions"):
         w.add_npy(key, getattr(packed, key))
+    if packed.off_starts is not None:
+        w.add_npy("off_starts", packed.off_starts)
+        w.add_npy("off_ends", packed.off_ends)
+    if packed.pay is not None:
+        # payload plane: flat bytes + occurrence offsets (empty == absent)
+        blobs = [p or b"" for p in packed.pay]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        if blobs:
+            offs[1:] = np.cumsum([len(b) for b in blobs])
+        w.add_npy("pay_blob", np.frombuffer(b"".join(blobs), np.uint8).copy())
+        w.add_npy("pay_offs", offs)
     for f in sorted(packed.norms):
         w.add_npy(f"norms.{f}", packed.norms[f])
     for f in sorted(packed.numeric_dv):
@@ -283,6 +294,16 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
     out.write_footer()
     out.close()
     return fname
+
+
+def _read_payload_plane(r: "SectionReader") -> np.ndarray:
+    blob = r.npy("pay_blob").tobytes()
+    offs = r.npy("pay_offs")
+    out = np.empty(len(offs) - 1, dtype=object)
+    for i in range(len(offs) - 1):
+        a, z = int(offs[i]), int(offs[i + 1])
+        out[i] = blob[a:z] if z > a else None
+    return out
 
 
 def read_segment(directory: Directory, name: str) -> PackedSegment:
@@ -353,6 +374,9 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         blk_pos_base=r.npy("blk_pos_base"),
         data=r.npy("data"),
         positions=r.npy("positions"),
+        off_starts=r.npy("off_starts") if "off_starts" in r else None,
+        off_ends=r.npy("off_ends") if "off_ends" in r else None,
+        pay=_read_payload_plane(r) if "pay_offs" in r else None,
         norms={f: r.npy(f"norms.{f}") for f in meta["norm_fields"]},
         stored=stored,
         numeric_dv={

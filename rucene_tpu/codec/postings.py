@@ -82,6 +82,13 @@ class PackedSegment:
     sorted_dv: dict | None = None
     sorted_numeric_dv: dict | None = None
     sorted_set_dv: dict | None = None
+    # postings offsets/payloads: occurrence-aligned with the positions
+    # stream (index = PackedField.pos_start[t] + within-term occurrence);
+    # -1 / None for occurrences of fields without them (reference
+    # posting_writer.rs offsets + payload planes)
+    off_starts: np.ndarray | None = None  # i32[n_occ]
+    off_ends: np.ndarray | None = None  # i32[n_occ]
+    pay: np.ndarray | None = None  # object[n_occ] of bytes | None
 
     @property
     def num_blocks(self) -> int:
@@ -120,16 +127,37 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
     fields: dict[str, PackedField] = {}
     term_field_order: list[tuple[str, list[str]]] = []
 
+    any_off = bool(seg.offsets)
+    any_pay = bool(seg.payloads)
+    start_parts: list[np.ndarray] = []
+    end_parts: list[np.ndarray] = []
+    pay_parts: list[list] = []
+
     for fid, name in enumerate(field_names):
         tmap = seg.terms[name]
         terms_sorted = sorted(tmap)
         term_field_order.append((name, terms_sorted))
+        foff = (seg.offsets or {}).get(name)
+        fpay = (seg.payloads or {}).get(name)
         for t in terms_sorted:
             d, f, p = tmap[t]
             docs_parts.append(d)
             freqs_parts.append(f)
             pos_parts.append(p)
             df_list.append(len(d))
+            if any_off:
+                e = foff.get(t) if foff else None
+                if e is not None and len(e[0]) == len(p):
+                    start_parts.append(np.asarray(e[0], np.int32))
+                    end_parts.append(np.asarray(e[1], np.int32))
+                else:
+                    start_parts.append(np.full(len(p), -1, np.int32))
+                    end_parts.append(np.full(len(p), -1, np.int32))
+            if any_pay:
+                e = fpay.get(t) if fpay else None
+                pay_parts.append(
+                    list(e) if e is not None and len(e) == len(p) else [None] * len(p)
+                )
 
     if df_list:
         docs = np.concatenate(docs_parts).astype(np.int64)
@@ -295,6 +323,9 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         sorted_dv=getattr(seg, "sorted_dv", None),
         sorted_numeric_dv=getattr(seg, "sorted_numeric_dv", None),
         sorted_set_dv=getattr(seg, "sorted_set_dv", None),
+        off_starts=(np.concatenate(start_parts).astype(np.int32) if any_off and start_parts else (np.zeros(0, np.int32) if any_off else None)),
+        off_ends=(np.concatenate(end_parts).astype(np.int32) if any_off and end_parts else (np.zeros(0, np.int32) if any_off else None)),
+        pay=(np.array([p for part in pay_parts for p in part], dtype=object) if any_pay else None),
     )
 
 

@@ -91,14 +91,30 @@ class Field:
     boost: float = 1.0
 
 
-def TextField(name: str, value: str, stored: bool = False, term_vectors: bool = False) -> Field:
+def TextField(
+    name: str,
+    value,
+    stored: bool = False,
+    term_vectors: bool = False,
+    offsets: bool = False,
+) -> Field:
+    """`offsets=True` records char offsets in the POSTINGS (IndexOptions
+    ..._AND_OFFSETS, reference index_options.rs:18) readable via
+    read_postings(with_offsets=True) — independent of term vectors.
+    `value` may be a pre-analyzed list[Token] (the reference's
+    field-with-TokenStream path, field.rs:202) — the only way occurrences
+    get payloads."""
     ft = TEXT_FIELD_TYPE_STORED if stored else TEXT_FIELD_TYPE_NOT_STORED
-    if term_vectors:
+    if term_vectors or offsets:
         ft = FieldType(
-            index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+            index_options=(
+                IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS
+                if offsets
+                else IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+            ),
             stored=stored,
             tokenized=True,
-            store_term_vectors=True,
+            store_term_vectors=term_vectors,
         )
     return Field(name, value, ft)
 

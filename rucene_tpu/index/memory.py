@@ -29,14 +29,37 @@ class _TermPosting:
     freqs: list[int] = dc_field(default_factory=list)
     # positions flattened in doc order; freqs give per-doc extents
     positions: list[int] = dc_field(default_factory=list)
+    # optional occurrence-parallel streams (IndexOptions ..._AND_OFFSETS /
+    # payloads, reference posting_writer.rs offsets+payload planes)
+    starts: list[int] = dc_field(default_factory=list)
+    ends: list[int] = dc_field(default_factory=list)
+    payloads: list = dc_field(default_factory=list)
 
-    def add_occurrence(self, doc: int, position: int) -> None:
+    def add_occurrence(
+        self,
+        doc: int,
+        position: int,
+        start: int = -1,
+        end: int = -1,
+        payload: bytes | None = None,
+    ) -> None:
         if self.docs and self.docs[-1] == doc:
             self.freqs[-1] += 1
         else:
             self.docs.append(doc)
             self.freqs.append(1)
         self.positions.append(position)
+        if start >= 0 or self.starts:
+            # keep occurrence-aligned once any occurrence carries offsets
+            while len(self.starts) < len(self.positions) - 1:
+                self.starts.append(-1)
+                self.ends.append(-1)
+            self.starts.append(start)
+            self.ends.append(end)
+        if payload is not None or self.payloads:
+            while len(self.payloads) < len(self.positions) - 1:
+                self.payloads.append(None)
+            self.payloads.append(payload)
 
 
 def _merge_postings(
@@ -91,6 +114,10 @@ class SegmentData:
     sorted_dv: dict[str, tuple[list[str], np.ndarray]] | None = None  # (values, ord i32[max_doc], -1 missing)
     sorted_numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]] | None = None  # (flat sorted vals, offsets i64[md+1])
     sorted_set_dv: dict[str, tuple[list[str], np.ndarray, np.ndarray]] | None = None  # (values, flat ords, offsets)
+    # postings offsets/payloads (IndexOptions ..._AND_OFFSETS): per field ->
+    # {term -> occurrence-parallel arrays aligned with `positions`}
+    offsets: dict[str, dict[str, tuple[np.ndarray, np.ndarray]]] | None = None
+    payloads: dict[str, dict[str, list]] | None = None
 
 
 class SegmentBuffer:
@@ -123,6 +150,8 @@ class SegmentBuffer:
         self._native_mod = native_mod
         self._native: dict[str, object] = {}  # field -> NativeInverter
         self._terms: dict[str, dict[str, _TermPosting]] = {}
+        self._offset_fields: set[str] = set()
+        self._payload_fields: set[str] = set()
         self._norm_bytes: dict[str, dict[int, int]] = {}
         self._stats: dict[str, FieldStats] = {}
         self._stored: list[dict[str, object]] = []
@@ -142,6 +171,7 @@ class SegmentBuffer:
         doc_tv: dict[str, dict[str, list[tuple[int, int, int]]]] = {}
         # field -> (length, boost) for norm computation of this doc
         invert_state: dict[str, tuple[int, float]] = {}
+        char_base: dict[str, int] = {}  # per-field offset base (multi-value)
 
         for f in doc:
             info = self.field_infos.get_or_add(f.name)
@@ -150,11 +180,14 @@ class SegmentBuffer:
                 if ft.index_options > info.index_options:
                     info.index_options = ft.index_options
                 info.omit_norms = info.omit_norms or ft.omit_norms
-                value = str(f.value)
+                pre_tokens = f.value if isinstance(f.value, list) else None
+                value = "" if pre_tokens is not None else str(f.value)
                 via_native = (
-                    self._use_native
+                    pre_tokens is None
+                    and self._use_native
                     and ft.tokenized
                     and not ft.store_term_vectors
+                    and not ft.index_options.has_offsets
                     and value.isascii()
                 )
                 if via_native:
@@ -166,6 +199,8 @@ class SegmentBuffer:
                     if n_tok:
                         invert_state[f.name] = (base_pos + n_tok, f.boost)
                     tokens = []
+                elif pre_tokens is not None:
+                    tokens = pre_tokens
                 elif ft.tokenized:
                     tokens = self.analyzer.tokenize(f.name, value)
                 else:
@@ -177,19 +212,46 @@ class SegmentBuffer:
                     if ft.store_term_vectors:
                         info.store_term_vectors = True
                         tv = doc_tv.setdefault(f.name, {})
+                    want_off = ft.index_options.has_offsets
+                    if want_off:
+                        self._offset_fields.add(f.name)
+                    # multi-valued fields: offsets accumulate across values
+                    # with a 1-char gap, as if the values were space-joined
+                    # (Lucene's offset gap, DefaultIndexingChain)
+                    base_off = char_base.get(f.name, 0)
                     for tok in tokens:
                         posting = field_terms.get(tok.term)
                         if posting is None:
                             posting = field_terms[tok.term] = _TermPosting()
-                        posting.add_occurrence(doc_id, base_pos + tok.position)
+                        pay = getattr(tok, "payload", None)
+                        if pay is not None:
+                            self._payload_fields.add(f.name)
+                        posting.add_occurrence(
+                            doc_id,
+                            base_pos + tok.position,
+                            base_off + tok.start_offset if want_off else -1,
+                            base_off + tok.end_offset if want_off else -1,
+                            pay,
+                        )
                         if tv is not None:
                             tv.setdefault(tok.term, []).append(
-                                (base_pos + tok.position, tok.start_offset, tok.end_offset)
+                                (
+                                    base_pos + tok.position,
+                                    base_off + tok.start_offset,
+                                    base_off + tok.end_offset,
+                                )
                             )
                     prev_len = invert_state.get(f.name, (0, f.boost))[0]
                     invert_state[f.name] = (prev_len + len(tokens), f.boost)
+                    val_len = len(value) if value else (
+                        max((t.end_offset for t in tokens), default=0)
+                    )
+                    char_base[f.name] = base_off + val_len + 1
             if ft.stored:
-                stored[f.name] = f.value
+                if isinstance(f.value, list):  # pre-analyzed token stream
+                    stored[f.name] = " ".join(t.term for t in f.value)
+                else:
+                    stored[f.name] = f.value
             if ft.doc_values_type == DocValuesType.NUMERIC:
                 info.doc_values_type = DocValuesType.NUMERIC
                 self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
@@ -265,6 +327,7 @@ class SegmentBuffer:
                     ft.indexed
                     and ft.tokenized
                     and not ft.store_term_vectors
+                    and not ft.index_options.has_offsets
                     and isinstance(f.value, str)
                     and f.value.isascii()
                 ):
@@ -335,6 +398,37 @@ class SegmentBuffer:
                     np.asarray(p.positions, dtype=np.int32),
                 )
             terms_out[field] = fout
+
+        # postings offsets/payloads: emitted only when every occurrence of
+        # the field stayed aligned (mixed-FieldType docs degrade safely)
+        offsets_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray]]] = {}
+        for field in self._offset_fields:
+            tmap = self._terms.get(field, {})
+            fo = {}
+            ok = True
+            for term, p in tmap.items():
+                if len(p.starts) != len(p.positions):
+                    ok = False
+                    break
+                fo[term] = (
+                    np.asarray(p.starts, dtype=np.int32),
+                    np.asarray(p.ends, dtype=np.int32),
+                )
+            if ok and fo:
+                offsets_out[field] = fo
+        payloads_out: dict[str, dict[str, list]] = {}
+        for field in self._payload_fields:
+            tmap = self._terms.get(field, {})
+            fp = {}
+            ok = True
+            for term, p in tmap.items():
+                pay = p.payloads or [None] * len(p.positions)
+                if len(pay) != len(p.positions):
+                    ok = False
+                    break
+                fp[term] = pay
+            if ok and fp:
+                payloads_out[field] = fp
 
         # fold in the native inversion exports (zero-copy slices per term)
         for field, inv in self._native.items():
@@ -428,4 +522,6 @@ class SegmentBuffer:
             sorted_dv=sorted_out or None,
             sorted_numeric_dv=snum_out or None,
             sorted_set_dv=sset_out or None,
+            offsets=offsets_out or None,
+            payloads=payloads_out or None,
         )

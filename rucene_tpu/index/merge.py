@@ -49,6 +49,8 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
 
     all_fields = sorted({f for snap in snapshots for f in snap.packed.fields})
     terms_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    offsets_out: dict[str, dict[str, tuple[np.ndarray, np.ndarray]]] = {}
+    payloads_out: dict[str, dict[str, list]] = {}
     stats_out: dict[str, FieldStats] = {}
 
     # one vectorized whole-segment decode per snapshot, shared across fields
@@ -85,6 +87,9 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         tid_parts, doc_parts, freq_parts, posrun_parts, poslen_parts = [], [], [], [], []
         pos_offset = 0
         pos_arrays = []
+        any_off = any(s.packed.off_starts is not None for s in snapshots)
+        any_pay = any(s.packed.pay is not None for s in snapshots)
+        offs_arrays, offe_arrays, pay_arrays = [], [], []
         for si, snap in enumerate(snapshots):
             pf = snap.packed.fields.get(field)
             seg_positions = decoded_positions[si]
@@ -113,6 +118,20 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
             posrun_parts.append(run_start[keep])
             poslen_parts.append(ffreqs[keep])
             pos_arrays.append(seg_positions)
+            if any_off:
+                so = snap.packed.off_starts
+                offs_arrays.append(
+                    so if so is not None else np.full(len(seg_positions), -1, np.int32)
+                )
+                eo = snap.packed.off_ends
+                offe_arrays.append(
+                    eo if eo is not None else np.full(len(seg_positions), -1, np.int32)
+                )
+            if any_pay:
+                pa = snap.packed.pay
+                if pa is None:
+                    pa = np.empty(len(seg_positions), dtype=object)
+                pay_arrays.append(pa)
             pos_offset += len(seg_positions)
 
         st = FieldStats()
@@ -132,10 +151,19 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
             )
             # gather position runs in merged posting order
             total_pos = int(nfreqs_i64.sum())
+            moffs = mends = mpay = None
             if total_pos:
                 bases = np.concatenate([[0], np.cumsum(nfreqs_i64)])[:-1]
                 idx = np.repeat(runs - bases, nfreqs_i64) + np.arange(total_pos)
                 mpos = pos_all[idx].astype(np.int32)
+                # offsets/payloads are occurrence-aligned with the positions
+                # stream, so the same gather carries them through the merge
+                if any_off:
+                    off_all = np.concatenate(offs_arrays)
+                    moffs = off_all[idx].astype(np.int32)
+                    mends = np.concatenate(offe_arrays)[idx].astype(np.int32)
+                if any_pay:
+                    mpay = np.concatenate(pay_arrays)[idx]
             else:
                 mpos = np.zeros(0, np.int32)
             # CSR per union term
@@ -143,15 +171,26 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
             pstart = np.concatenate([[0], np.cumsum(final_df)])
             fstart = np.concatenate([[0], np.cumsum(nfreqs_i64)])
             fout: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            f_offs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            f_pays: dict[str, list] = {}
             for u, term in enumerate(union):
                 a, z = int(pstart[u]), int(pstart[u + 1])
                 if a == z:
                     continue
                 # zero-copy views into the columnar arrays
-                fout[term] = (ndocs[a:z], nfreqs[a:z], mpos[int(fstart[a]) : int(fstart[z])])
+                oa, oz = int(fstart[a]), int(fstart[z])
+                fout[term] = (ndocs[a:z], nfreqs[a:z], mpos[oa:oz])
+                if moffs is not None:
+                    f_offs[term] = (moffs[oa:oz], mends[oa:oz])
+                if mpay is not None:
+                    f_pays[term] = list(mpay[oa:oz])
                 st.sum_doc_freq += z - a
             if fout:
                 terms_out[field] = fout
+                if f_offs and any(int(s.max(initial=-1)) >= 0 for s, _ in f_offs.values()):
+                    offsets_out[field] = f_offs
+                if f_pays and any(p is not None for ps in f_pays.values() for p in ps):
+                    payloads_out[field] = f_pays
         stats_out[field] = st
 
     # norms / stored / dv: live-filtered concat
@@ -318,6 +357,8 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         sorted_dv=sdv_out or None,
         sorted_numeric_dv=sndv_out or None,
         sorted_set_dv=ssdv_out or None,
+        offsets=offsets_out or None,
+        payloads=payloads_out or None,
     )
     return pack_segment(seg)
 

@@ -143,8 +143,18 @@ class SegmentSnapshot:
 
     # --- host-side postings decode (merge / phrase verification path) ---
     def read_postings(
-        self, field: str, text: str, with_positions: bool = False
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+        self,
+        field: str,
+        text: str,
+        with_positions: bool = False,
+        with_offsets: bool = False,
+        with_payloads: bool = False,
+    ):
+        """Host postings iterator (reference PostingIterator grades,
+        posting_reader.rs): (docs, freqs[, positions]) — plus occurrence-
+        aligned (starts, ends) and payload list when requested (fields
+        indexed with IndexOptions ..._AND_OFFSETS / pre-analyzed tokens).
+        Slice occurrence k of doc i at positions[cumfreq[i] + k]."""
         rec = self.term_record(field, text)
         if rec is None:
             return None
@@ -164,12 +174,24 @@ class SegmentSnapshot:
             freqs[out : out + cnt] = unpack_block(fwords, fbits)[:cnt]
             out += cnt
         positions = None
-        if with_positions:
+        if with_positions or with_offsets or with_payloads:
             total = int(freqs.sum())
             positions = _decode_positions(
                 p.positions, rec.pos_word_start, rec.pos_width, total, freqs
             )
-        return docs, freqs, positions
+        if not (with_offsets or with_payloads):
+            return docs, freqs, positions
+        # occurrence-parallel planes: the term's slice starts at its global
+        # occurrence index (PackedField.pos_start)
+        total = int(freqs.sum())
+        a = int(rec.pos_start)
+        offsets = None
+        if with_offsets and p.off_starts is not None:
+            offsets = (p.off_starts[a : a + total], p.off_ends[a : a + total])
+        payloads = None
+        if with_payloads and p.pay is not None:
+            payloads = list(p.pay[a : a + total])
+        return docs, freqs, positions, offsets, payloads
 
     def document(self, local_doc: int) -> dict[str, object]:
         return self.packed.stored[local_doc]
