@@ -249,9 +249,19 @@ class SegmentBuffer:
                     char_base[f.name] = base_off + val_len + 1
             if ft.stored:
                 if isinstance(f.value, list):  # pre-analyzed token stream
-                    stored[f.name] = " ".join(t.term for t in f.value)
+                    sv = " ".join(t.term for t in f.value)
                 else:
-                    stored[f.name] = f.value
+                    sv = f.value
+                # multi-valued stored fields accumulate (Document.getValues);
+                # single values stay scalar (Document.get)
+                if f.name in stored:
+                    prev = stored[f.name]
+                    if isinstance(prev, list):
+                        prev.append(sv)
+                    else:
+                        stored[f.name] = [prev, sv]
+                else:
+                    stored[f.name] = sv
             if ft.doc_values_type == DocValuesType.NUMERIC:
                 info.doc_values_type = DocValuesType.NUMERIC
                 self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)
@@ -337,7 +347,14 @@ class SegmentBuffer:
                     info.omit_norms = info.omit_norms or ft.omit_norms
                     texts_of.setdefault(f.name, []).append(f.value)
                     if ft.stored:
-                        stored[f.name] = f.value
+                        if f.name in stored:
+                            prev = stored[f.name]
+                            if isinstance(prev, list):
+                                prev.append(f.value)
+                            else:
+                                stored[f.name] = [prev, f.value]
+                        else:
+                            stored[f.name] = f.value
                     if ft.doc_values_type == DocValuesType.NUMERIC:
                         info.doc_values_type = DocValuesType.NUMERIC
                         self._numeric_dv.setdefault(f.name, {})[doc_id] = int(f.value)

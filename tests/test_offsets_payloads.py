@@ -171,6 +171,24 @@ def test_multivalued_offsets_accumulate():
     w.close()
 
 
+def test_multivalued_stored_fields_accumulate():
+    """Stored multi-values come back as a list (Document.getValues);
+    single values stay scalar."""
+    d = RAMDirectory()
+    w = IndexWriter(d)
+    doc = Document()
+    doc.add(TextField("body", "first value", stored=True))
+    doc.add(TextField("body", "second value", stored=True))
+    doc.add(StringField("id", "7", stored=True))
+    w.add_document(doc)
+    w.commit()
+    for r in (w.get_reader(), open_directory_reader(d)):
+        got = r.document(0)
+        assert got["body"] == ["first value", "second value"]
+        assert got["id"] == "7"
+    w.close()
+
+
 def test_mixed_offset_and_plain_fields():
     """Only the offsets-enabled field pays for the plane; the plain field
     reads back -1-free None offsets."""
