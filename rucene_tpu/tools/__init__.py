@@ -1,5 +1,5 @@
 """Operational tools (CheckIndex etc.)."""
 
-from rucene_tpu.tools.check_index import CheckIndexStatus, check_index
+from rucene_tpu.tools.check_index import CheckIndexStatus, check_index, exorcise
 
-__all__ = ["CheckIndexStatus", "check_index"]
+__all__ = ["CheckIndexStatus", "check_index", "exorcise"]

@@ -145,19 +145,80 @@ def check_index(directory: Directory, sample_terms_per_field: int | None = None)
     return status
 
 
+def exorcise(directory: Directory) -> list[str]:
+    """Repair mode (Lucene CheckIndex -exorcise): drop every segment with
+    detectable problems (unreadable, failed invariants, or missing files)
+    from the commit and write a new segments_N. THE DROPPED SEGMENTS' DOCS
+    ARE LOST — this is a last-resort tool for an index that won't open.
+    Returns the dropped segment names."""
+    status = check_index(directory)
+    if status.clean:
+        return []
+    try:
+        infos = segfiles.read_segments_file(directory)
+    except CorruptIndexError:
+        return []  # the commit point itself is corrupt; nothing to salvage
+        # segment-wise (restore an older segments_N generation by hand)
+    existing = set(directory.list_all())
+    broken_by_check = {s.name for s in status.segments if s.errors}
+    dropped: list[str] = []
+    kept = []
+    for info in infos.segments:
+        missing = [f for f in info.files() if f not in existing]
+        if info.name in broken_by_check or missing:
+            dropped.append(info.name)
+        else:
+            kept.append(info)
+    if not dropped:
+        return []  # corruption not attributable to one segment (e.g. the
+        # segments file itself) — nothing safe to drop
+    infos.segments = kept
+    infos.version += 1
+    pending = segfiles.write_segments_file(directory, infos)
+    segfiles.finish_segments_file(directory, infos, pending)
+    # GC files of the dropped segments (best effort)
+    still_referenced = set(infos.files())
+    for name in dropped:
+        for f in list(existing):
+            if f.startswith(f"{name}.") or f.startswith(f"{name}_"):
+                if f not in still_referenced:
+                    try:
+                        directory.delete_file(f)
+                    except OSError:
+                        pass
+    return dropped
+
+
 def main(argv=None) -> int:
-    """CLI: python -m rucene_tpu.tools.check_index <index_dir>"""
+    """CLI: python -m rucene_tpu.tools.check_index [-exorcise] <index_dir>"""
     import sys
 
     from rucene_tpu.store.directory import FSDirectory
 
-    args = argv if argv is not None else sys.argv[1:]
+    args = list(argv if argv is not None else sys.argv[1:])
+    do_exorcise = "-exorcise" in args
+    if do_exorcise:
+        args.remove("-exorcise")
     if len(args) != 1:
-        print("usage: python -m rucene_tpu.tools.check_index <index_dir>", file=sys.stderr)
+        print(
+            "usage: python -m rucene_tpu.tools.check_index [-exorcise] <index_dir>",
+            file=sys.stderr,
+        )
         return 2
-    status = check_index(FSDirectory(args[0]))
+    d = FSDirectory(args[0])
+    status = check_index(d)
     print(status.render())
-    return 0 if status.clean else 1
+    if status.clean:
+        return 0
+    if do_exorcise:
+        dropped = exorcise(d)
+        if dropped:
+            print(f"exorcised {len(dropped)} broken segment(s): {', '.join(dropped)}")
+            after = check_index(d)
+            print(after.render())
+            return 0 if after.clean else 1
+        print("nothing exorcisable (commit-level corruption)")
+    return 1
 
 
 if __name__ == "__main__":

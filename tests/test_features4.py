@@ -192,6 +192,59 @@ def test_check_index(tmp_path):
     assert "BROKEN" in st2.render() or st2.errors
 
 
+def test_check_index_exorcise(tmp_path):
+    """-exorcise drops broken segments and leaves an openable index."""
+    import os
+
+    from rucene_tpu.index.reader import open_directory_reader
+    from rucene_tpu.tools import exorcise
+
+    d = FSDirectory(str(tmp_path / "ex"))
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=3))
+    for i in range(9):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", f"common token{i}"))
+        w.add_document(doc)
+    w.commit()
+    w.close()
+    assert check_index(d).clean
+
+    # clean index: exorcise is a no-op
+    assert exorcise(d) == []
+
+    # corrupt the middle segment
+    segs = sorted(f for f in d.list_all() if f.endswith(".seg"))
+    assert len(segs) == 3
+    pth = os.path.join(d.path, segs[1])
+    raw = bytearray(open(pth, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(pth, "wb").write(bytes(raw))
+    assert not check_index(d).clean
+
+    dropped = exorcise(d)
+    assert dropped == [segs[1].removesuffix(".seg")]
+    st = check_index(d)
+    assert st.clean, st.render()
+    r = open_directory_reader(d)
+    assert r.num_docs == 6  # the broken segment's 3 docs are gone
+    assert (
+        IndexSearcher(r).search(TermQuery(Term("body", "common")), 10).total_hits == 6
+    )
+    # the dropped segment's file was GCed
+    assert segs[1] not in d.list_all()
+
+    # a writer can keep going on the repaired index
+    w2 = IndexWriter(d)
+    doc = Document()
+    doc.add(StringField("id", "99", stored=True))
+    doc.add(TextField("body", "common replacement"))
+    w2.add_document(doc)
+    w2.commit()
+    assert w2.get_reader().num_docs == 7
+    w2.close()
+
+
 def test_metrics(dv_writer):
     METRICS.reset()
     s = IndexSearcher(dv_writer.get_reader())
