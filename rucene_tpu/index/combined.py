@@ -1,0 +1,146 @@
+"""Single-dispatch multi-segment search: a CombinedView concatenates every
+leaf's packed postings into ONE virtual device segment so a whole NRT
+index is searched with one executor dispatch instead of one per leaf.
+
+Where the reference searches leaves sequentially per query
+(index_searcher.rs:236 per-LeafReaderContext scorer loop), the batched
+executor is shape-polymorphic in the block table, so N segments are just
+more rows in the same tables:
+- block ids:   leaf block tables concatenated (block_start += leaf offset)
+- doc space:   leaves laid out back-to-back at 1024-padded bases; decoded
+               doc = blk_base + deltas lands directly in the global space
+- norms:       [global_field, total_docs] — a leaf lacking a field keeps
+               zero rows (never matched, never scored)
+- live:        concatenated, padding docs dead
+
+Each (query, clause) fans out to one work-item range PER LEAF; a doc lives
+in exactly one leaf, so duplicated clause-count encodings stay correct.
+
+This trades host concat time + HBM for tunnel round-trips and per-shape
+recompiles — the win case is many small NRT segments. Opt in with
+IndexSearcher(reader, combine_segments=True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from rucene_tpu.codec.device import DeviceSegment
+from rucene_tpu.util import next_pow2, round_up
+
+
+@dataclass
+class CombinedView:
+    device: DeviceSegment
+    doc_bases: np.ndarray  # i64[L] padded doc base per leaf
+    blk_bases: np.ndarray  # i64[L] block-table offset per leaf
+    field_gid: dict[str, int]  # field name -> global norms row
+    n_leaves: int
+
+    def map_docs(self, padded_docs: np.ndarray, leaves) -> np.ndarray:
+        """Padded-global doc ids -> real reader-global doc ids (monotone,
+        so result ordering is preserved)."""
+        li = np.searchsorted(self.doc_bases, padded_docs, side="right") - 1
+        li = np.clip(li, 0, self.n_leaves - 1)
+        local = padded_docs - self.doc_bases[li]
+        real_bases = np.asarray([leaf.doc_base for leaf in leaves], dtype=np.int64)
+        return real_bases[li] + local
+
+
+def build_combined_view(leaves) -> CombinedView:
+    """Concatenate the leaves' packed segments into one DeviceSegment."""
+    field_names = sorted({name for leaf in leaves for name in leaf.packed.fields})
+    field_gid = {name: i for i, name in enumerate(field_names)}
+    n_fields = max(len(field_names), 1)
+
+    doc_bases = np.zeros(len(leaves), np.int64)
+    blk_bases = np.zeros(len(leaves), np.int64)
+    data_parts, off_p, dbits_p, fbits_p, base_p, cnt_p, bmf_p = [], [], [], [], [], [], []
+    word_base = 0
+    doc_base = 0
+    nb_total = 0
+    for li, leaf in enumerate(leaves):
+        p = leaf.packed
+        doc_bases[li] = doc_base
+        blk_bases[li] = nb_total
+        data_parts.append(p.data)
+        off_p.append(p.blk_off.astype(np.int64) + word_base)
+        dbits_p.append(p.blk_doc_bits)
+        fbits_p.append(p.blk_freq_bits)
+        base_p.append(p.blk_base.astype(np.int64) + doc_base)
+        cnt_p.append(p.blk_count)
+        bmf_p.append(p.blk_max_freq)
+        word_base += len(p.data)
+        doc_base += round_up(max(p.max_doc, 1), 1024)
+        nb_total += p.num_blocks
+
+    md_total = int(doc_base)
+    nbp = next_pow2(max(nb_total, 1), 1)
+    wp = next_pow2(max(word_base + 2048, 2), 2048)
+
+    data = np.zeros(wp, np.uint32)
+    data[:word_base] = np.concatenate(data_parts) if data_parts else []
+
+    def cat_pad(parts, n, fill, dtype):
+        out = np.full(n, fill, dtype=dtype)
+        if parts:
+            v = np.concatenate(parts)
+            out[: len(v)] = v
+        return out
+
+    norms = np.zeros((n_fields, md_total), np.uint8)
+    live = np.zeros(md_total, bool)
+    for li, leaf in enumerate(leaves):
+        p = leaf.packed
+        b = int(doc_bases[li])
+        for name in p.fields:
+            if name in p.norms:
+                norms[field_gid[name], b : b + p.max_doc] = p.norms[name]
+        if leaf.live is None:
+            live[b : b + p.max_doc] = True
+        else:
+            live[b : b + p.max_doc] = leaf.live[: p.max_doc]
+
+    dev = DeviceSegment(
+        data=jnp.asarray(data),
+        blk_off=jnp.asarray(cat_pad(off_p, nbp, 0, np.int64).astype(np.int32)),
+        blk_doc_bits=jnp.asarray(cat_pad(dbits_p, nbp, 1, np.int32)),
+        blk_freq_bits=jnp.asarray(cat_pad(fbits_p, nbp, 1, np.int32)),
+        blk_base=jnp.asarray(cat_pad(base_p, nbp, -1, np.int64).astype(np.int32)),
+        blk_count=jnp.asarray(cat_pad(cnt_p, nbp, 0, np.int32)),
+        blk_max_freq=jnp.asarray(cat_pad(bmf_p, nbp, 0, np.int32)),
+        norms=jnp.asarray(norms),
+        live=jnp.asarray(live),
+        positions=jnp.zeros(1, jnp.uint32),  # phrase path stays per-leaf
+        blk_pos_base=jnp.zeros(nbp, jnp.int32),
+    )
+    return CombinedView(
+        device=dev,
+        doc_bases=doc_bases,
+        blk_bases=blk_bases,
+        field_gid=field_gid,
+        n_leaves=len(leaves),
+    )
+
+
+def build_combined_tables(view: CombinedView, leaves, rqs, b_pad: int, t_pad: int):
+    """Per-clause block ranges across ALL leaves: [B, T*L] slot tables
+    (clause j, leaf l -> column j*L + l), block ids in global coordinates."""
+    length = view.n_leaves
+    block_start = np.zeros((b_pad, t_pad * length), np.int32)
+    block_count = np.zeros((b_pad, t_pad * length), np.int32)
+    field_id = np.zeros((b_pad, t_pad * length), np.int32)
+    for i, rq in enumerate(rqs):
+        for j, c in enumerate(rq.clauses):
+            gfid = view.field_gid.get(c.term.field, 0)
+            for li, leaf in enumerate(leaves):
+                rec = leaf.term_record(c.term.field, c.term.text)
+                if rec is not None:
+                    col = j * length + li
+                    block_start[i, col] = int(view.blk_bases[li]) + rec.block_start
+                    block_count[i, col] = rec.block_count
+                    field_id[i, col] = gfid
+    return block_start, block_count, field_id

@@ -146,12 +146,30 @@ class TopDocs:
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, similarity: BM25Similarity | None = None):
+    def __init__(
+        self,
+        reader: IndexReader,
+        similarity: BM25Similarity | None = None,
+        combine_segments: bool = False,
+    ):
+        """combine_segments=True searches ALL leaves with one device
+        dispatch over a concatenated view (index/combined.py) — wins when
+        an NRT index has many small segments (one tunnel round-trip and
+        one compiled shape instead of one per leaf)."""
         self.reader = reader
         self.similarity = similarity or BM25Similarity()
+        self.combine_segments = combine_segments
+        self._combined = None
         self._stats: dict[str, CollectionStats] = {}
         # fused Mosaic decode kernel only lowers on real TPU backends
         self._use_pallas = jax.default_backend() not in ("cpu",)
+
+    def _combined_view(self):
+        if self._combined is None:
+            from rucene_tpu.index.combined import build_combined_view
+
+            self._combined = build_combined_view(self.reader.leaves)
+        return self._combined
 
     def _past_deadline(self) -> bool:
         dl = getattr(self, "_deadline", None)
@@ -286,6 +304,12 @@ class IndexSearcher:
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
 
+        if self.combine_segments and len(self.reader.leaves) > 1 and not prune:
+            return self._search_device_combined(
+                rqs, k, stats, weight, occur, n_required, min_should,
+                match_all_rows, boosts, b_pad, t_pad,
+            )
+
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
             [] for _ in range(b_actual)
         ]
@@ -311,6 +335,76 @@ class IndexSearcher:
                 per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
 
         return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
+
+    def _search_device_combined(
+        self, rqs, k, stats, weight, occur, n_required, min_should,
+        match_all_rows, boosts, b_pad, t_pad,
+    ) -> list[TopDocs]:
+        """All leaves in ONE executor dispatch over the concatenated view."""
+        from rucene_tpu.index.combined import build_combined_tables
+
+        leaves = self.reader.leaves
+        view = self._combined_view()
+        sim = self.similarity
+        b_actual = len(rqs)
+
+        cache = np.zeros((max(len(view.field_gid), 1), 256), np.float32)
+        has_norms = {
+            name: any(name in leaf.packed.norms for leaf in leaves)
+            for name in view.field_gid
+        }
+        for name, g in view.field_gid.items():
+            cache[g] = sim.cache_row(stats.get(name) if has_norms[name] else None)
+
+        block_start, block_count, field_id = build_combined_tables(
+            view, leaves, rqs, b_pad, t_pad
+        )
+        length = view.n_leaves
+        weight_x = np.repeat(weight, length, axis=1)
+        occur_x = np.repeat(occur, length, axis=1)
+        work = build_flat_work(block_start, block_count, weight_x, field_id, occur_x)
+        s, d, h = self._run_work_view(view.device, work[:6], cache, n_required, min_should, k)
+        if match_all_rows.any():
+            ms, mdoc, mh = jax.device_get(
+                execute_match_all(view.device, jnp.asarray(boosts), k=k)
+            )
+            s = np.where(match_all_rows[:, None], ms, s)
+            d = np.where(match_all_rows[:, None], mdoc, d)
+            h = np.where(match_all_rows, mh, h)
+
+        out: list[TopDocs] = []
+        for i in range(b_actual):
+            keep = s[i] > -np.inf
+            docs = view.map_docs(d[i][keep].astype(np.int64), leaves)
+            out.append(
+                TopDocs(
+                    total_hits=int(h[i]),
+                    score_docs=[
+                        ScoreDoc(int(doc), float(sc))
+                        for doc, sc in zip(docs, s[i][keep])
+                    ],
+                )
+            )
+        return out
+
+    def _run_work_view(self, device, arrays, cache, n_required, min_should, k):
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
+        fq = jax.device_put(
+            FlatQueryBatch(
+                wi_block=wi_block,
+                wi_row=wi_row,
+                wi_weight=wi_weight,
+                wi_fid=wi_fid,
+                wi_enc=wi_enc,
+                wi_valid=wi_valid,
+                n_required=n_required,
+                min_should=min_should,
+                cache=cache,
+            )
+        )
+        res = execute_flat(device, fq, k=k, use_pallas=self._use_pallas)
+        s, d, h = jax.device_get(res)
+        return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work(self, leaf, arrays, cache, n_required, min_should, k):
         """One executor dispatch for a (possibly subset) work list."""

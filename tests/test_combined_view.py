@@ -1,0 +1,111 @@
+"""Single-dispatch multi-segment search (index/combined.py): results must
+be IDENTICAL to the per-leaf loop — same docs, same scores, same
+total_hits — across segment counts, deletes, multi-field queries, and
+boolean shapes."""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import (
+    BooleanQuery,
+    Document,
+    IndexSearcher,
+    MatchAllDocsQuery,
+    StringField,
+    Term,
+    TermQuery,
+    TextField,
+)
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.store.directory import RAMDirectory
+from tests.conftest import random_corpus
+from tests.hitcheck import assert_hits_equal
+
+
+def _build(n_docs, max_buffered, seed=7, delete_every=None):
+    rng = np.random.default_rng(seed)
+    texts = random_corpus(rng, n_docs)
+    d = RAMDirectory()
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=max_buffered))
+    for i, t in enumerate(texts):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", t))
+        doc.add(TextField("title", " ".join(t.split()[:3])))
+        w.add_document(doc)
+    if delete_every:
+        for i in range(0, n_docs, delete_every):
+            w.delete_documents_by_term(Term("id", str(i)))
+    return w, texts
+
+
+QUERIES = [
+    TermQuery(Term("body", "the")),
+    TermQuery(Term("body", "fox")),
+    TermQuery(Term("title", "the")),
+    BooleanQuery().should(TermQuery(Term("body", "fox"))).should(TermQuery(Term("body", "dog"))),
+    BooleanQuery().must(TermQuery(Term("body", "the"))).must(TermQuery(Term("body", "of"))),
+    BooleanQuery().must(TermQuery(Term("body", "the"))).must_not(TermQuery(Term("body", "fox"))),
+    BooleanQuery()
+    .should(TermQuery(Term("body", "fox")))
+    .should(TermQuery(Term("title", "the")))
+    .should(TermQuery(Term("body", "zzz_absent"))),
+    MatchAllDocsQuery(),
+]
+
+
+@pytest.mark.parametrize("max_buffered,delete_every", [(40, None), (25, 9), (13, 5)])
+def test_combined_matches_per_leaf(max_buffered, delete_every):
+    w, _ = _build(200, max_buffered, delete_every=delete_every)
+    r = w.get_reader()
+    assert len(r.leaves) > 1
+    plain = IndexSearcher(r)
+    comb = IndexSearcher(r, combine_segments=True)
+    for k in (5, 17):
+        res_a = plain.search_batch(QUERIES, k=k)
+        res_b = comb.search_batch(QUERIES, k=k)
+        for q, a, b in zip(QUERIES, res_a, res_b):
+            assert a.total_hits == b.total_hits, q
+            assert_hits_equal(
+                [(sd.doc, sd.score) for sd in a.score_docs],
+                [(sd.doc, sd.score) for sd in b.score_docs],
+            )
+    w.close()
+
+
+def test_combined_single_leaf_and_refresh():
+    w, _ = _build(60, 1000)
+    r = w.get_reader()
+    assert len(r.leaves) == 1
+    s = IndexSearcher(r, combine_segments=True)  # falls back to per-leaf
+    assert s.search(TermQuery(Term("body", "the")), 5).total_hits > 0
+    # NRT refresh: new reader, new searcher, combined view rebuilt
+    for i in range(5):
+        doc = Document()
+        doc.add(StringField("id", f"n{i}", stored=True))
+        doc.add(TextField("body", "freshly added the document"))
+        w.add_document(doc)
+    r2 = w.get_reader()
+    s2 = IndexSearcher(r2, combine_segments=True)
+    base = IndexSearcher(r2)
+    a = base.search(TermQuery(Term("body", "the")), 10)
+    b = s2.search(TermQuery(Term("body", "the")), 10)
+    assert a.total_hits == b.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in a.score_docs],
+        [(sd.doc, sd.score) for sd in b.score_docs],
+    )
+    w.close()
+
+
+def test_combined_stored_and_explain_coherent():
+    """Doc ids from the combined path address the same stored docs."""
+    w, texts = _build(120, 30)
+    r = w.get_reader()
+    comb = IndexSearcher(r, combine_segments=True)
+    td = comb.search(TermQuery(Term("body", "fox")), 10)
+    assert td.score_docs
+    for sd in td.score_docs:
+        doc_id = int(r.document(sd.doc)["id"])
+        assert "fox" in texts[doc_id].split()
+    w.close()
