@@ -39,6 +39,8 @@ class CombinedView:
     blk_bases: np.ndarray  # i64[L] block-table offset per leaf
     field_gid: dict[str, int]  # field name -> global norms row
     n_leaves: int
+    blk_max_freq: np.ndarray  # i32[NB] host copy for WAND block-max bounds
+    n_blocks: int
 
     def map_docs(self, padded_docs: np.ndarray, leaves) -> np.ndarray:
         """Padded-global doc ids -> real reader-global doc ids (monotone,
@@ -117,12 +119,15 @@ def build_combined_view(leaves) -> CombinedView:
         positions=jnp.zeros(1, jnp.uint32),  # phrase path stays per-leaf
         blk_pos_base=jnp.zeros(nbp, jnp.int32),
     )
+    bmf_host = cat_pad(bmf_p, nbp, 0, np.int32)
     return CombinedView(
         device=dev,
         doc_bases=doc_bases,
         blk_bases=blk_bases,
         field_gid=field_gid,
         n_leaves=len(leaves),
+        blk_max_freq=bmf_host,
+        n_blocks=nb_total,
     )
 
 

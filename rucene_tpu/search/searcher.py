@@ -304,10 +304,10 @@ class IndexSearcher:
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
 
-        if self.combine_segments and len(self.reader.leaves) > 1 and not prune:
+        if self.combine_segments and len(self.reader.leaves) > 1:
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
-                match_all_rows, boosts, b_pad, t_pad,
+                match_all_rows, boosts, b_pad, t_pad, prune=prune,
             )
 
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
@@ -338,7 +338,7 @@ class IndexSearcher:
 
     def _search_device_combined(
         self, rqs, k, stats, weight, occur, n_required, min_should,
-        match_all_rows, boosts, b_pad, t_pad,
+        match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
     ) -> list[TopDocs]:
         """All leaves in ONE executor dispatch over the concatenated view."""
         from rucene_tpu.index.combined import build_combined_tables
@@ -363,7 +363,18 @@ class IndexSearcher:
         weight_x = np.repeat(weight, length, axis=1)
         occur_x = np.repeat(occur, length, axis=1)
         work = build_flat_work(block_start, block_count, weight_x, field_id, occur_x)
-        s, d, h = self._run_work_view(view.device, work[:6], cache, n_required, min_should, k)
+        if prune:
+            # tslot -> CLAUSE id (not (clause, leaf) slot): the WAND "other
+            # clauses" bound must not sum the same clause across leaves
+            work = work[:7] + (work[7] // length,)
+            s, d, h = self._run_pruned_view(
+                view.device, view.blk_max_freq, view.n_blocks,
+                work, cache, n_required, min_should, k,
+            )
+        else:
+            s, d, h = self._run_work_view(
+                view.device, work[:6], cache, n_required, min_should, k
+            )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
                 execute_match_all(view.device, jnp.asarray(boosts), k=k)
@@ -408,25 +419,18 @@ class IndexSearcher:
 
     def _run_work(self, leaf, arrays, cache, n_required, min_should, k):
         """One executor dispatch for a (possibly subset) work list."""
-        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
-        fq = jax.device_put(
-            FlatQueryBatch(
-                wi_block=wi_block,
-                wi_row=wi_row,
-                wi_weight=wi_weight,
-                wi_fid=wi_fid,
-                wi_enc=wi_enc,
-                wi_valid=wi_valid,
-                n_required=n_required,
-                min_should=min_should,
-                cache=cache,
-            )
-        )
-        res = execute_flat(leaf.device, fq, k=k, use_pallas=self._use_pallas)
-        s, d, h = jax.device_get(res)
-        return np.asarray(s), np.asarray(d), np.asarray(h)
+        return self._run_work_view(leaf.device, arrays, cache, n_required, min_should, k)
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, rqs):
+        """Per-leaf WAND entry point (see _run_pruned_view)."""
+        return self._run_pruned_view(
+            leaf.device, leaf.packed.blk_max_freq, leaf.packed.num_blocks,
+            work, cache, n_required, min_should, k,
+        )
+
+    def _run_pruned_view(
+        self, device, blk_max_freq, n_blocks, work, cache, n_required, min_should, k
+    ):
         """Block-max (WAND-style) two-pass pruning for pure disjunctions
         (the reference's skip-list role, SURVEY §5 'block-max metadata').
 
@@ -434,15 +438,16 @@ class IndexSearcher:
         a score threshold t; remaining blocks with upper bound < t can never
         enter the top-k (safe skip; ties kept via >=). Affected queries rerun
         in full. total_hits is a lower bound for pruned queries (Lucene's
-        WAND reports GTE relations for the same reason)."""
+        WAND reports GTE relations for the same reason). Works on any device
+        view — a single leaf or the combined multi-segment view (block-max
+        table passed explicitly)."""
         from rucene_tpu.search.executor import ENC_SHOULD
 
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n_items, wi_tslot = work
         w = len(wi_block)
         b_rows = len(n_required)
-        packed = leaf.packed
         # upper bound per item: w2 * bmf / (bmf + min cache value of field)
-        bmf = packed.blk_max_freq[np.clip(wi_block, 0, max(packed.num_blocks - 1, 0))].astype(
+        bmf = blk_max_freq[np.clip(wi_block, 0, max(n_blocks - 1, 0))].astype(
             np.float32
         )
         cval_min = cache.min(axis=1)[np.clip(wi_fid, 0, cache.shape[0] - 1)]
@@ -480,13 +485,13 @@ class IndexSearcher:
         pass1 &= wi_valid
 
         if pass1.sum() == wi_valid.sum():  # nothing to prune
-            return self._run_work(
-                leaf, (wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid), cache,
+            return self._run_work_view(
+                device, (wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid), cache,
                 n_required, min_should, k,
             )
 
         sub = self._subset_work(work, pass1)
-        s1, d1, h1 = self._run_work(leaf, sub, cache, n_required, min_should, k)
+        s1, d1, h1 = self._run_work_view(device, sub, cache, n_required, min_should, k)
         t = s1[:, k - 1] if k <= s1.shape[1] else np.full(s1.shape[0], -np.inf, np.float32)
 
         survivors = (~pass1) & wi_valid & (bound >= t[wi_row])
@@ -498,7 +503,7 @@ class IndexSearcher:
         # rerun affected rows with their full work lists
         full_mask = wi_valid & affected[wi_row]
         sub2 = self._subset_work(work, full_mask)
-        s2, d2, h2 = self._run_work(leaf, sub2, cache, n_required, min_should, k)
+        s2, d2, h2 = self._run_work_view(device, sub2, cache, n_required, min_should, k)
         out_s = np.where(affected[:, None], s2, s1)
         out_d = np.where(affected[:, None], d2, d1)
         out_h = np.where(affected, h2, h1)

@@ -73,6 +73,40 @@ def test_combined_matches_per_leaf(max_buffered, delete_every):
     w.close()
 
 
+def test_combined_pruned_matches_exact():
+    """WAND pruning over the combined view: results must match the exact
+    (unpruned) combined path; skewed corpus so pruning actually fires."""
+    rng = np.random.default_rng(42)
+    words = ["hot"] * 1 + [f"cold{i}" for i in range(300)]
+    probs = np.ones(len(words)); probs[0] = 400; probs /= probs.sum()
+    d = RAMDirectory()
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=150))
+    widx = rng.choice(len(words), size=(900, 12), p=probs)
+    for i in range(900):
+        doc = Document()
+        doc.add(StringField("id", str(i)))
+        doc.add(TextField("body", " ".join(words[j] for j in widx[i])))
+        w.add_document(doc)
+    r = w.get_reader()
+    assert len(r.leaves) > 1
+    comb = IndexSearcher(r, combine_segments=True)
+    qs = [
+        BooleanQuery()
+        .should(TermQuery(Term("body", "hot")))
+        .should(TermQuery(Term("body", f"cold{i}")))
+        for i in range(8)
+    ]
+    exact = comb.search_batch(qs, k=5)
+    pruned = comb.search_batch(qs, k=5, prune=True)
+    for a, b in zip(exact, pruned):
+        assert b.total_hits <= a.total_hits  # pruned hits are a lower bound
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in a.score_docs],
+            [(sd.doc, sd.score) for sd in b.score_docs],
+        )
+    w.close()
+
+
 def test_combined_single_leaf_and_refresh():
     w, _ = _build(60, 1000)
     r = w.get_reader()
