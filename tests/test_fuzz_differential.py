@@ -72,6 +72,25 @@ def test_fuzz_device_vs_host(fuzz_searcher):
     assert checked >= 55
 
 
+def test_fuzz_combined_vs_per_leaf(fuzz_searcher):
+    """Random boolean shapes: the combined single-dispatch view must agree
+    with the per-leaf loop on every query (docs, scores, total_hits)."""
+    s = fuzz_searcher
+    comb = IndexSearcher(s.reader, combine_segments=True)
+    rng = np.random.default_rng(777)
+    queries = [_random_query(rng) for _ in range(48)]
+    for prune in (False, True):
+        a = s.search_batch(queries, k=15, prune=prune)
+        b = comb.search_batch(queries, k=15, prune=prune)
+        for q, ta, tb in zip(queries, a, b):
+            if not prune:
+                assert ta.total_hits == tb.total_hits, q
+            assert_hits_equal(
+                [(sd.doc, sd.score) for sd in ta.score_docs],
+                [(sd.doc, sd.score) for sd in tb.score_docs],
+            )
+
+
 def test_fuzz_pruned_vs_exact(fuzz_searcher):
     s = fuzz_searcher
     rng = np.random.default_rng(321)
