@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +30,9 @@ from rucene_tpu.util import next_pow2
 from rucene_tpu.util.metrics import METRICS
 
 
-@dataclass
-class ScoreDoc:
+class ScoreDoc(NamedTuple):
+    # NamedTuple, not dataclass: ~5x cheaper to build, and result lists
+    # hold batch_size * k of these on every search
     doc: int  # global doc id (doc_base + segment-local id)
     score: float
 
@@ -280,14 +282,27 @@ class IndexSearcher:
         total = sum(h for _, _, _, h in per_leaf)
         if not per_leaf:
             return TopDocs(0, [])
+        if len(per_leaf) == 1:
+            # executor rows are already (score desc, doc asc) with -inf
+            # padding at the tail: no re-sort needed for a single leaf
+            base, d, sc, _h = per_leaf[0]
+            m = min(int((sc > -np.inf).sum()), k)
+            dl = (base + d[:m].astype(np.int64)).tolist()
+            sl = sc[:m].tolist()  # bulk conversion: ~5x faster than per-item
+            return TopDocs(
+                total_hits=total,
+                score_docs=[ScoreDoc(dd, ss) for dd, ss in zip(dl, sl)],
+            )
         gdocs = np.concatenate([base + d.astype(np.int64) for base, d, _, _ in per_leaf])
         scores = np.concatenate([s for _, _, s, _ in per_leaf])
         keep = scores > -np.inf
         gdocs, scores = gdocs[keep], scores[keep]
         order = np.lexsort((gdocs, -scores))[:k]
+        dl = gdocs[order].tolist()
+        sl = scores[order].tolist()
         return TopDocs(
             total_hits=total,
-            score_docs=[ScoreDoc(int(gdocs[i]), float(scores[i])) for i in order],
+            score_docs=[ScoreDoc(dd, ss) for dd, ss in zip(dl, sl)],
         )
 
     # --- device path ---
