@@ -31,25 +31,25 @@ DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
 
 
 def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
-                   data_ref, docs_ref, freqs_ref, scratch, sems):
+                   data_ref, docs_ref, freqs_ref, scratch, sems, *, g_items):
     pid = pl.program_id(0)
 
     def start_dma(g):
-        i = pid * G + g
+        i = pid * g_items + g
         row0 = (off_ref[i] >> 10) * 8  # 1024-word-aligned start row
         return pltpu.make_async_copy(
             data_ref.at[pl.ds(row0, WIN_ROWS), :], scratch.at[g], sems.at[g]
         )
 
-    for g in range(G):
+    for g in range(g_items):
         start_dma(g).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WIN_ROWS), 1)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
 
-    for g in range(G):
-        i = pid * G + g
+    for g in range(g_items):
+        i = pid * g_items + g
         start_dma(g).wait()
         words = scratch[g]  # int32[WIN_ROWS, 128]
         # 8-bit limbs: exact under the MXU's bf16 input rounding (<=255
@@ -134,23 +134,24 @@ def decode_work_items_pallas(
             jnp.concatenate([o[1] for o in outs], axis=0),
         )
     w = w_total
-    assert w % G == 0, f"work list {w} not a multiple of {G}"
+    g_items = min(G, w)  # small (pow2-padded) lists use one item per step
+    assert w % g_items == 0, f"work list {w} not a multiple of {g_items}"
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(w // G,),
+        grid=(w // g_items,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             # index_map receives (grid idx, *scalar_prefetch_refs)
-            pl.BlockSpec((G, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, WIN_ROWS, BLOCK), jnp.int32),
-            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.VMEM((g_items, WIN_ROWS, BLOCK), jnp.int32),
+            pltpu.SemaphoreType.DMA((g_items,)),
         ],
     )
     docs, freqs = pl.pallas_call(
-        _decode_kernel,
+        partial(_decode_kernel, g_items=g_items),
         out_shape=[
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),

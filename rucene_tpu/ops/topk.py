@@ -2,10 +2,10 @@
 
 Replaces the reference's scalar binary-heap HitQueue
 (rucene src/core/search/collector/top_docs.rs:68-77) with a constant-depth
-device formulation: two lax.top_k passes over the dense score vector select
-the exact hit set (all scores strictly above the k-th value, plus the
-smallest-doc-id holders of the k-th value), then a tiny 2k-element
-lexicographic sort orders them. Non-matching docs carry -inf.
+device formulation: one lax.top_k pass selects the strictly-above set and
+the k-th score, threshold ties resolve by cumsum + searchsorted (smallest
+doc ids first), then a tiny 2k-element lexicographic sort orders the
+candidates. Non-matching docs carry -inf.
 """
 
 from __future__ import annotations
@@ -39,15 +39,18 @@ def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     a_scores = jnp.where(a_valid, vals, NEG_INF)
     a_docs = jnp.where(a_valid, idx.astype(jnp.int32), _DOC_PAD)
 
-    # part 2: ties at the threshold, smallest doc ids first
-    doc_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    # part 2: ties at the threshold, smallest doc ids first. The t-th
+    # smallest tie doc is searchsorted(cumsum(eq), t+1) — cheaper than a
+    # second full top_k pass (the tie count is monotone in doc id)
     finite_thr = thr[:, None] > NEG_INF
     eq = (scores == thr[:, None]) & finite_thr
-    e_key = jnp.where(eq, -doc_ids, jnp.int32(-(2**31 - 1)))
-    e_negdoc, _ = jax.lax.top_k(e_key, kk)  # largest -doc == smallest doc
+    rank = jnp.cumsum(eq.astype(jnp.int32), axis=1)
+    tgt = jnp.arange(1, kk + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda r: jnp.searchsorted(r, tgt, side="left"))(rank)
+    have = rank[:, -1]  # total tie count per row
     e_needed = kk - m
-    e_valid = (j < e_needed[:, None]) & (e_negdoc > jnp.int32(-(2**31 - 1))) & finite_thr
-    e_docs = jnp.where(e_valid, -e_negdoc, _DOC_PAD)
+    e_valid = (j < e_needed[:, None]) & (j < have[:, None]) & finite_thr[:, :1]
+    e_docs = jnp.where(e_valid, pos.astype(jnp.int32), _DOC_PAD)
     e_scores = jnp.where(e_valid, thr[:, None], NEG_INF)
 
     # merge the <=2k candidates and order by (-score, doc)
