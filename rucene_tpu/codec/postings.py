@@ -224,8 +224,30 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             cumfreq_excl[first_lane] - pos_start_per_term[term_of_post[first_lane]]
         )
 
-        # word layout: [doc words | freq words] per block
-        words_per_blk = 4 * (blk_doc_bits.astype(np.int64) + blk_freq_bits.astype(np.int64))
+        # norm byte per posting, inlined into the block so scoring never
+        # random-gathers the [F, max_doc] norms plane (the gather was ~15%
+        # of device time at the 50K/256q shape — docs/ROADMAP.md budget)
+        nvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
+        gt = 0
+        for name, terms_sorted in term_field_order:
+            t0, t1 = gt, gt + len(terms_sorted)
+            gt = t1
+            narr = seg.norms.get(name)
+            if narr is None or t1 == t0:
+                continue
+            s0, e0 = int(term_start[t0]), int(term_start[t1])
+            if e0 > s0:
+                nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]].astype(np.uint64)
+
+        # word layout: [doc words | freq words | ceil(count/4) norm words]
+        # per block. Tail blocks store only the bytes they have; decode
+        # always reads 128 lanes but masks the invalid ones, so lanes past
+        # the stored bytes harmlessly read the next block's words.
+        norm_words = (blk_count * 8 + 31) // 32
+        words_per_blk = (
+            4 * (blk_doc_bits.astype(np.int64) + blk_freq_bits.astype(np.int64))
+            + norm_words
+        )
         blk_off = np.concatenate([[0], np.cumsum(words_per_blk)])
         total_words = int(blk_off[-1])
         blk_off = blk_off[:-1]
@@ -233,6 +255,13 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         out = np.zeros(total_words + 1, dtype=np.uint64)  # +1 pad word
         _scatter_pack(out, dvals, blk_doc_bits, blk_off)
         _scatter_pack(out, fvals, blk_freq_bits, blk_off + 4 * blk_doc_bits.astype(np.int64))
+        _scatter_pack(
+            out,
+            nvals,
+            np.full(nb_total, 8, np.int32),
+            blk_off + 4 * (blk_doc_bits + blk_freq_bits).astype(np.int64),
+            n_words=norm_words,
+        )
         data = out.astype(np.uint32)
 
         # --- positions: within-doc deltas at fixed per-term width ---
@@ -329,15 +358,23 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
     )
 
 
-def _scatter_pack(out: np.ndarray, vals: np.ndarray, bits: np.ndarray, word_off: np.ndarray) -> None:
+def _scatter_pack(
+    out: np.ndarray,
+    vals: np.ndarray,
+    bits: np.ndarray,
+    word_off: np.ndarray,
+    n_words: np.ndarray | None = None,
+) -> None:
     """Pack vals[NB,128] at per-row widths into ``out`` (uint64).
 
     Blocks are grouped by bit width; within a group the lane->word mapping
     is fixed, so each of the 4*bits output words is an OR over a small fixed
     set of shifted lanes — vectorized across the group (the unbuffered
     np.bitwise_or.at scatter this replaces was ~10x slower). Blocks own
-    disjoint word ranges (128*bits is word-aligned), so the final store is a
-    plain fancy assignment.
+    disjoint word ranges, so the final store is a plain fancy assignment —
+    when a row owns FEWER than 4*bits words (variable-size planes, e.g. the
+    trimmed norm plane), pass n_words so the store never spills into the
+    next block's range.
     """
     nb = vals.shape[0]
     if nb == 0:
@@ -359,5 +396,13 @@ def _scatter_pack(out: np.ndarray, vals: np.ndarray, bits: np.ndarray, word_off:
             hi_lanes = np.flatnonzero((widx + 1 == w) & (shift > 0))
             for i in hi_lanes:
                 packed[:, w] |= v[:, i] >> (np.uint64(32) - shift[i])
-        dest = word_off[sel, None] + np.arange(nwords)[None, :]
-        out[dest] = packed
+        if n_words is None:
+            dest = word_off[sel, None] + np.arange(nwords)[None, :]
+            out[dest] = packed
+        else:
+            nw_sel = n_words[sel]
+            for nw in np.unique(nw_sel):
+                nw = int(nw)
+                rows = np.flatnonzero(nw_sel == nw)
+                dest = word_off[sel[rows], None] + np.arange(nw)[None, :]
+                out[dest] = packed[rows][:, :nw]

@@ -82,3 +82,18 @@ def decode_freq_blocks(
     freq_off = word_off + 4 * doc_bits
     freqs = unpack(data, freq_off, freq_bits).astype(jnp.int32)
     return jnp.where(valid, freqs, 0)
+
+
+def decode_norm_blocks(
+    data: jax.Array,
+    word_off: jax.Array,
+    doc_bits: jax.Array,
+    freq_bits: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """Decode the inline norm-byte plane (32 words after the freq words).
+    One SmallFloat byte per posting, stored at pack time so scoring never
+    random-gathers a [fields, max_doc] norms table. Padded lanes get 0."""
+    norm_off = word_off + 4 * (doc_bits + freq_bits)
+    nb = unpack(data, norm_off, jnp.full_like(doc_bits, 8)).astype(jnp.int32)
+    return jnp.where(valid, nb, 0)

@@ -31,7 +31,7 @@ DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
 
 
 def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
-                   data_ref, docs_ref, freqs_ref, scratch, sems, *, g_items):
+                   data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems, *, g_items):
     pid = pl.program_id(0)
 
     def start_dma(g):
@@ -94,7 +94,10 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
             rolled = pltpu.roll(acc, shift=s, axis=0)
             acc = acc + jnp.where(lane >= s, rolled, 0)
         docs_ref[g, :] = (base_ref[i] + acc)[:, 0]
-        freqs_ref[g, :] = extract(fbits_ref[i], 4 * db)[:, 0]
+        fb = fbits_ref[i]
+        freqs_ref[g, :] = extract(fb, 4 * db)[:, 0]
+        # inline norm-byte plane: 32 fixed-width words after the freqs
+        norms_ref[g, :] = extract(jnp.int32(8), 4 * (db + fb))[:, 0]
 
 
 from functools import partial
@@ -111,8 +114,9 @@ def decode_work_items_pallas(
     fbits: jax.Array,
     base: jax.Array,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Raw (docs, freqs) int32[W,128]; caller applies count/validity masks.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw (docs, freqs, norm_bytes) int32[W,128]; caller applies
+    count/validity masks.
     W must be a multiple of G (work lists are power-of-two padded). Large
     work lists are split into MAX_CHUNK slices so per-item metadata fits
     in SMEM."""
@@ -129,9 +133,8 @@ def decode_work_items_pallas(
             )
             for s in range(0, w_total, MAX_CHUNK)
         ]
-        return (
-            jnp.concatenate([o[0] for o in outs], axis=0),
-            jnp.concatenate([o[1] for o in outs], axis=0),
+        return tuple(
+            jnp.concatenate([o[j] for o in outs], axis=0) for j in range(3)
         )
     w = w_total
     g_items = min(G, w)  # small (pow2-padded) lists use one item per step
@@ -144,19 +147,21 @@ def decode_work_items_pallas(
             # index_map receives (grid idx, *scalar_prefetch_refs)
             pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((g_items, WIN_ROWS, BLOCK), jnp.int32),
             pltpu.SemaphoreType.DMA((g_items,)),
         ],
     )
-    docs, freqs = pl.pallas_call(
+    docs, freqs, norms = pl.pallas_call(
         partial(_decode_kernel, g_items=g_items),
         out_shape=[
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
         ],
         grid_spec=spec,
         interpret=interpret,
     )(off, dbits, fbits, base, data2d)
-    return docs, freqs
+    return docs, freqs, norms

@@ -38,7 +38,11 @@ import jax
 import jax.numpy as jnp
 
 from rucene_tpu.codec.device import DeviceSegment
-from rucene_tpu.ops.decode import decode_doc_blocks, decode_freq_blocks
+from rucene_tpu.ops.decode import (
+    decode_doc_blocks,
+    decode_freq_blocks,
+    decode_norm_blocks,
+)
 from rucene_tpu.ops.topk import topk_score_doc
 
 OCC_SHOULD = 0
@@ -83,7 +87,6 @@ def execute_flat_impl(
     (TPU only)."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
-    norm_flat = dev.norms.reshape(-1)
     cache_flat = q.cache.reshape(-1)
 
     blk = q.wi_block
@@ -98,16 +101,21 @@ def execute_flat_impl(
         from rucene_tpu.ops.pallas_decode import decode_work_items_pallas
 
         data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
-        raw_docs, raw_freqs = decode_work_items_pallas(data2d, off, dbits, fbits, base)
+        raw_docs, raw_freqs, raw_norms = decode_work_items_pallas(
+            data2d, off, dbits, fbits, base
+        )
         valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
         docs = jnp.where(valid, raw_docs, INVALID_DOC)
         freqs = jnp.where(valid, raw_freqs, 0)
+        norm_byte = jnp.where(valid, raw_norms, 0)
     else:
         docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
         freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+        norm_byte = decode_norm_blocks(dev.data, off, dbits, fbits, valid)
 
-    docc = jnp.where(valid, docs, 0)
-    norm_byte = norm_flat[q.wi_fid[:, None] * md + docc].astype(jnp.int32)
+    # the norm byte rides inline in the block (postings.py pack layout), so
+    # scoring reads the tiny [F,256] cache instead of gathering a
+    # [F, max_doc] norms plane
     cval = cache_flat[q.wi_fid[:, None] * 256 + norm_byte]
     tf = freqs.astype(jnp.float32)
     sc = q.wi_weight[:, None] * tf / (tf + cval)

@@ -19,7 +19,7 @@ import zlib
 from typing import Protocol
 
 MAGIC = b"RTPU"
-VERSION = 1
+VERSION = 2  # v2: postings blocks carry an inline norm-byte plane
 
 
 class CorruptIndexError(Exception):

@@ -33,11 +33,12 @@ def test_pallas_decode_matches_xla():
     cnt = jnp.asarray(np.asarray(dev.blk_count)[idx])
 
     data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
-    p_docs, p_freqs = decode_work_items_pallas(
+    p_docs, p_freqs, p_norms = decode_work_items_pallas(
         data2d, off, dbits, fbits, base, interpret=True
     )
     x_docs, x_valid = xdec.decode_doc_blocks(dev.data, off, dbits, base, cnt)
     x_freqs = xdec.decode_freq_blocks(dev.data, off, dbits, fbits, x_valid)
+    x_norms = xdec.decode_norm_blocks(dev.data, off, dbits, fbits, x_valid)
 
     valid = np.asarray(x_valid)
     np.testing.assert_array_equal(
@@ -46,3 +47,23 @@ def test_pallas_decode_matches_xla():
     np.testing.assert_array_equal(
         np.where(valid, np.asarray(p_freqs), 0), np.asarray(x_freqs)
     )
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(p_norms), 0), np.asarray(x_norms)
+    )
+    # inline norm bytes equal the norms-plane values at the decoded docs
+    norms_plane = np.asarray(dev.norms)
+    docs_np = np.asarray(x_docs)
+    # all blocks here are single-field (body) rows; map block -> field via
+    # the packed field tables
+    body = packed.fields["body"]
+    body_blocks = set()
+    for t in range(len(body.terms)):
+        s0 = int(body.block_start[t])
+        body_blocks.update(range(s0, s0 + int(body.block_count[t])))
+    for r in range(len(idx)):
+        if int(idx[r]) in body_blocks:
+            sel = valid[r]
+            np.testing.assert_array_equal(
+                np.asarray(x_norms)[r][sel],
+                norms_plane[body.field_id][docs_np[r][sel]],
+            )
