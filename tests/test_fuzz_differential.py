@@ -91,6 +91,48 @@ def test_fuzz_combined_vs_per_leaf(fuzz_searcher):
             )
 
 
+def test_fuzz_merge_invariance():
+    """The matched doc-ID SET (by stored id) for any boolean query must be
+    invariant under arbitrary merge sequences with deletes. (Scores may
+    legitimately change when merges purge deleted docs: df/avgdl shift.)"""
+    rng = np.random.default_rng(4242)
+    texts = random_corpus(rng, 300)
+    from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+
+    w = IndexWriter(RAMDirectory(), IndexWriterConfig(max_buffered_docs=40))
+    for i, t in enumerate(texts):
+        d = Document()
+        d.add(StringField("id", str(i), stored=True))
+        d.add(TextField("body", t))
+        w.add_document(d)
+    for i in rng.choice(300, size=25, replace=False):
+        w.delete_documents_by_term(Term("id", str(int(i))))
+
+    queries = [_random_query(rng) for _ in range(20)]
+
+    def id_sets(reader):
+        s = IndexSearcher(reader)
+        out = []
+        for q in queries:
+            td = s.search(q, k=300)
+            out.append(
+                (td.total_hits, frozenset(reader.document(sd.doc)["id"] for sd in td.score_docs))
+            )
+        return out
+
+    before = id_sets(w.get_reader())
+    # random merge sequence: a few auto rounds, then partial force merges
+    w.maybe_merge()
+    w.force_merge(3)
+    mid = id_sets(w.get_reader())
+    w.force_merge(1)
+    after = id_sets(w.get_reader())
+    assert len(w.get_reader().leaves) == 1
+    for q, a, b, c in zip(queries, before, mid, after):
+        assert a == b == c, q
+    w.close()
+
+
 def test_fuzz_pruned_vs_exact(fuzz_searcher):
     s = fuzz_searcher
     rng = np.random.default_rng(321)
