@@ -79,12 +79,20 @@ class FlatQueryBatch(NamedTuple):
 
 
 def execute_flat_impl(
-    dev: DeviceSegment, q: FlatQueryBatch, k: int, use_pallas: bool = False
+    dev: DeviceSegment,
+    q: FlatQueryBatch,
+    k: int,
+    use_pallas: bool = False,
+    pure_disjunction: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
     total_hits i32[B]). use_pallas selects the fused Mosaic decode kernel
-    (TPU only)."""
+    (TPU only). pure_disjunction (STATIC, caller-guaranteed: every row is
+    all-SHOULD with positive weights, min_should <= 1, no MUST_NOT) skips
+    the clause-count accumulator entirely — a BM25 hit always scores > 0,
+    so match == (score > 0); saves one of the two scatter passes (~40 ms
+    at the 256q x 50K shape)."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
@@ -135,17 +143,20 @@ def execute_flat_impl(
     l_lanes = target.size
     if b * md <= 12 * l_lanes:
         acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
-        inc = jnp.where(valid, q.wi_enc[:, None], 0)
-        acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
-        req_count = acc_counts >> 16
-        should_count = (acc_counts >> 8) & 0xFF
-        has_not = (acc_counts & 0xFF) > 0
-        match = (
-            (req_count == q.n_required[:, None])
-            & (should_count >= q.min_should[:, None])
-            & jnp.logical_not(has_not)
-            & dev.live[None, :]
-        )
+        if pure_disjunction:
+            match = (acc_score > 0.0) & dev.live[None, :]
+        else:
+            inc = jnp.where(valid, q.wi_enc[:, None], 0)
+            acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
+            req_count = acc_counts >> 16
+            should_count = (acc_counts >> 8) & 0xFF
+            has_not = (acc_counts & 0xFF) > 0
+            match = (
+                (req_count == q.n_required[:, None])
+                & (should_count >= q.min_should[:, None])
+                & jnp.logical_not(has_not)
+                & dev.live[None, :]
+            )
         scores = jnp.where(match, acc_score, -jnp.inf)
         top_scores, top_docs = topk_score_doc(scores, k)
         total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
@@ -170,32 +181,42 @@ def execute_flat_impl(
     # segmented inclusive scan: per-(row,doc) running sums. Tree association
     # keeps integer counts exact; f32 sums land within the usual reorder
     # tolerance (the dense scatter's combine order is unspecified too).
-    def comb(a, x):
-        av, ac, af = a
-        xv, xc, xf = x
-        keep = jnp.logical_not(xf)
-        return (xv + jnp.where(keep, av, 0.0), xc + jnp.where(keep, ac, 0), af | xf)
-
-    sum_sc, sum_enc, _ = jax.lax.associative_scan(
-        comb, (o_sc, o_enc, seg_start)
-    )
     # group totals live on each group's LAST lane
     n_row = jnp.concatenate([o_row[1:], jnp.full((1,), -2, jnp.int32)])
     n_doc = jnp.concatenate([o_doc[1:], jnp.full((1,), -2, jnp.int32)])
     seg_end = (o_row != n_row) | (o_doc != n_doc)
-
-    req_count = sum_enc >> 16
-    should_count = (sum_enc >> 8) & 0xFF
-    has_not = (sum_enc & 0xFF) > 0
     safe_docs = jnp.clip(o_doc, 0, md - 1)
-    g_match = (
-        seg_end
-        & (o_row < b)
-        & (req_count == q.n_required[jnp.clip(o_row, 0, b - 1)])
-        & (should_count >= q.min_should[jnp.clip(o_row, 0, b - 1)])
-        & jnp.logical_not(has_not)
-        & dev.live[safe_docs]
-    )
+
+    if pure_disjunction:
+        def comb2(a, x):
+            av, af = a
+            xv, xf = x
+            keep = jnp.logical_not(xf)
+            return (xv + jnp.where(keep, av, 0.0), af | xf)
+
+        sum_sc, _ = jax.lax.associative_scan(comb2, (o_sc, seg_start))
+        g_match = seg_end & (o_row < b) & (sum_sc > 0.0) & dev.live[safe_docs]
+    else:
+        def comb(a, x):
+            av, ac, af = a
+            xv, xc, xf = x
+            keep = jnp.logical_not(xf)
+            return (xv + jnp.where(keep, av, 0.0), xc + jnp.where(keep, ac, 0), af | xf)
+
+        sum_sc, sum_enc, _ = jax.lax.associative_scan(
+            comb, (o_sc, o_enc, seg_start)
+        )
+        req_count = sum_enc >> 16
+        should_count = (sum_enc >> 8) & 0xFF
+        has_not = (sum_enc & 0xFF) > 0
+        g_match = (
+            seg_end
+            & (o_row < b)
+            & (req_count == q.n_required[jnp.clip(o_row, 0, b - 1)])
+            & (should_count >= q.min_should[jnp.clip(o_row, 0, b - 1)])
+            & jnp.logical_not(has_not)
+            & dev.live[safe_docs]
+        )
 
     # order groups by (row, score desc, doc asc)
     key_row = jnp.where(g_match, o_row, jnp.int32(b))
@@ -231,7 +252,9 @@ def execute_flat_impl(
     return top_scores, top_docs, total_hits
 
 
-execute_flat = jax.jit(execute_flat_impl, static_argnames=("k", "use_pallas"))
+execute_flat = jax.jit(
+    execute_flat_impl, static_argnames=("k", "use_pallas", "pure_disjunction")
+)
 
 
 @partial(jax.jit, static_argnames=("k",))

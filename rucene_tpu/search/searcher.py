@@ -318,11 +318,23 @@ class IndexSearcher:
         weight, occur, n_required, min_should, match_all_rows, boosts = build_clause_tables(
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
+        # STATIC whole-batch property: all rows pure positive disjunctions
+        # => the executor can skip the clause-count accumulator (a BM25 hit
+        # always scores > 0, so match == score > 0)
+        pure = all(
+            rq.n_required == 0
+            and rq.effective_min_should() <= 1
+            and not rq.match_all
+            and rq.clauses
+            and all(c.occur == Occur.SHOULD for c in rq.clauses)
+            and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
+            for i, rq in enumerate(rqs)
+        )
 
         if self.combine_segments and len(self.reader.leaves) > 1:
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
-                match_all_rows, boosts, b_pad, t_pad, prune=prune,
+                match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
             )
 
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
@@ -336,9 +348,9 @@ class IndexSearcher:
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
 
             if prune:
-                s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, rqs)
+                s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
             else:
-                s, d, h = self._run_work(leaf, work[:6], cache, n_required, min_should, k)
+                s, d, h = self._run_work(leaf, work[:6], cache, n_required, min_should, k, pure=pure)
             if match_all_rows.any():
                 ms, mdoc, mh = jax.device_get(
                     execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
@@ -354,6 +366,7 @@ class IndexSearcher:
     def _search_device_combined(
         self, rqs, k, stats, weight, occur, n_required, min_should,
         match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
+        pure: bool = False,
     ) -> list[TopDocs]:
         """All leaves in ONE executor dispatch over the concatenated view."""
         from rucene_tpu.index.combined import build_combined_tables
@@ -384,11 +397,11 @@ class IndexSearcher:
             work = work[:7] + (work[7] // length,)
             s, d, h = self._run_pruned_view(
                 view.device, view.blk_max_freq, view.n_blocks,
-                work, cache, n_required, min_should, k,
+                work, cache, n_required, min_should, k, pure=pure,
             )
         else:
             s, d, h = self._run_work_view(
-                view.device, work[:6], cache, n_required, min_should, k
+                view.device, work[:6], cache, n_required, min_should, k, pure=pure
             )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
@@ -413,7 +426,7 @@ class IndexSearcher:
             )
         return out
 
-    def _run_work_view(self, device, arrays, cache, n_required, min_should, k):
+    def _run_work_view(self, device, arrays, cache, n_required, min_should, k, pure=False):
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
         fq = jax.device_put(
             FlatQueryBatch(
@@ -428,23 +441,28 @@ class IndexSearcher:
                 cache=cache,
             )
         )
-        res = execute_flat(device, fq, k=k, use_pallas=self._use_pallas)
+        res = execute_flat(
+            device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure
+        )
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
-    def _run_work(self, leaf, arrays, cache, n_required, min_should, k):
+    def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False):
         """One executor dispatch for a (possibly subset) work list."""
-        return self._run_work_view(leaf.device, arrays, cache, n_required, min_should, k)
+        return self._run_work_view(
+            leaf.device, arrays, cache, n_required, min_should, k, pure=pure
+        )
 
-    def _run_pruned(self, leaf, work, cache, n_required, min_should, k, rqs):
+    def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
         """Per-leaf WAND entry point (see _run_pruned_view)."""
         return self._run_pruned_view(
             leaf.device, leaf.packed.blk_max_freq, leaf.packed.num_blocks,
-            work, cache, n_required, min_should, k,
+            work, cache, n_required, min_should, k, pure=pure,
         )
 
     def _run_pruned_view(
-        self, device, blk_max_freq, n_blocks, work, cache, n_required, min_should, k
+        self, device, blk_max_freq, n_blocks, work, cache, n_required, min_should, k,
+        pure=False,
     ):
         """Block-max (WAND-style) two-pass pruning for pure disjunctions
         (the reference's skip-list role, SURVEY §5 'block-max metadata').

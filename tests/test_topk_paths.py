@@ -8,7 +8,7 @@ from rucene_tpu import BooleanQuery, IndexSearcher, Term, TermQuery
 from rucene_tpu.codec.postings import pack_segment
 from rucene_tpu.index.memory import SegmentBuffer
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
-from tests.conftest import make_docs, random_corpus
+from tests.conftest import WORDS, make_docs, random_corpus
 from tests.hitcheck import assert_hits_equal
 from tests.oracle import OracleIndex
 
@@ -64,6 +64,59 @@ def test_more_matches_than_k():
     assert td.total_hits > 5
     scores = [sd.score for sd in td.score_docs]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pure_disjunction_flag_identical():
+    """The pure-disjunction executor fast path (skips the clause-count
+    accumulator) must return bit-identical results on qualifying batches,
+    in BOTH combine strategies (dense scatter and candidate scan)."""
+    import jax
+
+    from rucene_tpu.search.executor import execute_flat_impl
+
+    rng = np.random.default_rng(77)
+    texts = random_corpus(rng, 600)
+    s = _searcher(texts)
+    queries = []
+    for _ in range(8):
+        q = BooleanQuery()
+        for wd in rng.choice(WORDS, size=int(rng.integers(1, 4)), replace=False):
+            q.should(TermQuery(Term("body", str(wd))))
+        queries.append(q)
+    rqs = [q.rewrite() for q in queries]
+    from rucene_tpu.search.searcher import (
+        build_clause_tables,
+        build_flat_work,
+        build_leaf_cache,
+        build_leaf_tables,
+    )
+
+    doc_freqs, stats = s._gather_stats(rqs)
+    weight, occur, n_req, min_should, _, _ = build_clause_tables(
+        rqs, s.similarity, doc_freqs, stats, 8, 4
+    )
+    leaf = s.reader.leaves[0]
+    cache = build_leaf_cache(leaf, s.similarity, stats)
+    bs, bc, fid = build_leaf_tables(leaf, rqs, 8, 4)
+    work = build_flat_work(bs, bc, weight, fid, occur)
+    import jax.numpy as jnp
+    from rucene_tpu.search.executor import FlatQueryBatch
+
+    fq = FlatQueryBatch(
+        *[jnp.asarray(a) for a in work[:6]],
+        n_required=jnp.asarray(n_req),
+        min_should=jnp.asarray(min_should),
+        cache=jnp.asarray(cache),
+    )
+    for dev in (leaf.device,):
+        a = jax.jit(execute_flat_impl, static_argnames=("k", "pure_disjunction"))(
+            dev, fq, k=12, pure_disjunction=False
+        )
+        b = jax.jit(execute_flat_impl, static_argnames=("k", "pure_disjunction"))(
+            dev, fq, k=12, pure_disjunction=True
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_pruned_matches_exact():
