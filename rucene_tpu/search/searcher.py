@@ -240,14 +240,20 @@ class IndexSearcher:
             i for i in range(len(queries)) if i not in set(device_idx) | set(phrase_idx)
         ]
 
+        from rucene_tpu.util.metrics import trace
+
         if device_idx:
-            batch_res = self._search_device([rewritten[i] for i in device_idx], k, prune=prune)
+            with trace("search.device"):
+                batch_res = self._search_device(
+                    [rewritten[i] for i in device_idx], k, prune=prune
+                )
             for i, td in zip(device_idx, batch_res):
                 results[i] = td
         if phrase_idx:
-            ph_res = self._search_phrases_device(
-                [queries[i] for i in phrase_idx], [rewritten[i] for i in phrase_idx], k
-            )
+            with trace("search.phrases"):
+                ph_res = self._search_phrases_device(
+                    [queries[i] for i in phrase_idx], [rewritten[i] for i in phrase_idx], k
+                )
             for i, td in zip(phrase_idx, ph_res):
                 results[i] = td
         for i in host_idx:

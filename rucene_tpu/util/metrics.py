@@ -67,3 +67,34 @@ class Metrics:
 
 
 METRICS = Metrics()  # process-wide default registry
+
+
+@contextmanager
+def trace(name: str, registry: Metrics | None = None):
+    """Scoped timing that ALSO annotates the JAX/xprof device trace, so a
+    profiler capture shows engine phases (e.g. 'search.batch') aligned with
+    the device timeline (SURVEY §5 rebuild note: 'JAX profiler/xprof hooks
+    + structured per-query timing')."""
+    import jax
+
+    reg = registry or METRICS
+    t0 = time.perf_counter()
+    with jax.profiler.TraceAnnotation(name):
+        try:
+            yield
+        finally:
+            reg.observe(name, time.perf_counter() - t0)
+
+
+def start_profiler(log_dir: str) -> None:
+    """Begin an xprof capture (view in TensorBoard / xprof). Wraps
+    jax.profiler.start_trace so callers never import jax for ops."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_profiler() -> None:
+    import jax
+
+    jax.profiler.stop_trace()

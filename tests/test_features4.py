@@ -253,3 +253,26 @@ def test_metrics(dv_writer):
     assert snap["counters"]["search.queries"] == 1
     assert snap["timers"]["search.batch"]["count"] == 1
     dv_writer.close()
+
+
+def test_trace_and_profiler(tmp_path, dv_writer):
+    """trace() feeds the metrics registry AND the jax profiler; a capture
+    directory materializes with a trace file."""
+    from rucene_tpu.util.metrics import METRICS, start_profiler, stop_profiler, trace
+
+    METRICS.reset()
+    s = IndexSearcher(dv_writer.get_reader())
+    logdir = str(tmp_path / "xprof")
+    start_profiler(logdir)
+    with trace("test.scope"):
+        s.search(TermQuery(Term("body", "red")), k=3)
+    stop_profiler()
+    snap = METRICS.snapshot()
+    assert snap["timers"]["test.scope"]["count"] == 1
+    assert snap["timers"]["search.device"]["count"] == 1
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "profiler capture produced no files"
