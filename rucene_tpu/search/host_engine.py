@@ -150,7 +150,7 @@ def evaluate_query(leaf, query, sim, stats, doc_freqs) -> tuple[np.ndarray, np.n
     """(match bool[max_doc], scores f32[max_doc]) for any query: special
     queries (spans, dismax) implement host_eval; booleans nesting them
     combine recursively; the rest go through the rewritten evaluator."""
-    from rucene_tpu.search.query import BooleanQuery, _NeedsHostEval
+    from rucene_tpu.search.query import _NeedsHostEval
 
     if hasattr(query, "host_eval"):
         return query.host_eval(leaf, sim, stats, doc_freqs)

@@ -8,7 +8,6 @@ except where two hits' scores are within tolerance of each other.
 
 from __future__ import annotations
 
-import numpy as np
 
 RTOL = 4e-7  # a few ULPs of f32
 

@@ -8,7 +8,6 @@ from rucene_tpu import (
     Document,
     IndexSearcher,
     NumericDocValuesField,
-    Occur,
     StringField,
     Term,
     TermQuery,
@@ -20,7 +19,7 @@ from rucene_tpu.index.memory import SegmentBuffer
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 from rucene_tpu.search.query import PointRangeQuery
 from rucene_tpu.search.query_string import parse_query_string
-from rucene_tpu.search.sort_field import Sort, SortFieldType
+from rucene_tpu.search.sort_field import Sort
 
 
 @pytest.fixture(scope="module")

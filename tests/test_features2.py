@@ -1,7 +1,6 @@
 """Feature tests: spans, DisjunctionMax, highlighter, DV updates, concurrent
 merge scheduler, search timeout."""
 
-import numpy as np
 import pytest
 
 from rucene_tpu import (

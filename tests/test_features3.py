@@ -11,7 +11,6 @@ from rucene_tpu import (
     TermQuery,
     TextField,
 )
-from rucene_tpu.index.reader import open_directory_reader
 from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
 from rucene_tpu.search.sort_field import Sort
 from rucene_tpu.store.directory import RAMDirectory
@@ -108,7 +107,7 @@ def test_index_lookup():
     from rucene_tpu.codec.postings import pack_segment
     from rucene_tpu.index.index_lookup import LeafIndexLookup
     from rucene_tpu.index.memory import SegmentBuffer
-    from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+    from rucene_tpu.index.reader import SegmentSnapshot
 
     buf = SegmentBuffer()
     for t in ["alpha beta alpha", "beta gamma", "alpha"]:

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from rucene_tpu import Document, IndexSearcher, StringField, Term, TermQuery, TextField
-from rucene_tpu.codec.postings import pack_segment
 from rucene_tpu.doc.field import (
     BinaryDocValuesField,
     NumericDocValuesField,
@@ -12,17 +11,14 @@ from rucene_tpu.doc.field import (
     SortedNumericDocValuesField,
     SortedSetDocValuesField,
 )
-from rucene_tpu.index.memory import SegmentBuffer
-from rucene_tpu.index.reader import IndexReader, SegmentSnapshot, open_directory_reader
+from rucene_tpu.index.reader import open_directory_reader
 from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
 from rucene_tpu.search.cache import LRUQueryCache, UsageTrackingCachingPolicy
 from rucene_tpu.search.query import (
-    BooleanQuery,
     BoostingQuery,
     ConstantScoreQuery,
     ExistsQuery,
     FilterQuery,
-    PointRangeQuery,
 )
 from rucene_tpu.search.spans import SpanBoostQuery, SpanTermQuery
 from rucene_tpu.store.directory import FSDirectory, RAMDirectory

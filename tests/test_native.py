@@ -4,7 +4,7 @@ mixed ASCII/non-ASCII corpora."""
 import numpy as np
 import pytest
 
-from rucene_tpu import Document, IndexSearcher, Term, TermQuery, TextField, native
+from rucene_tpu import IndexSearcher, Term, TermQuery, native
 from rucene_tpu.codec.postings import pack_segment
 from rucene_tpu.index.memory import SegmentBuffer
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot

@@ -2,13 +2,12 @@
 overflow fallback correctness."""
 
 import numpy as np
-import pytest
 
 from rucene_tpu import IndexSearcher, PhraseQuery
 from rucene_tpu.codec.postings import pack_segment
 from rucene_tpu.index.memory import SegmentBuffer
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
-from tests.conftest import WORDS, make_docs, random_corpus
+from tests.conftest import make_docs, random_corpus
 from tests.hitcheck import assert_hits_equal
 from rucene_tpu.util.metrics import METRICS
 

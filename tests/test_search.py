@@ -8,7 +8,6 @@ from rucene_tpu import (
     BooleanQuery,
     IndexSearcher,
     MatchAllDocsQuery,
-    Occur,
     PhraseQuery,
     Term,
     TermQuery,

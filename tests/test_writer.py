@@ -1,7 +1,6 @@
 """IndexWriter lifecycle: flush, two-phase commit, reopen, NRT, deletes,
 update, rollback, merge, file GC, corruption detection."""
 
-import numpy as np
 import pytest
 
 from rucene_tpu import Document, IndexSearcher, StringField, Term, TermQuery, TextField
