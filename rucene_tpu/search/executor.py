@@ -168,12 +168,27 @@ def execute_flat_impl(
     lane_enc = jnp.where(valid, q.wi_enc[:, None], 0).reshape(-1)
     in_range = cdocs < md
 
-    # sort lanes by (row, doc) so each doc's contributions are contiguous
+    # sort lanes by (row, doc) so each doc's contributions are contiguous.
+    # When (b+1)*(md+1) fits in int32, (row, doc) packs into ONE sort key
+    # (fewer compares + one fewer carried array); padding lanes get the
+    # maximal key either way.
     g_row = jnp.where(in_range, crows, jnp.int32(b))
     g_doc = jnp.where(in_range, cdocs, jnp.int32(2**31 - 1))
-    o_row, o_doc, o_sc, o_enc = jax.lax.sort(
-        (g_row, g_doc, lane_sc, lane_enc), num_keys=2, dimension=-1
-    )
+    if (b + 1) * (md + 1) < 2**31:
+        stride = md + 1
+        g_key = jnp.where(
+            in_range, crows * stride + cdocs, jnp.int32(2**31 - 1)
+        )
+        o_key, o_sc, o_enc = jax.lax.sort(
+            (g_key, lane_sc, lane_enc), num_keys=1, dimension=-1
+        )
+        pad = o_key == jnp.int32(2**31 - 1)
+        o_row = jnp.where(pad, jnp.int32(b), o_key // stride)
+        o_doc = jnp.where(pad, jnp.int32(2**31 - 1), o_key % stride)
+    else:
+        o_row, o_doc, o_sc, o_enc = jax.lax.sort(
+            (g_row, g_doc, lane_sc, lane_enc), num_keys=2, dimension=-1
+        )
     p_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), o_row[:-1]])
     p_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), o_doc[:-1]])
     seg_start = (o_row != p_row) | (o_doc != p_doc)
