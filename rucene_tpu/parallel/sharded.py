@@ -114,15 +114,19 @@ class ShardedIndex:
         self.doc_base = jax.device_put(np.asarray(doc_base, dtype=np.int32), shard_spec)
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas"))
-def _sharded_search_step(mesh, stacked, fq, doc_base, k: int, use_pallas: bool = False):
+@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas", "pure"))
+def _sharded_search_step(
+    mesh, stacked, fq, doc_base, k: int, use_pallas: bool = False, pure: bool = False
+):
     """One fused device program: per-(shard,dp) flat execute + ICI
     all-gather merge over the shard axis."""
 
     def local(dev_s, fq_s, base_s):
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
-        scores, docs, hits = execute_flat_impl(dev, q, k, use_pallas=use_pallas)
+        scores, docs, hits = execute_flat_impl(
+            dev, q, k, use_pallas=use_pallas, pure_disjunction=pure
+        )
         gdocs = jnp.where(scores > -jnp.inf, docs + base_s[0], jnp.int32(_DOC_PAD))
         sg = jax.lax.all_gather(scores, "shard")  # [S, B', k]
         dg = jax.lax.all_gather(gdocs, "shard")
@@ -270,8 +274,18 @@ class ShardedSearcher:
         )
         fq = jax.device_put(fq)
         use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
+        from rucene_tpu.search.query import Occur
+
+        pure = all(
+            rq.n_required == 0
+            and rq.effective_min_should() <= 1
+            and rq.clauses
+            and all(c.occur == Occur.SHOULD for c in rq.clauses)
+            and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
+            for i, rq in enumerate(rqs)
+        )
         scores, docs, hits = _sharded_search_step(
-            mesh, self.index.stacked, fq, self.index.doc_base, k, use_pallas
+            mesh, self.index.stacked, fq, self.index.doc_base, k, use_pallas, pure
         )
         scores = np.asarray(scores)
         docs = np.asarray(docs)
