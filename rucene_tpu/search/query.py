@@ -282,7 +282,7 @@ class DisjunctionMaxQuery(Query):
                 rq = q.rewrite()
                 out.extend(c.term for c in rq.clauses)
                 out.extend(c.term for _, ms in rq.groups for c in ms)
-                for f, ts, _ in rq.phrases:
+                for f, ts, _boost, _slop in rq.phrases:
                     out.extend(Term(f, t) for t in ts)
         return out
 

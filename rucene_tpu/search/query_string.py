@@ -35,9 +35,11 @@ _TOKEN_RE = re.compile(
         (?P<or>OR\b) |
         (?P<plus>\+) |
         (?P<minus>-) |
-        (?P<phrase>(?:(?P<pfield>[\w.]+):)?"(?P<ptext>[^"]*)") |
+        (?P<phrase>(?:(?P<pfield>[\w.]+):)?"(?P<ptext>[^"]*)"
+                   (?:~(?P<pslop>\d+))?(?:\^(?P<pboost>[\d.]+))?) |
         (?P<range>(?:(?P<rfield>[\w.]+):)?\[(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\]) |
-        (?P<term>(?:(?P<tfield>[\w.]+):)?(?P<ttext>[^\s()+\-"][^\s()"]*))
+        (?P<term>(?:(?P<tfield>[\w.]+):)?(?P<ttext>[^\s()+\-"^][^\s()"^]*)
+                 (?:\^(?P<tboost>[\d.]+))?)
     )""",
     re.VERBOSE,
 )
@@ -138,9 +140,11 @@ class QueryStringParser:
             field = tok.group("pfield") or self.default_field
             text = tok.group("ptext")
             words = text.lower().split() if self.lowercase else text.split()
+            boost = float(tok.group("pboost") or 1.0)
+            slop = int(tok.group("pslop") or 0)  # "a b"~2 (query_string.rs:184)
             if len(words) == 1:
-                return TermQuery(Term(field, words[0]))
-            return PhraseQuery(field, words)
+                return TermQuery(Term(field, words[0]), boost=boost)
+            return PhraseQuery(field, words, boost=boost, slop=slop)
         if tok.group("range"):
             field = tok.group("rfield") or self.default_field
             lo, hi = tok.group("lo"), tok.group("hi")
@@ -151,7 +155,8 @@ class QueryStringParser:
             text = tok.group("ttext")
             if self.lowercase:
                 text = text.lower()
-            return TermQuery(Term(field, text))
+            boost = float(tok.group("tboost") or 1.0)  # term^2 (query_string.rs:199)
+            return TermQuery(Term(field, text), boost=boost)
         raise ValueError(f"unexpected token {tok.group()!r}")
 
 

@@ -124,6 +124,51 @@ def test_query_string_parser(feature_searcher):
     assert sorted(sd.doc for sd in td6.score_docs) == [0, 2]
 
 
+def test_query_string_boost_and_slop(feature_searcher):
+    s = feature_searcher
+    # ^boost scales the term's score (query_string.rs:199)
+    base = s.search(parse_query_string("apple", "body"), k=10)
+    boosted = s.search(parse_query_string("apple^2.5", "body"), k=10)
+    assert boosted.total_hits == base.total_hits
+    for a, b in zip(base.score_docs, boosted.score_docs):
+        assert b.doc == a.doc
+        assert abs(b.score - 2.5 * a.score) < 1e-5 * max(a.score, 1)
+    # boost shifts ranking inside a disjunction
+    q = parse_query_string("green^10 OR red", "body")
+    td = s.search(q, k=10)
+    top_has_green = "green" in feature_searcher.reader.document(td.score_docs[0].doc).get("body", "green")
+    assert td.total_hits >= 2
+    # phrase slop: "pie apple"~2 matches 'apple pie' out of order... ordered
+    # slop semantics: "apple pie"~0 == exact phrase
+    exact = s.search(parse_query_string('"apple pie"', "body"), k=10)
+    sloppy0 = s.search(parse_query_string('"apple pie"~0', "body"), k=10)
+    assert [sd.doc for sd in sloppy0.score_docs] == [sd.doc for sd in exact.score_docs]
+    # wider slop can only match MORE docs
+    sloppy3 = s.search(parse_query_string('"apple pie"~3', "body"), k=10)
+    assert sloppy3.total_hits >= exact.total_hits
+    # phrase boost
+    pb = s.search(parse_query_string('"apple pie"^3', "body"), k=10)
+    assert pb.total_hits == exact.total_hits
+    assert abs(pb.score_docs[0].score - 3 * exact.score_docs[0].score) < 1e-5
+
+
+def test_phrase_inside_boolean_and_dismax(feature_searcher):
+    """Regression: stat gathering for host-path queries containing phrase
+    clauses unpacked 3-tuple phrases after slop made them 4-tuples."""
+    from rucene_tpu import BooleanQuery, DisjunctionMaxQuery, PhraseQuery
+
+    s = feature_searcher
+    q = BooleanQuery().should(PhraseQuery("body", ["apple", "pie"])).should(
+        TermQuery(Term("body", "pear"))
+    )
+    td = s.search(q, 10)
+    assert td.total_hits >= 1
+    dq = DisjunctionMaxQuery(
+        [PhraseQuery("body", ["apple", "pie"]), TermQuery(Term("body", "pear"))], 0.0
+    )
+    assert s.search(dq, 10).total_hits >= td.total_hits - 1
+
+
 def test_points_survive_disk_roundtrip(tmp_path, feature_searcher):
     from rucene_tpu.codec import files as segfiles
     from rucene_tpu.store.directory import FSDirectory
