@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
         (?P<phrase>(?:(?P<pfield>[\w.]+):)?"(?P<ptext>[^"]*)"
                    (?:~(?P<pslop>\d+))?(?:\^(?P<pboost>[\d.]+))?) |
         (?P<range>(?:(?P<rfield>[\w.]+):)?\[(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\]) |
-        (?P<term>(?:(?P<tfield>[\w.]+):)?(?P<ttext>[^\s()+\-"^][^\s()"^]*)
+        (?P<term>(?:(?P<tfield>[\w.]+):)?(?P<ttext>[^\s()+\-"^~][^\s()"^]*)
                  (?:\^(?P<tboost>[\d.]+))?)
     )""",
     re.VERBOSE,
