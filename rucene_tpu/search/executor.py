@@ -277,8 +277,27 @@ def execute_match_all(
     dev: DeviceSegment, boost: jax.Array, k: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """MatchAllDocsQuery / pure constant-score path: every live doc matches
-    with a constant score (reference match_all_query.rs)."""
-    scores = jnp.where(dev.live[None, :], boost[:, None], -jnp.inf)
-    top_scores, top_docs = topk_score_doc(scores, k)
-    total_hits = jnp.sum(dev.live).astype(jnp.int32)[None].repeat(boost.shape[0])
+    with a constant score (reference match_all_query.rs). Scores are equal,
+    so the top-k under (score desc, doc asc) is just the FIRST k live docs:
+    cumsum + searchsorted instead of a full [B, md] top-k."""
+    md = dev.max_doc_padded
+    kk = min(k, md)
+    live_i = dev.live.astype(jnp.int32)
+    n_live = jnp.sum(live_i)
+    rank = jnp.cumsum(live_i)
+    tgt = jnp.arange(1, kk + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(rank, tgt, side="left").astype(jnp.int32)
+    valid = tgt <= n_live
+    docs_row = jnp.where(valid, pos, jnp.int32(2**31 - 1))
+    b = boost.shape[0]
+    top_docs = jnp.broadcast_to(docs_row, (b, kk))
+    top_scores = jnp.where(valid[None, :], boost[:, None], -jnp.inf)
+    if kk < k:
+        top_docs = jnp.concatenate(
+            [top_docs, jnp.full((b, k - kk), jnp.int32(2**31 - 1))], axis=1
+        )
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+    total_hits = n_live.astype(jnp.int32)[None].repeat(b)
     return top_scores, top_docs, total_hits
