@@ -65,9 +65,11 @@ class IndexWriterConfig:
 
 @dataclass
 class _PendingDelete:
-    term: Term
+    term: Term | None  # exactly one of term/query is set
     buffer_watermark: int  # buffered docs with id < watermark are affected
     applies_to_segments: list[str]  # segment names existing when queued
+    query: object | None = None  # delete-by-query (index_writer.rs
+    # delete_documents_by_queries): matches evaluated per segment at apply
 
 
 @dataclass
@@ -152,6 +154,22 @@ class IndexWriter:
                 )
             )
 
+    def delete_documents_by_query(self, query) -> None:
+        """Delete every doc matching an arbitrary query (reference
+        index_writer.rs delete_documents_by_queries). Same watermark
+        semantics as term deletes: docs added AFTER the call are not
+        affected; matching is evaluated per segment at apply time."""
+        with self._lock:
+            self._ensure_open()
+            self._pending_deletes.append(
+                _PendingDelete(
+                    term=None,
+                    query=query,
+                    buffer_watermark=self._buffer.num_docs,
+                    applies_to_segments=[i.name for i in self._all_infos()],
+                )
+            )
+
     def update_numeric_doc_value(self, term: Term, field: str, value: int) -> None:
         """In-place numeric DV update for all docs matching term, without
         re-indexing (reference index_writer.rs update_numeric_doc_value /
@@ -184,6 +202,26 @@ class IndexWriter:
             self._infos.segments = []
             self._pool.clear()
             self._live_dirty.clear()
+
+    def has_uncommitted_changes(self) -> bool:
+        """True when buffered docs, flushed-uncommitted segments, pending
+        deletes/DV-updates, or dirty live masks exist (reference
+        index_writer.rs has_uncommitted_changes)."""
+        with self._lock:
+            return bool(
+                self._buffer.num_docs
+                or self._uncommitted
+                or self._pending_deletes
+                or self._pending_dv_updates
+                or self._live_dirty
+                or self._dv_dirty
+            )
+
+    def num_deleted_docs(self) -> int:
+        """Deleted-but-not-purged docs across all segments (reference
+        index_writer.rs num_deleted_docs)."""
+        with self._lock:
+            return sum(i.del_count for i in self._all_infos())
 
     @property
     def num_docs(self) -> int:
@@ -236,19 +274,31 @@ class IndexWriter:
             targets = list(pd.applies_to_segments)
             for info in self._all_infos():
                 if info.name in targets:
-                    self._delete_in_segment(info, pd.term, watermark=None)
+                    self._delete_in_segment(info, pd, watermark=None)
                 elif info.name == flushed_name:
-                    self._delete_in_segment(info, pd.term, watermark=pd.buffer_watermark)
+                    self._delete_in_segment(info, pd, watermark=pd.buffer_watermark)
         self._pending_deletes.clear()
 
     def _delete_in_segment(
-        self, info: SegmentCommitInfo, term: Term, watermark: int | None
+        self, info: SegmentCommitInfo, pd: _PendingDelete, watermark: int | None
     ) -> None:
         snap = self._snapshot(info)
-        p = snap.read_postings(term.field, term.text)
-        if p is None:
-            return
-        docs = p[0]
+        if pd.term is not None:
+            p = snap.read_postings(pd.term.field, pd.term.text)
+            if p is None:
+                return
+            docs = p[0]
+        else:  # delete-by-query: per-segment host evaluation (match only)
+            from rucene_tpu.index.reader import IndexReader
+            from rucene_tpu.search import host_engine
+            from rucene_tpu.search.searcher import IndexSearcher
+
+            s = IndexSearcher(IndexReader([snap]))
+            doc_freqs, stats = s._gather_stats_query(pd.query)
+            match, _acc = host_engine.evaluate_query(
+                snap, pd.query, s.similarity, stats, doc_freqs
+            )
+            docs = np.nonzero(match)[0]
         if watermark is not None:
             docs = docs[docs < watermark]
         if len(docs) == 0:

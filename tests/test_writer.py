@@ -106,6 +106,47 @@ def test_delete_and_update(tmp_path):
     w.close()
 
 
+def test_delete_by_query(tmp_path):
+    """delete_documents_by_query: boolean and range queries, watermark
+    semantics (docs added after the delete survive), commit persistence."""
+    from rucene_tpu import BooleanQuery, IntPoint, PointRangeQuery
+
+    d = FSDirectory(str(tmp_path / "dbq"))
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=4))
+    for i in range(10):
+        doc = Document()
+        doc.add(StringField("id", str(i), stored=True))
+        doc.add(TextField("body", f"tok{i} {'hot' if i % 2 == 0 else 'cold'}"))
+        doc.add(IntPoint("year", 2000 + i))
+        w.add_document(doc)
+    # range delete: years 2003..2005 -> docs 3,4,5
+    w.delete_documents_by_query(PointRangeQuery("year", 2003, 2005))
+    r = w.get_reader()
+    assert r.num_docs == 7
+    s = IndexSearcher(r)
+    assert s.search(TermQuery(Term("body", "tok4")), 5).total_hits == 0
+    assert s.search(TermQuery(Term("body", "tok6")), 5).total_hits == 1
+
+    # boolean delete + watermark: doc added after must survive
+    w.delete_documents_by_query(
+        BooleanQuery().must(TermQuery(Term("body", "hot"))).must(TermQuery(Term("body", "tok0")))
+    )
+    late = Document()
+    late.add(StringField("id", "99", stored=True))
+    late.add(TextField("body", "tok0 hot late"))
+    w.add_document(late)
+    r2 = w.get_reader()
+    s2 = IndexSearcher(r2)
+    assert s2.search(TermQuery(Term("body", "tok0")), 5).total_hits == 1  # only the late doc
+    assert w.num_deleted_docs() >= 0
+    assert w.has_uncommitted_changes()
+    w.commit()
+    w.close()
+    r3 = open_directory_reader(d)
+    assert r3.num_docs == 7  # 10 - 3 (range) - 1 (bool) + 1 (late)
+    assert IndexSearcher(r3).search(TermQuery(Term("body", "tok4")), 5).total_hits == 0
+
+
 def test_deletes_survive_commit_reopen(tmp_path):
     d = FSDirectory(str(tmp_path / "idx"))
     w = IndexWriter(d)
