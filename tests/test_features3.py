@@ -123,3 +123,39 @@ def test_index_lookup():
     assert [p.position for p in ps] == [0, 2]
     assert ps[0].start_offset == 0 and ps[0].end_offset == 5
     assert lookup.field_statistics("body").doc_count == 3
+
+
+def test_index_lookup_payloads():
+    """TermPosition carries inline-postings offsets and payloads, and the
+    PayloadHelper decodes work (the reference stubs these with
+    unimplemented!(), index_lookup.rs:48-70)."""
+    import struct
+
+    from rucene_tpu import TextField as TF
+    from rucene_tpu import Token
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.index_lookup import LeafIndexLookup
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import SegmentSnapshot
+
+    buf = SegmentBuffer()
+    d = Document()
+    d.add(
+        TF(
+            "body",
+            [
+                Token("w", 0, 0, 1, payload=struct.pack(">i", 42)),
+                Token("w", 1, 2, 3, payload=struct.pack(">f", 2.5)),
+                Token("w", 2, 4, 5),
+            ],
+            offsets=True,
+        )
+    )
+    buf.add_document(d)
+    leaf = SegmentSnapshot("pl", pack_segment(buf.finish()))
+    ps = LeafIndexLookup(leaf)["body"]["w"].positions(0)
+    assert [p.position for p in ps] == [0, 1, 2]
+    assert (ps[0].start_offset, ps[0].end_offset) == (0, 1)
+    assert ps[0].payload_as_int() == 42
+    assert abs(ps[1].payload_as_float() - 2.5) < 1e-6
+    assert ps[2].payload is None and ps[2].payload_as_int(default=-7) == -7
