@@ -78,22 +78,12 @@ class FlatQueryBatch(NamedTuple):
     cache: jax.Array  # f32[F,256]
 
 
-def execute_flat_impl(
-    dev: DeviceSegment,
-    q: FlatQueryBatch,
-    k: int,
-    use_pallas: bool = False,
-    pure_disjunction: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Un-jitted executor body (also called inside shard_map by
-    parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
-    total_hits i32[B]). use_pallas selects the fused Mosaic decode kernel
-    (TPU only). pure_disjunction (STATIC, caller-guaranteed: every row is
-    all-SHOULD with positive weights, min_should <= 1, no MUST_NOT) skips
-    the clause-count accumulator entirely — a BM25 hit always scores > 0,
-    so match == (score > 0); saves one of the two scatter passes (~40 ms
-    at the 256q x 50K shape)."""
-    b = q.n_required.shape[0]
+def decode_score_lanes(
+    dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared prologue: gather + unpack each work item's block and score
+    every posting lane with BM25. Returns (target i32[W,128] — doc id or
+    md+1 for invalid lanes, rows i32[W,1], sc f32[W,128], valid bool[W,128])."""
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
 
@@ -131,6 +121,29 @@ def execute_flat_impl(
 
     target = jnp.where(valid, docs, md + 1)  # out of range -> dropped
     rows = q.wi_row[:, None].astype(jnp.int32)
+    return target, rows, sc, valid
+
+
+def execute_flat_impl(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,
+    k: int,
+    use_pallas: bool = False,
+    pure_disjunction: bool = False,
+    strategy: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Un-jitted executor body (also called inside shard_map by
+    parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
+    total_hits i32[B]). use_pallas selects the fused Mosaic decode kernel
+    (TPU only). pure_disjunction (STATIC, caller-guaranteed: every row is
+    all-SHOULD with positive weights, min_should <= 1, no MUST_NOT) skips
+    the clause-count accumulator entirely — a BM25 hit always scores > 0,
+    so match == (score > 0); saves one of the two scatter passes (~40 ms
+    at the 256q x 50K shape). strategy overrides the dense/candidate
+    shape heuristic ("auto" | "dense" | "candidate")."""
+    b = q.n_required.shape[0]
+    md = dev.max_doc_padded
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
 
     # --- match + top-k: shape-adaptive strategy ---
     # Dense: scatter-add into [B, md] accumulators and run vectorized top-k
@@ -141,7 +154,7 @@ def execute_flat_impl(
     # max_doc, which is what makes many-million-doc corpora viable. Both
     # sizes are static at trace time.
     l_lanes = target.size
-    if b * md <= 12 * l_lanes:
+    if strategy == "dense" or (strategy == "auto" and b * md <= 12 * l_lanes):
         acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
         if pure_disjunction:
             match = (acc_score > 0.0) & dev.live[None, :]
@@ -268,7 +281,8 @@ def execute_flat_impl(
 
 
 execute_flat = jax.jit(
-    execute_flat_impl, static_argnames=("k", "use_pallas", "pure_disjunction")
+    execute_flat_impl,
+    static_argnames=("k", "use_pallas", "pure_disjunction", "strategy"),
 )
 
 
