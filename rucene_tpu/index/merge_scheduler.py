@@ -80,6 +80,16 @@ class ConcurrentMergeScheduler:
         self._closed = False
 
     def merge(self, run_one_merge) -> None:
+        def _run_logged():
+            # the writer records merge failures (merge_exceptions / tragedy)
+            # before re-raising; don't also crash the daemon thread
+            try:
+                run_one_merge()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception("background merge failed")
+
         with self._lock:
             if self._closed:
                 run_one_merge()
@@ -89,7 +99,7 @@ class ConcurrentMergeScheduler:
                 # merge-count stall: run inline (reference stall at :225-250)
                 run_one_merge()
                 return
-            t = threading.Thread(target=run_one_merge, daemon=True, name="rucene-tpu-merge")
+            t = threading.Thread(target=_run_logged, daemon=True, name="rucene-tpu-merge")
             self._threads.append(t)
             t.start()
 

@@ -81,6 +81,19 @@ class _PendingDVUpdate:
     applies_to_segments: list[str]
 
 
+@dataclass
+class _MergeRegistration:
+    """A merge registered under the writer lock: inputs are point-in-time
+    snapshots, the output name is reserved, and the input segments are
+    marked merging so no overlapping merge is scheduled (reference
+    index_writer.rs merge_init :2791 / register_merge)."""
+
+    names: list[str]
+    infos: list[SegmentCommitInfo]
+    snaps: list[SegmentSnapshot]
+    new_name: str
+
+
 class IndexWriter:
     def __init__(self, directory: Directory, config: IndexWriterConfig | None = None):
         self.directory = directory
@@ -102,6 +115,11 @@ class IndexWriter:
         self._dv_dirty: set[str] = set()
         self._closed = False
         self._tragedy: BaseException | None = None
+        # in-flight merge bookkeeping (all guarded by self._lock)
+        self._merging: set[str] = set()  # input segment names of running merges
+        self._merge_protected: set[str] = set()  # output files gc must not touch
+        self._segments_changed = False  # a merge committed since last commit()
+        self.merge_exceptions: list[BaseException] = []  # surfaced, never swallowed
 
     # ---------- helpers ----------
     def _ensure_open(self) -> None:
@@ -396,6 +414,7 @@ class IndexWriter:
                 pending = segfiles.write_segments_file(self.directory, self._infos)
                 segfiles.finish_segments_file(self.directory, self._infos, pending)
                 self._gc_files()
+                self._segments_changed = False
                 if self.config.merge_on_commit:
                     self.maybe_merge()
                 return self._infos.version
@@ -411,6 +430,7 @@ class IndexWriter:
         referenced.add("write.lock")
         for info in self._uncommitted:
             referenced.update(info.files())
+        referenced.update(self._merge_protected)  # in-flight merge outputs
         for name in self.directory.list_all():
             if name in referenced:
                 continue
@@ -438,31 +458,184 @@ class IndexWriter:
 
     # ---------- merge ----------
     def maybe_merge(self) -> int:
+        """Find merge candidates and hand them to the scheduler. The heavy
+        merge work runs OUTSIDE the writer lock (reference
+        merge_scheduler.rs:141-250 — ConcurrentMergeScheduler exists so a
+        running merge never blocks add_document); only registration (here)
+        and the final swap (_commit_merge) hold it."""
+        regs: list[_MergeRegistration] = []
         with self._lock:
             self._ensure_open()
             self._flush_buffer()
-            sizes = {
-                info.name: (info.max_doc - info.del_count) for info in self._infos.segments
-            }
-            deletes = {info.name: info.del_count for info in self._infos.segments}
-            merged = 0
+            eligible = [i for i in self._infos.segments if i.name not in self._merging]
+            sizes = {i.name: (i.max_doc - i.del_count) for i in eligible}
+            deletes = {i.name: i.del_count for i in eligible}
             for cand in self.config.merge_policy.find_merges(sizes, deletes):
-                names = cand.segments
-                self.config.merge_scheduler.merge(lambda n=names: self._merge_job(n))
-                merged += 1
-            return merged
+                reg = self._register_merge(cand.segments)
+                if reg is not None:
+                    regs.append(reg)
+        for reg in regs:
+            self.config.merge_scheduler.merge(lambda r=reg: self._merge_job(r))
+        return len(regs)
 
-    def _merge_job(self, names: list[str]) -> None:
+    def _register_merge(self, names: list[str]) -> _MergeRegistration | None:
+        """Under the writer lock: validate inputs, snapshot them, reserve the
+        output name, mark inputs merging (index_writer.rs merge_init)."""
+        wanted = set(names)
+        if wanted & self._merging:
+            return None  # an overlapping merge is in flight; policy retries later
+        infos = [i for i in self._infos.segments if i.name in wanted]
+        if not infos:
+            return None
+        if len(infos) == 1 and infos[0].del_count == 0:
+            return None  # singleton rewrite only pays off when it drops deletes
+        snaps = [self._snapshot(i) for i in infos]
+        new_name = _seg_name(self._infos.counter)
+        self._infos.counter += 1
+        self._merging.update(i.name for i in infos)
+        self._merge_protected.add(segfiles.segment_file(new_name))
+        return _MergeRegistration([i.name for i in infos], infos, snaps, new_name)
+
+    def _merge_job(self, reg: _MergeRegistration) -> None:
+        """Run one registered merge: the segment merge and output write
+        happen WITHOUT the writer lock; the swap takes it. Errors are
+        recorded in self.merge_exceptions and re-raised — the serial
+        scheduler propagates them to the caller, the concurrent one logs
+        (reference index_writer.rs feeds merge failures into the tragedy
+        path instead of dropping them)."""
         try:
+            METRICS.incr("writer.merges")
+            merged = merge_segments(reg.snaps)
+            if merged.max_doc > 0:
+                segfiles.write_segment(self.directory, reg.new_name, merged)
             with self._lock:
-                if self._closed or self._tragedy is not None:
-                    return
-                self._do_merge(names)
-        except Exception:
-            pass  # background merges must not take down the writer
+                self._commit_merge(reg, merged)
+        except Exception as e:
+            METRICS.incr("writer.merge_errors")
+            with self._lock:
+                self.merge_exceptions.append(e)
+                self._merging.difference_update(reg.names)
+                self._merge_protected.discard(segfiles.segment_file(reg.new_name))
+            raise
+
+    def _commit_merge(self, reg: _MergeRegistration, merged) -> None:
+        """Swap the merged segment in (reference index_writer.rs:3465
+        commit_merge + :3216 commit_merged_deletes). Deletes and DV updates
+        that landed on the inputs WHILE the merge ran are remapped into the
+        merged doc space so no update is lost. Caller holds self._lock."""
+        self._merging.difference_update(reg.names)
+        self._merge_protected.discard(segfiles.segment_file(reg.new_name))
+        current = {i.name for i in self._infos.segments}
+        if (
+            self._closed
+            or self._tragedy is not None
+            or not all(n in current for n in reg.names)
+        ):
+            # stale merge (writer closed / inputs already replaced): drop output
+            try:
+                self.directory.delete_file(segfiles.segment_file(reg.new_name))
+            except OSError:
+                pass
+            return
+
+        # pending deletes/DV updates queued against the inputs must apply
+        # BEFORE the inputs disappear (their applies_to_segments lists name
+        # the old segments); apply against the inputs now and strip them
+        # from the pending targets — other targets apply later as usual.
+        drop = set(reg.names)
+        for pd in self._pending_deletes:
+            hit = [i for i in reg.infos if i.name in pd.applies_to_segments]
+            for info in hit:
+                self._delete_in_segment(info, pd, watermark=None)
+            if hit:
+                pd.applies_to_segments = [
+                    n for n in pd.applies_to_segments if n not in drop
+                ]
+        for pu in self._pending_dv_updates:
+            hit_names = [n for n in reg.names if n in pu.applies_to_segments]
+            for name in hit_names:
+                info = next(i for i in reg.infos if i.name == name)
+                snap = self._snapshot(info)
+                p = snap.read_postings(pu.term.field, pu.term.text)
+                if p is not None and len(p[0]):
+                    self._pool[info.name] = snap.with_dv_updates(
+                        pu.field, {int(d): pu.value for d in p[0]}
+                    )
+            if hit_names:
+                pu.applies_to_segments = [
+                    n for n in pu.applies_to_segments if n not in drop
+                ]
+
+        all_dead = merged.max_doc == 0  # fully-deleted inputs: drop, no output
+        new_info = None
+        if not all_dead:
+            new_info = SegmentCommitInfo(name=reg.new_name, max_doc=merged.max_doc)
+            new_snap = SegmentSnapshot(reg.new_name, merged)
+            # remap updates that arrived during the merge: merged layout is
+            # the concatenation of each input's live docs in order
+            # (merge.py _remap: new_id = cumsum(live)-1+base)
+            carried_dead: list[np.ndarray] = []
+            dv_carry: dict[str, dict[int, int]] = {}
+            base = 0
+            for snap0 in reg.snaps:
+                cur = self._pool.get(snap0.name, snap0)
+                live0 = (
+                    snap0.live
+                    if snap0.live is not None
+                    else np.ones(snap0.max_doc, dtype=bool)
+                )
+                newid = np.cumsum(live0) - 1 + base
+                if cur is not snap0:
+                    live_now = (
+                        cur.live
+                        if cur.live is not None
+                        else np.ones(cur.max_doc, dtype=bool)
+                    )
+                    newly_dead = live0 & ~live_now
+                    if newly_dead.any():
+                        carried_dead.append(newid[newly_dead])
+                    for f, m in cur.dv_updates.items():
+                        oldm = snap0.dv_updates.get(f, {})
+                        for d, v in m.items():
+                            if oldm.get(d) != v and live0[d]:
+                                dv_carry.setdefault(f, {})[int(newid[d])] = v
+                base += int(live0.sum())
+            if carried_dead:
+                live_new = np.ones(merged.max_doc, dtype=bool)
+                live_new[np.concatenate(carried_dead)] = False
+                new_snap = new_snap.with_deletes(live_new)
+                new_info.del_count = merged.max_doc - int(live_new.sum())
+                self._live_dirty.add(reg.new_name)
+            for f, m in dv_carry.items():
+                new_snap = new_snap.with_dv_updates(f, m)
+            if dv_carry:
+                self._dv_dirty.add(reg.new_name)
+            self._pool[reg.new_name] = new_snap
+
+        kept: list[SegmentCommitInfo] = []
+        inserted = False
+        for info in self._infos.segments:
+            if info.name in drop:
+                if not inserted and not all_dead:
+                    kept.append(new_info)
+                    inserted = True
+                self._pool.pop(info.name, None)
+                self._live_dirty.discard(info.name)
+                self._dv_dirty.discard(info.name)
+            else:
+                kept.append(info)
+        self._infos.segments = kept
+        self._segments_changed = True
+
+    def _drain_merges(self) -> None:
+        sched = self.config.merge_scheduler
+        if hasattr(sched, "sync"):
+            sched.sync()
 
     def force_merge(self, max_segments: int = 1) -> None:
-        """reference index_writer.rs:580,2440."""
+        """reference index_writer.rs:580,2440. Waits for in-flight
+        background merges first, then merges inline."""
+        self._drain_merges()
         with self._lock:
             self._ensure_open()
             self._flush_buffer()
@@ -474,12 +647,15 @@ class IndexWriter:
                 if not cands:
                     break
                 for cand in cands:
-                    self._do_merge(cand.segments)
+                    reg = self._register_merge(cand.segments)
+                    if reg is not None:
+                        self._merge_job(reg)
 
     def force_merge_deletes(self) -> None:
         """Rewrite every segment carrying deletes, dropping dead docs
         (reference MergePolicy::find_forced_deletes_merges /
         index_writer.rs force_merge_deletes)."""
+        self._drain_merges()
         with self._lock:
             self._ensure_open()
             self._flush_buffer()
@@ -505,40 +681,6 @@ class IndexWriter:
                 self._pool.pop(name, None)
                 self._live_dirty.discard(name)
 
-    def _do_merge(self, names: list[str]) -> None:
-        METRICS.incr("writer.merges")
-        # merge in segment order so concatenation preserves doc ids when
-        # nothing is deleted (the policy may have selected by size)
-        wanted = set(names)
-        infos = [i for i in self._infos.segments if i.name in wanted]
-        if not infos:
-            return
-        if len(infos) == 1 and infos[0].del_count == 0:
-            return  # singleton rewrite only pays off when it drops deletes
-        snaps = [self._snapshot(i) for i in infos]
-        merged = merge_segments(snaps)
-        all_dead = merged.max_doc == 0  # fully-deleted inputs: drop, no output
-        if not all_dead:
-            new_name = _seg_name(self._infos.counter)
-            self._infos.counter += 1
-            segfiles.write_segment(self.directory, new_name, merged)
-            new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
-            self._pool[new_name] = SegmentSnapshot(new_name, merged)
-        # swap segment list in place (commit_merge analog)
-        kept: list[SegmentCommitInfo] = []
-        inserted = False
-        drop = {i.name for i in infos}
-        for info in self._infos.segments:
-            if info.name in drop:
-                if not inserted and not all_dead:
-                    kept.append(new_info)
-                    inserted = True
-                self._pool.pop(info.name, None)
-                self._live_dirty.discard(info.name)
-            else:
-                kept.append(info)
-        self._infos.segments = kept
-
     # ---------- lifecycle ----------
     def rollback(self) -> None:
         """Restore last commit (reference index_writer.rs:336,1383)."""
@@ -563,6 +705,20 @@ class IndexWriter:
         sched = self.config.merge_scheduler
         if hasattr(sched, "close"):
             sched.close()
+        # merges that completed after the final commit changed the segment
+        # list; persist them so the merged form survives reopen (the
+        # reference waits for merges before its close commit)
+        if (
+            self.config.commit_on_close
+            and self._tragedy is None
+            and self._segments_changed
+        ):
+            saved = self.config.merge_on_commit
+            self.config.merge_on_commit = False
+            try:
+                self.commit()
+            finally:
+                self.config.merge_on_commit = saved
         with self._lock:
             self._closed = True
             if self._write_lock is not None:
