@@ -41,6 +41,7 @@ class CombinedView:
     n_leaves: int
     blk_max_freq: np.ndarray  # i32[NB] host copy for WAND block-max bounds
     n_blocks: int
+    pos_word_bases: np.ndarray | None = None  # i64[L] positions word offset per leaf
 
     def map_docs(self, padded_docs: np.ndarray, leaves) -> np.ndarray:
         """Padded-global doc ids -> real reader-global doc ids (monotone,
@@ -52,22 +53,37 @@ class CombinedView:
         return real_bases[li] + local
 
 
-def build_combined_view(leaves) -> CombinedView:
-    """Concatenate the leaves' packed segments into one DeviceSegment."""
-    field_names = sorted({name for leaf in leaves for name in leaf.packed.fields})
-    field_gid = {name: i for i, name in enumerate(field_names)}
-    n_fields = max(len(field_names), 1)
+def build_combined_view(
+    leaves,
+    field_gid: dict[str, int] | None = None,
+    as_numpy: bool = False,
+    with_positions: bool = False,
+) -> CombinedView:
+    """Concatenate the leaves' packed segments into one DeviceSegment.
+
+    field_gid pins the global norms-row numbering (so several views — e.g.
+    one per mesh shard — share field ids); as_numpy keeps the arrays
+    host-side for stacking; with_positions also concatenates the packed
+    position streams (needed when phrases run against the view)."""
+    if field_gid is None:
+        field_names = sorted({name for leaf in leaves for name in leaf.packed.fields})
+        field_gid = {name: i for i, name in enumerate(field_names)}
+    n_fields = max(len(field_gid), 1)
 
     doc_bases = np.zeros(len(leaves), np.int64)
     blk_bases = np.zeros(len(leaves), np.int64)
+    pos_word_bases = np.zeros(len(leaves), np.int64)
     data_parts, off_p, dbits_p, fbits_p, base_p, cnt_p, bmf_p = [], [], [], [], [], [], []
+    pos_parts, posb_p = [], []
     word_base = 0
     doc_base = 0
     nb_total = 0
+    pos_base = 0
     for li, leaf in enumerate(leaves):
         p = leaf.packed
         doc_bases[li] = doc_base
         blk_bases[li] = nb_total
+        pos_word_bases[li] = pos_base
         data_parts.append(p.data)
         off_p.append(p.blk_off.astype(np.int64) + word_base)
         dbits_p.append(p.blk_doc_bits)
@@ -75,6 +91,10 @@ def build_combined_view(leaves) -> CombinedView:
         base_p.append(p.blk_base.astype(np.int64) + doc_base)
         cnt_p.append(p.blk_count)
         bmf_p.append(p.blk_max_freq)
+        if with_positions:
+            pos_parts.append(p.positions.astype(np.uint32))
+            posb_p.append(p.blk_pos_base)
+            pos_base += len(p.positions)
         word_base += len(p.data)
         doc_base += round_up(max(p.max_doc, 1), 1024)
         nb_total += p.num_blocks
@@ -106,18 +126,27 @@ def build_combined_view(leaves) -> CombinedView:
         else:
             live[b : b + p.max_doc] = leaf.live[: p.max_doc]
 
+    if with_positions:
+        npp = next_pow2(max(pos_base, 1), 1)
+        positions = cat_pad(pos_parts, npp, 0, np.uint32)
+        blk_pos_base = cat_pad(posb_p, nbp, 0, np.int32)
+    else:
+        positions = np.zeros(1, np.uint32)  # phrase path stays per-leaf
+        blk_pos_base = np.zeros(nbp, np.int32)
+
+    conv = (lambda x: x) if as_numpy else jnp.asarray
     dev = DeviceSegment(
-        data=jnp.asarray(data),
-        blk_off=jnp.asarray(cat_pad(off_p, nbp, 0, np.int64).astype(np.int32)),
-        blk_doc_bits=jnp.asarray(cat_pad(dbits_p, nbp, 1, np.int32)),
-        blk_freq_bits=jnp.asarray(cat_pad(fbits_p, nbp, 1, np.int32)),
-        blk_base=jnp.asarray(cat_pad(base_p, nbp, -1, np.int64).astype(np.int32)),
-        blk_count=jnp.asarray(cat_pad(cnt_p, nbp, 0, np.int32)),
-        blk_max_freq=jnp.asarray(cat_pad(bmf_p, nbp, 0, np.int32)),
-        norms=jnp.asarray(norms),
-        live=jnp.asarray(live),
-        positions=jnp.zeros(1, jnp.uint32),  # phrase path stays per-leaf
-        blk_pos_base=jnp.zeros(nbp, jnp.int32),
+        data=conv(data),
+        blk_off=conv(cat_pad(off_p, nbp, 0, np.int64).astype(np.int32)),
+        blk_doc_bits=conv(cat_pad(dbits_p, nbp, 1, np.int32)),
+        blk_freq_bits=conv(cat_pad(fbits_p, nbp, 1, np.int32)),
+        blk_base=conv(cat_pad(base_p, nbp, -1, np.int64).astype(np.int32)),
+        blk_count=conv(cat_pad(cnt_p, nbp, 0, np.int32)),
+        blk_max_freq=conv(cat_pad(bmf_p, nbp, 0, np.int32)),
+        norms=conv(norms),
+        live=conv(live),
+        positions=conv(positions),
+        blk_pos_base=conv(blk_pos_base),
     )
     bmf_host = cat_pad(bmf_p, nbp, 0, np.int32)
     return CombinedView(
@@ -128,6 +157,7 @@ def build_combined_view(leaves) -> CombinedView:
         n_leaves=len(leaves),
         blk_max_freq=bmf_host,
         n_blocks=nb_total,
+        pos_word_bases=pos_word_bases if with_positions else None,
     )
 
 

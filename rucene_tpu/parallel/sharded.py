@@ -46,6 +46,15 @@ from rucene_tpu.util import next_pow2
 _DOC_PAD = np.int32(2**31 - 1)
 
 
+def _safe_rewrite(q):
+    from rucene_tpu.search.query import _NeedsHostEval
+
+    try:
+        return q.rewrite()
+    except _NeedsHostEval:
+        return None
+
+
 def make_mesh(n_shards: int, n_dp: int = 1, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     if len(devices) < n_shards * n_dp:
@@ -54,56 +63,103 @@ def make_mesh(n_shards: int, n_dp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("shard", "dp"))
 
 
+def _partition_leaves(leaves, s: int) -> list[list]:
+    """Contiguous, doc-balanced partition of the leaves into <= s groups.
+    Contiguity keeps shard doc spaces monotone in reader-global doc order,
+    which preserves exact (score desc, doc asc) tie-breaks in the merge."""
+    if len(leaves) <= s:
+        return [[lf] for lf in leaves]
+    sizes = np.asarray([max(lf.max_doc, 1) for lf in leaves], dtype=np.float64)
+    cum = np.cumsum(sizes)
+    total = cum[-1]
+    groups: list[list] = []
+    start = 0
+    for g in range(s):
+        # end = first leaf index whose cumulative share exceeds (g+1)/s
+        target = total * (g + 1) / s
+        end = int(np.searchsorted(cum, target, side="left")) + 1
+        end = max(end, start + 1)
+        end = min(end, len(leaves) - (s - g - 1))  # leave >=1 leaf per group
+        if g == s - 1:
+            end = len(leaves)
+        groups.append(leaves[start:end])
+        start = end
+        if start >= len(leaves):
+            break
+    return [g for g in groups if g]
+
+
+def _pad_host_segment(seg: DeviceSegment, nbp, wp, mdp, npp) -> DeviceSegment:
+    """Pad a host-side (numpy) DeviceSegment to the target shard shapes."""
+
+    def pad1(a, n, fill=0):
+        out = np.full(n, fill, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    norms = np.zeros((seg.norms.shape[0], mdp), seg.norms.dtype)
+    norms[:, : seg.norms.shape[1]] = seg.norms
+    live = np.zeros(mdp, bool)
+    live[: len(seg.live)] = seg.live
+    return DeviceSegment(
+        data=pad1(seg.data, wp),
+        blk_off=pad1(seg.blk_off, nbp),
+        blk_doc_bits=pad1(seg.blk_doc_bits, nbp, 1),
+        blk_freq_bits=pad1(seg.blk_freq_bits, nbp, 1),
+        blk_base=pad1(seg.blk_base, nbp, -1),
+        blk_count=pad1(seg.blk_count, nbp),
+        blk_max_freq=pad1(seg.blk_max_freq, nbp),
+        norms=norms,
+        live=live,
+        positions=pad1(seg.positions, npp),
+        blk_pos_base=pad1(seg.blk_pos_base, nbp),
+    )
+
+
 class ShardedIndex:
-    """S equal-shape segment shards stacked on a leading axis and placed
-    shard-per-device. Empty filler shards pad the count up to S."""
+    """Segments partitioned into <= S contiguous groups; each group is one
+    combined view (index/combined.py) stacked on a leading shard axis and
+    placed shard-per-device. An NRT index with more segments than devices
+    shards without a prior force_merge. Empty filler shards pad up to S."""
 
     def __init__(self, mesh: Mesh, reader: IndexReader):
         self.mesh = mesh
         self.reader = reader
         s = mesh.shape["shard"]
         leaves = list(reader.leaves)
-        if len(leaves) > s:
-            raise ValueError(
-                f"{len(leaves)} segments > {s} shards; force_merge the index "
-                f"down to at most {s} segments first"
-            )
         if not leaves:
             raise ValueError("cannot shard an empty reader")
         self.leaves = leaves
         self.n_shards = s
+        self.groups = _partition_leaves(leaves, s)
+
+        from rucene_tpu.index.combined import build_combined_view
+
+        # one global field numbering so every shard's norms/cache rows align
+        field_names = sorted({name for lf in leaves for name in lf.packed.fields})
+        self.field_gid = {name: i for i, name in enumerate(field_names)}
+        self.views = [
+            build_combined_view(g, field_gid=self.field_gid, as_numpy=True)
+            for g in self.groups
+        ]
 
         # common padded shapes across shards
-        min_blocks = max((lf.packed.num_blocks for lf in leaves), default=1)
-        min_words = max((len(lf.packed.data) for lf in leaves), default=2)
-        min_md = max((lf.max_doc for lf in leaves), default=1)
-        min_pos = max((len(lf.packed.positions) for lf in leaves), default=1)
-        min_fields = max(
-            (max((pf.field_id for pf in lf.packed.fields.values()), default=0) + 1 for lf in leaves),
-            default=1,
-        )
-
-        host_segments = []
-        doc_base = []
-        for lf in leaves:
-            host_segments.append(
-                build_device_segment(
-                    lf.packed,
-                    live=lf.live,
-                    min_blocks=min_blocks,
-                    min_words=min_words,
-                    min_max_doc=min_md,
-                    min_positions=min_pos,
-                    min_fields=min_fields,
-                    as_numpy=True,
-                )
-            )
-            doc_base.append(lf.doc_base)
+        segs = [v.device for v in self.views]
+        nbp = max(seg.blk_off.shape[0] for seg in segs)
+        wp = max(seg.data.shape[0] for seg in segs)
+        mdp = max(seg.live.shape[0] for seg in segs)
+        npp = max(seg.positions.shape[0] for seg in segs)
+        host_segments = [_pad_host_segment(seg, nbp, wp, mdp, npp) for seg in segs]
         # filler shards: same shapes, zero live docs
         while len(host_segments) < s:
-            host_segments.append(DeviceSegment(*[np.zeros_like(a) for a in host_segments[0]]))
-            doc_base.append(0)
+            host_segments.append(
+                DeviceSegment(*[np.zeros_like(a) for a in host_segments[0]])
+            )
 
+        # each shard's padded doc space starts at shard * stride: monotone
+        # with reader-global doc order (groups are contiguous), so the ICI
+        # (score, doc) merge keeps exact Lucene tie-break order
+        self.stride = mdp
         stacked_host = DeviceSegment(
             *[np.stack([getattr(seg, f) for seg in host_segments]) for f in DeviceSegment._fields]
         )
@@ -111,22 +167,58 @@ class ShardedIndex:
         self.stacked = DeviceSegment(
             *[jax.device_put(leaf, shard_spec) for leaf in stacked_host]
         )
-        self.doc_base = jax.device_put(np.asarray(doc_base, dtype=np.int32), shard_spec)
+        self.doc_base = jax.device_put(
+            (np.arange(s, dtype=np.int64) * mdp).astype(np.int32), shard_spec
+        )
+
+    def map_docs(self, shard_docs: np.ndarray) -> np.ndarray:
+        """Shard-padded doc ids (shard*stride + view-padded local) ->
+        reader-global doc ids."""
+        shard_docs = np.asarray(shard_docs, dtype=np.int64)
+        out = np.empty(len(shard_docs), dtype=np.int64)
+        si = shard_docs // self.stride
+        local = shard_docs % self.stride
+        for g in range(len(self.views)):
+            m = si == g
+            if m.any():
+                out[m] = self.views[g].map_docs(local[m], self.groups[g])
+        if (si >= len(self.views)).any():
+            raise ValueError("doc id from a filler shard")
+        return out
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas", "pure"))
+@partial(
+    jax.jit, static_argnames=("k", "mesh", "use_pallas", "pure", "with_match_all")
+)
 def _sharded_search_step(
-    mesh, stacked, fq, doc_base, k: int, use_pallas: bool = False, pure: bool = False
+    mesh,
+    stacked,
+    fq,
+    doc_base,
+    boosts,
+    ma_rows,
+    k: int,
+    use_pallas: bool = False,
+    pure: bool = False,
+    with_match_all: bool = False,
 ):
-    """One fused device program: per-(shard,dp) flat execute + ICI
-    all-gather merge over the shard axis."""
+    """One fused device program: per-(shard,dp) flat execute (+ match-all
+    rows when present) + ICI all-gather merge over the shard axis."""
 
-    def local(dev_s, fq_s, base_s):
+    def local(dev_s, fq_s, base_s, boosts_s, ma_s):
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
         scores, docs, hits = execute_flat_impl(
             dev, q, k, use_pallas=use_pallas, pure_disjunction=pure
         )
+        if with_match_all:
+            from rucene_tpu.search.executor import execute_match_all
+
+            ms, mdoc, mh = execute_match_all(dev, boosts_s[0, 0], k=k)
+            ma = ma_s[0, 0]
+            scores = jnp.where(ma[:, None], ms, scores)
+            docs = jnp.where(ma[:, None], mdoc, docs)
+            hits = jnp.where(ma, mh, hits)
         gdocs = jnp.where(scores > -jnp.inf, docs + base_s[0], jnp.int32(_DOC_PAD))
         sg = jax.lax.all_gather(scores, "shard")  # [S, B', k]
         dg = jax.lax.all_gather(gdocs, "shard")
@@ -152,11 +244,11 @@ def _sharded_search_step(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(dev_specs, fq_specs, P("shard")),
+        in_specs=(dev_specs, fq_specs, P("shard"), P("shard", "dp"), P("shard", "dp")),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
-    return fn(stacked, fq, doc_base)
+    return fn(stacked, fq, doc_base, boosts, ma_rows)
 
 
 class ShardedSearcher:
@@ -169,6 +261,7 @@ class ShardedSearcher:
         self.reader = index.reader
         self.similarity = similarity or BM25Similarity()
         self._stats = {}
+        self._fallback = None
 
     def collection_stats(self, field: str):
         st = self._stats.get(field)
@@ -177,25 +270,36 @@ class ShardedSearcher:
             self._stats[field] = st
         return st
 
+    def _fallback_searcher(self):
+        """Cached single-process searcher for query types the shard program
+        does not cover yet (phrases/ranges/groups/host-eval)."""
+        if self._fallback is None:
+            from rucene_tpu.search.searcher import IndexSearcher
+
+            self._fallback = IndexSearcher(self.reader, self.similarity)
+        return self._fallback
+
     def search_batch(self, queries: list[Query], k: int = 10) -> list[TopDocs]:
         mesh = self.index.mesh
         s = self.index.n_shards
         dp = mesh.shape["dp"]
-        rqs = [None if hasattr(q, "host_eval") else q.rewrite() for q in queries]
-        # phrases/ranges/groups/match-all and host_eval queries fall back to
-        # the per-leaf searcher (single-process path) for now
+        rqs = [None if hasattr(q, "host_eval") else _safe_rewrite(q) for q in queries]
+        # phrases/ranges/groups and host_eval queries fall back to the
+        # per-leaf searcher, as ONE batched call on a cached instance
         fallback_idx = [
             i
             for i, rq in enumerate(rqs)
-            if rq is None or rq.phrases or rq.ranges or rq.groups or rq.match_all
+            if rq is None
+            or rq.phrases
+            or rq.ranges
+            or rq.groups
+            or (rq.match_all and rq.clauses)
         ]
         if fallback_idx:
-            from rucene_tpu.search.searcher import IndexSearcher
-
-            local = IndexSearcher(self.reader, self.similarity)
-            fb_results = {
-                i: local.search_batch([queries[i]], k=k)[0] for i in fallback_idx
-            }
+            fb_list = self._fallback_searcher().search_batch(
+                [queries[i] for i in fallback_idx], k=k
+            )
+            fb_results = dict(zip(fallback_idx, fb_list))
             keep = [i for i in range(len(queries)) if i not in fb_results]
             if not keep:
                 return [fb_results[i] for i in range(len(queries))]
@@ -222,35 +326,52 @@ class ShardedSearcher:
         b_pad = max(next_pow2(b_actual, 1), dp)
         b_local = b_pad // dp
         t_pad = next_pow2(max((len(rq.clauses) for rq in rqs), default=1), 1)
-        weight, occur, n_required, min_should, _, _ = build_clause_tables(
+        weight, occur, n_required, min_should, ma_rows, boosts = build_clause_tables(
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
 
-        # per-(shard, dp) flat work lists over each cell's local query rows
-        n_fields = self.index.stacked.norms.shape[1]
-        cells = []  # [S][DP] dict of work arrays
+        # one global [F,256] cache — field rows are shared across shards
+        from rucene_tpu.index.combined import build_combined_tables
+
+        field_gid = self.index.field_gid
+        n_fields = max(len(field_gid), 1)
+        cache = np.zeros((n_fields, 256), np.float32)
+        has_norms = {
+            name: any(name in lf.packed.norms for lf in self.index.leaves)
+            for name in field_gid
+        }
+        for name, g in field_gid.items():
+            cache[g] = sim.cache_row(stats.get(name) if has_norms[name] else None)
+
+        # per-(shard, dp) flat work lists over each cell's local query rows;
+        # a shard's table covers its whole leaf GROUP via the combined view
+        cells = []  # [S][DP] work-table slices
         w_req = 1
         for si in range(s):
+            if si < len(self.index.views):
+                view = self.index.views[si]
+                length = view.n_leaves
+                bs, bc, fid = build_combined_tables(
+                    view, self.index.groups[si], rqs, b_pad, t_pad
+                )
+                wt_x = np.repeat(weight, length, axis=1)
+                occ_x = np.repeat(occur, length, axis=1)
+            else:  # filler shard
+                bs = np.zeros((b_pad, t_pad), np.int32)
+                bc = np.zeros((b_pad, t_pad), np.int32)
+                fid = np.zeros((b_pad, t_pad), np.int32)
+                wt_x, occ_x = weight, occur
             row = []
             for di in range(dp):
                 lo, hi = di * b_local, (di + 1) * b_local
-                if si < len(self.index.leaves):
-                    leaf = self.index.leaves[si]
-                    bs, bc, fid = build_leaf_tables(leaf, rqs, b_pad, t_pad)
-                    cache = build_leaf_cache(leaf, sim, stats, n_fields=n_fields)
-                else:
-                    bs = np.zeros((b_pad, t_pad), np.int32)
-                    bc = np.zeros((b_pad, t_pad), np.int32)
-                    fid = np.zeros((b_pad, t_pad), np.int32)
-                    cache = np.full((n_fields, 256), float(sim.k1), np.float32)
                 n_items = int(bc[lo:hi].sum())
                 w_req = max(w_req, n_items)
-                row.append((bs[lo:hi], bc[lo:hi], weight[lo:hi], fid[lo:hi], occur[lo:hi], cache))
+                row.append((bs[lo:hi], bc[lo:hi], wt_x[lo:hi], fid[lo:hi], occ_x[lo:hi]))
             cells.append(row)
         w_pad = next_pow2(w_req, 1)
 
         def build_cell(args):
-            bs, bc, wt, fid, occ, cache = args
+            bs, bc, wt, fid, occ = args
             wi = build_flat_work(bs, bc, wt, fid, occ, w_pad=w_pad)
             return wi[:6] + (cache,)
 
@@ -276,7 +397,8 @@ class ShardedSearcher:
         use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
         from rucene_tpu.search.query import Occur
 
-        pure = all(
+        with_match_all = bool(ma_rows.any())
+        pure = not with_match_all and all(
             rq.n_required == 0
             and rq.effective_min_should() <= 1
             and rq.clauses
@@ -284,8 +406,19 @@ class ShardedSearcher:
             and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
             for i, rq in enumerate(rqs)
         )
+        boosts_x = np.broadcast_to(boosts.reshape(dp, b_local), (s, dp, b_local)).copy()
+        ma_x = np.broadcast_to(ma_rows.reshape(dp, b_local), (s, dp, b_local)).copy()
         scores, docs, hits = _sharded_search_step(
-            mesh, self.index.stacked, fq, self.index.doc_base, k, use_pallas, pure
+            mesh,
+            self.index.stacked,
+            fq,
+            self.index.doc_base,
+            jnp.asarray(boosts_x),
+            jnp.asarray(ma_x),
+            k,
+            use_pallas,
+            pure,
+            with_match_all,
         )
         scores = np.asarray(scores)
         docs = np.asarray(docs)
@@ -293,12 +426,13 @@ class ShardedSearcher:
         out = []
         for i in range(b_actual):
             keep = scores[i] > -np.inf
+            gdocs = self.index.map_docs(docs[i][keep])
             out.append(
                 TopDocs(
                     total_hits=int(hits[i]),
                     score_docs=[
                         ScoreDoc(int(d), float(sc))
-                        for d, sc in zip(docs[i][keep], scores[i][keep])
+                        for d, sc in zip(gdocs, scores[i][keep])
                     ],
                 )
             )

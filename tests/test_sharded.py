@@ -88,3 +88,76 @@ def test_sharded_fewer_segments_than_shards(sharded_setup):
             [(sd.doc, sd.score) for sd in g.score_docs],
             [(sd.doc, sd.score) for sd in w.score_docs],
         )
+
+def test_sharded_more_segments_than_shards():
+    # 16 segments on a 4-shard mesh: each shard takes a combined leaf group
+    rng = np.random.default_rng(23)
+    corpus = random_corpus(rng, 320)
+    snaps = []
+    for i in range(16):
+        buf = SegmentBuffer()
+        for d in make_docs(corpus[i * 20 : (i + 1) * 20]):
+            buf.add_document(d)
+        snaps.append(SegmentSnapshot(f"m{i}", pack_segment(buf.finish())))
+    reader = IndexReader(snaps)
+    mesh = make_mesh(n_shards=4, n_dp=2)
+    sharded = ShardedSearcher(ShardedIndex(mesh, reader))
+    single = IndexSearcher(reader)
+    queries = [TermQuery(Term("body", w)) for w in ["the", "fox", "engine", "dog"]]
+    bq = BooleanQuery()
+    bq.must(TermQuery(Term("body", "quick")))
+    bq.should(TermQuery(Term("body", "lazy")))
+    queries.append(bq)
+    got = sharded.search_batch(queries, k=25)
+    want = single.search_batch(queries, k=25)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+
+
+def test_sharded_match_all_and_mixed(sharded_setup):
+    from rucene_tpu import MatchAllDocsQuery
+
+    single, sharded = sharded_setup
+    queries = [
+        MatchAllDocsQuery(),
+        TermQuery(Term("body", "fox")),
+        MatchAllDocsQuery(boost=2.5),
+        TermQuery(Term("body", "engine")),
+    ]
+    got = sharded.search_batch(queries, k=15)
+    want = single.search_batch(queries, k=15)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+
+
+def test_sharded_phrase_and_range_fallback_batched(sharded_setup):
+    """Phrases/ranges still answer correctly (batched host fallback) and the
+    fallback searcher instance is cached across calls."""
+    from rucene_tpu import PhraseQuery
+
+    single, sharded = sharded_setup
+    queries = [
+        PhraseQuery("body", ["quick", "brown"]),
+        TermQuery(Term("body", "fox")),
+        PhraseQuery("body", ["lazy", "dog"]),
+    ]
+    got = sharded.search_batch(queries, k=10)
+    want = single.search_batch(queries, k=10)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+    fb1 = sharded._fallback
+    assert fb1 is not None
+    sharded.search_batch([PhraseQuery("body", ["quick", "brown"])], k=5)
+    assert sharded._fallback is fb1
