@@ -286,6 +286,85 @@ execute_flat = jax.jit(
 )
 
 
+def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool):
+    """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""
+    b = q.n_required.shape[0]
+    md = dev.max_doc_padded
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
+    acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
+    inc = jnp.where(valid, q.wi_enc[:, None], 0)
+    acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
+    req_count = acc_counts >> 16
+    should_count = (acc_counts >> 8) & 0xFF
+    has_not = (acc_counts & 0xFF) > 0
+    match = (
+        (req_count == q.n_required[:, None])
+        & (should_count >= q.min_should[:, None])
+        & jnp.logical_not(has_not)
+        & dev.live[None, :]
+    )
+    return match, acc_score
+
+
+@partial(jax.jit, static_argnames=("k", "use_pallas", "reverse"))
+def execute_flat_sorted(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,
+    keycol: jax.Array,  # f32[mdp] order-preserving sort key per doc (rank)
+    k: int,
+    use_pallas: bool = False,
+    reverse: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-by-field search on the device (reference sort_field machinery,
+    field_comparator.rs:367): dense boolean match + top-k by
+    (key asc|desc, doc asc) over a per-doc key column. keycol carries
+    order-preserving RANKS (exact in f32 for <2^24 distinct values); the
+    caller maps ranks back to field values. Returns
+    (top_keys f32[B,k], scores f32[B,k], docs i32[B,k], total_hits i32[B])."""
+    match, acc_score = _dense_match(dev, q, use_pallas)
+    sortval = jnp.where(match, keycol[None, :] * (1.0 if reverse else -1.0), -jnp.inf)
+    top_negkeys, top_docs = topk_score_doc(sortval, k)
+    got = top_negkeys > -jnp.inf
+    top_keys = jnp.where(got, top_negkeys * (1.0 if reverse else -1.0), 0.0)
+    safe = jnp.clip(top_docs, 0, dev.max_doc_padded - 1)
+    scores = jnp.where(got, jnp.take_along_axis(acc_score, safe, axis=1), -jnp.inf)
+    total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+    return top_keys, scores, top_docs, total_hits
+
+
+@partial(jax.jit, static_argnames=("n_keys", "use_pallas"))
+def execute_collapse(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,
+    keycol: jax.Array,  # i32[mdp] collapse-key rank per doc
+    n_keys: int,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Field collapse on the device (reference collapse_top_docs.rs:239):
+    best (score desc, doc asc) hit per collapse key. Returns per-key tables
+    (best_score f32[B,K] — -inf for absent keys, best_doc i32[B,K],
+    total_hits i32[B]); the host merges leaves and takes the final top-k."""
+    match, acc_score = _dense_match(dev, q, use_pallas)
+    md = dev.max_doc_padded
+    b = match.shape[0]
+    key_b = jnp.broadcast_to(keycol[None, :], (b, md))
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, md))
+    msc = jnp.where(match, acc_score, -jnp.inf)
+    best_score = (
+        jnp.full((b, n_keys), -jnp.inf, jnp.float32).at[rows, key_b].max(msc, mode="drop")
+    )
+    at_best = match & (acc_score == jnp.take_along_axis(
+        best_score, jnp.clip(key_b, 0, n_keys - 1), axis=1
+    ))
+    doc_ids = jnp.broadcast_to(jnp.arange(md, dtype=jnp.int32)[None, :], (b, md))
+    mdoc = jnp.where(at_best, doc_ids, jnp.int32(2**31 - 1))
+    best_doc = (
+        jnp.full((b, n_keys), jnp.int32(2**31 - 1)).at[rows, key_b].min(mdoc, mode="drop")
+    )
+    total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+    return best_score, best_doc, total_hits
+
+
 @partial(jax.jit, static_argnames=("k",))
 def execute_match_all(
     dev: DeviceSegment, boost: jax.Array, k: int

@@ -572,10 +572,126 @@ class IndexSearcher:
         return out
 
     # --- sorted search (reference sort_field machinery) ---
+    def _dv_rank_tables(self, field: str):
+        """Global order-preserving rank tables for a numeric DV field:
+        (sorted unique values across all leaves, per-leaf i32 rank column
+        over [max_doc]). Sorting by rank == sorting by value, exactly, and
+        ranks are f32-exact below 2^24 — the device sort key. Missing
+        values rank as 0 (Lucene's default missing value)."""
+        if not hasattr(self, "_dv_ranks"):
+            self._dv_ranks: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        cached = self._dv_ranks.get(field)
+        if cached is not None:
+            return cached
+        cols = []
+        for leaf in self.reader.leaves:
+            dv = leaf.numeric_doc_values(field)
+            if dv is None:
+                cols.append(np.zeros(leaf.max_doc, np.int64))
+            else:
+                cols.append(np.where(dv[1], dv[0], 0))
+        uniq = np.unique(np.concatenate(cols)) if cols else np.zeros(1, np.int64)
+        ranks = [np.searchsorted(uniq, c).astype(np.int32) for c in cols]
+        self._dv_ranks[field] = (uniq, ranks)
+        return uniq, ranks
+
+    def _sorted_device_eligible(self, query: Query, sort) -> bool:
+        from rucene_tpu.search.sort_field import SortFieldType
+
+        if len(sort.fields) != 1:
+            return False
+        sf = sort.fields[0]
+        if sf.type in (SortFieldType.SCORE, SortFieldType.DOC):
+            return False  # score/doc sorts have cheaper dedicated paths
+        if hasattr(query, "host_eval"):
+            return False
+        try:
+            rq = query.rewrite()
+        except Exception:
+            return False
+        if rq.phrases or rq.ranges or rq.groups or (rq.match_all and rq.clauses):
+            return False
+        uniq, _ = self._dv_rank_tables(sf.field)
+        return len(uniq) < 2**24  # ranks must stay f32-exact
+
+    def _search_sorted_device(self, query: Query, k: int, sort) -> "TopFieldDocs":
+        """One executor dispatch per leaf: dense boolean match + top-k by
+        (DV rank, doc) on device (reference field_comparator.rs:367 without
+        the per-doc comparator calls)."""
+        from rucene_tpu.search.executor import execute_flat_sorted
+        from rucene_tpu.search.sort_field import FieldDoc, SortFieldType, TopFieldDocs
+
+        sf = sort.fields[0]
+        uniq, ranks = self._dv_rank_tables(sf.field)
+        rq = query.rewrite()
+        rqs = [rq]
+        sim = self.similarity
+        doc_freqs, stats = self._gather_stats(rqs)
+        b_pad, t_pad = 1, max(next_pow2(max(len(rq.clauses), 1), 1), 1)
+        weight, occur, n_required, min_should, _, _ = build_clause_tables(
+            rqs, sim, doc_freqs, stats, b_pad, t_pad
+        )
+        total = 0
+        all_docs, all_keys, all_scores = [], [], []
+        for li, leaf in enumerate(self.reader.leaves):
+            cache = build_leaf_cache(leaf, sim, stats)
+            bs, bc, fid = build_leaf_tables(leaf, rqs, b_pad, t_pad)
+            work = build_flat_work(bs, bc, weight, fid, occur)
+            wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+            mdp = leaf.device.max_doc_padded
+            keycol = np.zeros(mdp, np.float32)
+            keycol[: leaf.max_doc] = ranks[li][: leaf.max_doc].astype(np.float32)
+            fq = jax.device_put(
+                FlatQueryBatch(
+                    wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
+                    wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
+                    n_required=n_required, min_should=min_should, cache=cache,
+                )
+            )
+            keys, scores, docs, hits = jax.device_get(
+                execute_flat_sorted(
+                    leaf.device, fq, jnp.asarray(keycol), k,
+                    use_pallas=self._use_pallas, reverse=sf.reverse,
+                )
+            )
+            got = scores[0] > -np.inf
+            total += int(hits[0])
+            all_docs.append(docs[0][got].astype(np.int64) + leaf.doc_base)
+            all_keys.append(keys[0][got].astype(np.int64))
+            if rq.match_all:  # constant-score rows: no clause contributions
+                all_scores.append(np.full(int(got.sum()), rq.boost, np.float32))
+            else:
+                all_scores.append(scores[0][got])
+        gdocs = np.concatenate(all_docs) if all_docs else np.zeros(0, np.int64)
+        gkeys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.int64)
+        gscores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
+        order = np.lexsort((gdocs, -gkeys if sf.reverse else gkeys))[:k]
+        vals = uniq[gkeys[order]]
+        if sf.type in (SortFieldType.DOUBLE, SortFieldType.FLOAT):
+            out_vals = [float(v) for v in vals]
+        else:
+            out_vals = [int(v) for v in vals]
+        fds = [
+            FieldDoc(int(gdocs[i]), float(gscores[i]), [v])
+            for i, v in zip(order, out_vals)
+        ]
+        return TopFieldDocs(total, fds, sort)
+
     def search_sorted(self, query: Query, k: int, sort) -> "TopFieldDocs":
         """Sort matches by field values instead of relevance
         (reference searcher.rs search w/ SortAndFormats; comparators in
-        field_comparator.rs). Ties break by global doc id ascending."""
+        field_comparator.rs). Ties break by global doc id ascending.
+        Single-numeric-field sorts run on the device (one dispatch per
+        leaf); other shapes use the host match path as the exact oracle."""
+        try:
+            eligible = self._sorted_device_eligible(query, sort)
+        except Exception:
+            eligible = False
+        if eligible:
+            return self._search_sorted_device(query, k, sort)
+        return self._search_sorted_host(query, k, sort)
+
+    def _search_sorted_host(self, query: Query, k: int, sort) -> "TopFieldDocs":
         from rucene_tpu.search.sort_field import FieldDoc, TopFieldDocs, sort_keys_for_leaf
 
         doc_freqs, stats = self._gather_stats_query(query)
@@ -670,7 +786,93 @@ class IndexSearcher:
         """Field collapsing: keep only the best hit per collapse-key
         (reference sort_field/collapse_top_docs.rs:239, search_group.rs —
         the Zhihu grouping extension). Key = numeric DV value; docs without
-        the field collapse under key 0."""
+        the field collapse under key 0. Device path: dense match +
+        scatter-max best-per-key tables per leaf, merged vectorized on the
+        host; host python path remains the oracle for ineligible shapes."""
+        try:
+            from rucene_tpu.search.sort_field import Sort, SortField, SortFieldType
+
+            eligible = self._sorted_device_eligible(
+                query, Sort([SortField(collapse_field, SortFieldType.LONG)])
+            )
+        except Exception:
+            eligible = False
+        if eligible:
+            return self._search_collapse_device(query, k, collapse_field)
+        return self._search_collapse_host(query, k, collapse_field)
+
+    def _search_collapse_device(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
+        from rucene_tpu.search.executor import execute_collapse
+
+        # collapse keys: raw DV column (host path uses dv[0] with zeros for
+        # docs lacking the field) — rank it globally so leaves merge exactly
+        if not hasattr(self, "_collapse_ranks"):
+            self._collapse_ranks: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        cached = self._collapse_ranks.get(collapse_field)
+        if cached is None:
+            cols = []
+            for leaf in self.reader.leaves:
+                dv = leaf.numeric_doc_values(collapse_field)
+                cols.append(
+                    dv[0].astype(np.int64) if dv is not None else np.zeros(leaf.max_doc, np.int64)
+                )
+            uniq = np.unique(np.concatenate(cols)) if cols else np.zeros(1, np.int64)
+            ranks = [np.searchsorted(uniq, c).astype(np.int32) for c in cols]
+            cached = (uniq, ranks)
+            self._collapse_ranks[collapse_field] = cached
+        uniq, ranks = cached
+        n_keys = next_pow2(max(len(uniq), 1), 1)
+
+        rq = query.rewrite()
+        rqs = [rq]
+        sim = self.similarity
+        doc_freqs, stats = self._gather_stats(rqs)
+        b_pad, t_pad = 1, max(next_pow2(max(len(rq.clauses), 1), 1), 1)
+        weight, occur, n_required, min_should, _, _ = build_clause_tables(
+            rqs, sim, doc_freqs, stats, b_pad, t_pad
+        )
+        total = 0
+        best_scores = np.full(len(uniq), -np.inf, np.float32)
+        best_docs = np.full(len(uniq), np.int64(2**62), np.int64)
+        for li, leaf in enumerate(self.reader.leaves):
+            cache = build_leaf_cache(leaf, sim, stats)
+            bs, bc, fid = build_leaf_tables(leaf, rqs, b_pad, t_pad)
+            work = build_flat_work(bs, bc, weight, fid, occur)
+            wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+            mdp = leaf.device.max_doc_padded
+            keycol = np.zeros(mdp, np.int32)
+            keycol[: leaf.max_doc] = ranks[li][: leaf.max_doc]
+            fq = jax.device_put(
+                FlatQueryBatch(
+                    wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
+                    wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
+                    n_required=n_required, min_should=min_should, cache=cache,
+                )
+            )
+            bsc, bdoc, hits = jax.device_get(
+                execute_collapse(
+                    leaf.device, fq, jnp.asarray(keycol), n_keys,
+                    use_pallas=self._use_pallas,
+                )
+            )
+            total += int(hits[0])
+            sc = bsc[0][: len(uniq)]
+            dc = bdoc[0][: len(uniq)].astype(np.int64) + leaf.doc_base
+            # merge: (score desc, gdoc asc) per key — vectorized
+            better = (sc > best_scores) | ((sc == best_scores) & (dc < best_docs))
+            got = sc > -np.inf
+            upd = better & got
+            best_scores = np.where(upd, sc, best_scores)
+            best_docs = np.where(upd, dc, best_docs)
+        live_keys = best_scores > -np.inf
+        ksc = best_scores[live_keys]
+        kdoc = best_docs[live_keys]
+        order = np.lexsort((kdoc, -ksc))[:k]
+        return TopDocs(
+            total, [ScoreDoc(int(kdoc[i]), float(ksc[i])) for i in order]
+        )
+
+    def _search_collapse_host(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
         doc_freqs, stats = self._gather_stats_query(query)
         best: dict[int, tuple[float, int]] = {}  # key -> (score, gdoc)
         total = 0
