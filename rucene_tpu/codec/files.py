@@ -227,7 +227,8 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
         },
     )
     for key in ("blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base", "blk_count",
-                "blk_max_freq", "blk_pos_base", "data", "positions"):
+                "blk_max_freq", "blk_first_doc", "blk_last_doc", "blk_pos_base",
+                "data", "positions"):
         w.add_npy(key, getattr(packed, key))
     if packed.off_starts is not None:
         w.add_npy("off_starts", packed.off_starts)
@@ -306,6 +307,24 @@ def _read_payload_plane(r: "SectionReader") -> np.ndarray:
     return out
 
 
+def _fallback_block_ranges(r, fields) -> tuple[np.ndarray, np.ndarray]:
+    """Sound block doc-range reconstruction for pre-v3 .seg files that lack
+    blk_first_doc/blk_last_doc: first = blk_base+1 (loose for list heads),
+    last = next block's base within a term, open (INT32_MAX) for each
+    term's final block."""
+    blk_base = r.npy("blk_base").astype(np.int64)
+    nb = len(blk_base)
+    firsts = blk_base + 1
+    lasts = np.full(nb, np.int64(2**31 - 1))
+    for pf in fields.values():
+        bs = pf.block_start.astype(np.int64)
+        bc = pf.block_count.astype(np.int64)
+        for s, c in zip(bs, bc):
+            if c > 1:
+                lasts[s : s + c - 1] = blk_base[s + 1 : s + c]
+    return firsts.astype(np.int32), lasts.astype(np.int32)
+
+
 def read_segment(directory: Directory, name: str) -> PackedSegment:
     fname = segment_file(name)
     payload = check_footer(directory.read_file(fname), fname)
@@ -371,6 +390,16 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         blk_base=r.npy("blk_base"),
         blk_count=r.npy("blk_count"),
         blk_max_freq=r.npy("blk_max_freq"),
+        blk_first_doc=(
+            r.npy("blk_first_doc")
+            if "blk_first_doc" in r
+            else _fallback_block_ranges(r, fields)[0]
+        ),
+        blk_last_doc=(
+            r.npy("blk_last_doc")
+            if "blk_last_doc" in r
+            else _fallback_block_ranges(r, fields)[1]
+        ),
         blk_pos_base=r.npy("blk_pos_base"),
         data=r.npy("data"),
         positions=r.npy("positions"),

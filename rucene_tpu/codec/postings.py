@@ -68,6 +68,10 @@ class PackedSegment:
     blk_base: np.ndarray  # i32[NB] doc id preceding the block (-1 at list head)
     blk_count: np.ndarray  # i32[NB]
     blk_max_freq: np.ndarray  # i32[NB]
+    # exact doc-range metadata (host-only): powers conjunction block-range
+    # pruning (the skip-list leapfrog analog, skip_reader.rs:118)
+    blk_first_doc: np.ndarray  # i32[NB] first doc id in the block
+    blk_last_doc: np.ndarray  # i32[NB] last doc id in the block
     blk_pos_base: np.ndarray  # i32[NB] WITHIN-TERM occurrence index of block's first occurrence
     data: np.ndarray  # u32[W]
     # positions: within-doc deltas (first value = absolute position) packed at
@@ -216,6 +220,13 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         # block count = valid docs in block
         blk_count = np.zeros(nb_total, dtype=np.int64)
         np.add.at(blk_count, gblk, 1)
+        # exact per-block doc range: fancy assignment keeps the LAST write
+        # per duplicate index (C-order), so blk_last lands on each block's
+        # final posting; firsts use the first-lane mask
+        blk_first_doc = np.zeros(nb_total, dtype=np.int64)
+        blk_first_doc[gblk[first_lane]] = docs[first_lane]
+        blk_last_doc = np.zeros(nb_total, dtype=np.int64)
+        blk_last_doc[gblk] = docs
 
         # within-term occurrence offset of each block's first posting
         cumfreq_excl = np.concatenate([[0], np.cumsum(freqs)])[:-1]
@@ -301,6 +312,8 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         blk_max_freq = np.zeros(0, np.int32)
         blk_base = np.zeros(0, np.int64)
         blk_count = np.zeros(0, np.int64)
+        blk_first_doc = np.zeros(0, np.int64)
+        blk_last_doc = np.zeros(0, np.int64)
         blk_pos_base = np.zeros(0, np.int64)
         blk_off = np.zeros(0, np.int64)
         term_blk_start = np.zeros(1, np.int64)
@@ -340,6 +353,8 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         blk_base=blk_base.astype(np.int32),
         blk_count=blk_count.astype(np.int32),
         blk_max_freq=blk_max_freq,
+        blk_first_doc=blk_first_doc.astype(np.int32),
+        blk_last_doc=blk_last_doc.astype(np.int32),
         blk_pos_base=blk_pos_base.astype(np.int32),
         data=data,
         positions=pos_data,

@@ -42,6 +42,9 @@ class CombinedView:
     blk_max_freq: np.ndarray  # i32[NB] host copy for WAND block-max bounds
     n_blocks: int
     pos_word_bases: np.ndarray | None = None  # i64[L] positions word offset per leaf
+    # host doc-range copies for conjunction pruning (padded-global doc space)
+    blk_first_host: np.ndarray | None = None  # i64[NB]
+    blk_last_host: np.ndarray | None = None  # i64[NB]
 
     def map_docs(self, padded_docs: np.ndarray, leaves) -> np.ndarray:
         """Padded-global doc ids -> real reader-global doc ids (monotone,
@@ -74,6 +77,7 @@ def build_combined_view(
     blk_bases = np.zeros(len(leaves), np.int64)
     pos_word_bases = np.zeros(len(leaves), np.int64)
     data_parts, off_p, dbits_p, fbits_p, base_p, cnt_p, bmf_p = [], [], [], [], [], [], []
+    first_p, last_p = [], []
     pos_parts, posb_p = [], []
     word_base = 0
     doc_base = 0
@@ -91,6 +95,8 @@ def build_combined_view(
         base_p.append(p.blk_base.astype(np.int64) + doc_base)
         cnt_p.append(p.blk_count)
         bmf_p.append(p.blk_max_freq)
+        first_p.append(p.blk_first_doc.astype(np.int64) + doc_base)
+        last_p.append(p.blk_last_doc.astype(np.int64) + doc_base)
         if with_positions:
             pos_parts.append(p.positions.astype(np.uint32))
             posb_p.append(p.blk_pos_base)
@@ -158,6 +164,8 @@ def build_combined_view(
         blk_max_freq=bmf_host,
         n_blocks=nb_total,
         pos_word_bases=pos_word_bases if with_positions else None,
+        blk_first_host=cat_pad(first_p, nbp, 0, np.int64),
+        blk_last_host=cat_pad(last_p, nbp, -1, np.int64),
     )
 
 

@@ -286,6 +286,71 @@ execute_flat = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("k", "use_pallas", "max_lanes"))
+def execute_flat_single(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,
+    row_item_start: jax.Array,  # i32[B] first work-item index of each row
+    row_item_count: jax.Array,  # i32[B] work items belonging to each row
+    row_hits: jax.Array,  # i32[B] live posting count (the row's total_hits)
+    k: int,
+    max_lanes: int,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-scoring-clause rows (plain term queries), no deleted docs:
+    each row's lanes are one posting list in doc order, so no cross-clause
+    combine OR dense [B, max_doc] accumulator is needed — top-k runs
+    directly over a padded per-row lane view. Within a row, lanes ascend by
+    doc id, so lax.top_k's lower-index tie-break IS the doc-asc tie-break.
+    Memory and time are independent of max_doc (the path that makes
+    many-million-doc corpora cheap for the most common query shape).
+
+    Caller guarantees: one scoring clause per row with positive weight, no
+    MUST_NOT/FILTER, dev.live all-true over real docs, and every row's
+    work items contiguous in the flat list."""
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
+    # trailing pad so the last row's dynamic_slice never clamps (a clamped
+    # start would silently shift that row's lanes)
+    sc_flat = jnp.concatenate(
+        [jnp.where(valid, sc, 0.0).reshape(-1), jnp.zeros(max_lanes, jnp.float32)]
+    )
+    doc_flat = jnp.concatenate(
+        [target.reshape(-1), jnp.full(max_lanes, jnp.int32(2**31 - 1))]
+    )
+    b = row_item_start.shape[0]
+
+    def row_view(arr, start):
+        return jax.lax.dynamic_slice(arr, (start * 128,), (max_lanes,))
+
+    sc_rows = jax.vmap(lambda s: row_view(sc_flat, s))(row_item_start)  # [B,max_lanes]
+    doc_rows = jax.vmap(lambda s: row_view(doc_flat, s))(row_item_start)
+    # mask: inside the row's item extent AND a real posting (invalid tail
+    # lanes carry score 0 and may be interleaved at leaf boundaries in a
+    # combined view; real postings always score > 0 here since the single
+    # clause has positive weight and tf >= 1)
+    j = jnp.arange(max_lanes, dtype=jnp.int32)[None, :]
+    in_row = (j < row_item_count[:, None] * 128) & (sc_rows > 0.0)
+    sc_rows = jnp.where(in_row, sc_rows, -jnp.inf)
+    top_scores, top_j = jax.lax.top_k(sc_rows, min(k, max_lanes))
+    got = top_scores > -jnp.inf
+    top_docs = jnp.where(
+        got,
+        jnp.take_along_axis(doc_rows, jnp.clip(top_j, 0, max_lanes - 1), axis=1),
+        jnp.int32(2**31 - 1),
+    )
+    top_scores = jnp.where(got, top_scores, -jnp.inf)
+    kk = top_scores.shape[1]
+    if kk < k:
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+        top_docs = jnp.concatenate(
+            [top_docs, jnp.full((b, k - kk), jnp.int32(2**31 - 1))], axis=1
+        )
+    total_hits = row_hits.astype(jnp.int32)
+    return top_scores, top_docs, total_hits
+
+
 def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool):
     """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""
     b = q.n_required.shape[0]

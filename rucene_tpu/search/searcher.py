@@ -129,6 +129,88 @@ def build_flat_work(
     return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n, wi_tslot
 
 
+def prune_conjunctions(work, n_required: np.ndarray, blk_ranges):
+    """EXACT conjunction pruning: drop work items whose block doc-range
+    cannot overlap some required (MUST/FILTER) clause of the same query.
+
+    The reference leapfrogs skip lists on advance() (skip_reader.rs:118,
+    conjunction_scorer.rs); the batched analog intersects block doc
+    intervals on the host BEFORE any decode. Sound for every clause kind:
+    a doc in a dropped block fails that required clause, so it can neither
+    match nor contribute score/counts to a match — results are bit-identical.
+
+    work: the 8-tuple from build_flat_work; blk_ranges = (blk_first_doc,
+    blk_last_doc) host arrays. Returns a (possibly) smaller 8-tuple plus
+    the number of dropped items."""
+    wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n_items, wi_tslot = work
+
+    if n_items == 0 or not (np.asarray(n_required) >= 1).any():
+        return work, 0
+    blk_first, blk_last = blk_ranges
+    n = n_items
+    blk = wi_block[:n]
+    row = wi_row[:n]
+    slot = wi_tslot[:n]
+    enc = wi_enc[:n]
+
+    starts = blk_first[blk].astype(np.int64)
+    ends = blk_last[blk].astype(np.int64)
+
+    is_req = (enc >> 16) > 0  # bits 16+ carry the required count
+    keep = np.ones(n, bool)
+    # wi_row ascending (build_flat_work order): row segments are contiguous
+    row_starts = np.searchsorted(row, np.arange(len(n_required)), side="left")
+    row_ends = np.searchsorted(row, np.arange(len(n_required)), side="right")
+    for r in np.flatnonzero(np.asarray(n_required) >= 1):
+        lo, hi = int(row_starts[r]), int(row_ends[r])
+        if hi - lo < 1:
+            continue
+        slots_r = slot[lo:hi]
+        req_slots = np.unique(slots_r[is_req[lo:hi]])
+        if len(req_slots) < int(n_required[r]):
+            # a required term is absent from this view: the row cannot match
+            keep[lo:hi] = False
+            continue
+        if len(req_slots) == 0 or hi - lo <= 1:
+            continue
+        for t in req_slots:
+            m = slots_r == t
+            f = starts[lo:hi][m]  # ascending (runs are block/doc ordered)
+            lmax = np.maximum.accumulate(ends[lo:hi][m])
+            others = np.flatnonzero(~m)
+            if len(others) == 0:
+                continue
+            # survive iff some interval of clause t overlaps [start, end]:
+            # last interval with f <= end must reach back past start
+            j = np.searchsorted(f, ends[lo:hi][others], side="right") - 1
+            ok = (j >= 0) & (lmax[np.maximum(j, 0)] >= starts[lo:hi][others])
+            keep[lo + others] &= ok
+    dropped = int(n - keep.sum())
+    if dropped == 0:
+        return work, 0
+    METRICS.incr("search.conj_pruned_blocks", dropped)
+    idx = np.flatnonzero(keep)
+    m = len(idx)
+    w = next_pow2(max(m, 1), 8)
+    out = (
+        np.zeros(w, np.int32),
+        np.zeros(w, np.int32),
+        np.zeros(w, np.float32),
+        np.zeros(w, np.int32),
+        np.zeros(w, np.int32),
+        np.zeros(w, bool),
+    )
+    out[0][:m] = wi_block[idx]
+    out[1][:m] = wi_row[idx]
+    out[2][:m] = wi_weight[idx]
+    out[3][:m] = wi_fid[idx]
+    out[4][:m] = wi_enc[idx]
+    out[5][:m] = True
+    tslot = np.zeros(w, np.int32)
+    tslot[:m] = wi_tslot[idx]
+    return out + (m, tslot), dropped
+
+
 def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarray:
     """Per-segment [F,256] norm-byte -> BM25 denominator cache."""
     packed = leaf.packed
@@ -327,20 +409,51 @@ class IndexSearcher:
         # STATIC whole-batch property: all rows pure positive disjunctions
         # => the executor can skip the clause-count accumulator (a BM25 hit
         # always scores > 0, so match == score > 0)
-        pure = all(
+        pure_rows = [
             rq.n_required == 0
             and rq.effective_min_should() <= 1
             and not rq.match_all
-            and rq.clauses
+            and bool(rq.clauses)
             and all(c.occur == Occur.SHOULD for c in rq.clauses)
             and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
             for i, rq in enumerate(rqs)
-        )
+        ]
+        pure = all(pure_rows)
+        no_deletes = all(lf.live is None for lf in self.reader.leaves)
+        # single-clause pure rows (plain term queries) have a dedicated
+        # combine-free executor path when no segment carries deletes
+        single_rows = [
+            p and len(rq.clauses) == 1 for p, rq in zip(pure_rows, rqs)
+        ]
+        single = all(single_rows) and not prune and no_deletes and not match_all_rows.any()
+
+        # mixed large-corpus batches: split by row class so single-clause
+        # rows skip the dense accumulators entirely and pure disjunctions
+        # skip the clause-count scatter — at 1M docs those are the dominant
+        # costs and RTT is ~40ms, so only split when the corpus is big
+        # enough to pay for the extra trips
+        if (
+            b_actual > 1
+            and sum(lf.max_doc for lf in self.reader.leaves) >= (1 << 19)
+        ):
+            cls = [
+                0 if (s and not prune and no_deletes) else (1 if p else 2)
+                for s, p in zip(single_rows, pure_rows)
+            ]
+            groups = {c: [i for i, ci in enumerate(cls) if ci == c] for c in set(cls)}
+            if len(groups) > 1:
+                out: list[TopDocs | None] = [None] * b_actual
+                for idxs in groups.values():
+                    res = self._search_device([rqs[i] for i in idxs], k, prune=prune)
+                    for i, r in zip(idxs, res):
+                        out[i] = r
+                return out  # type: ignore[return-value]
 
         if self.combine_segments and len(self.reader.leaves) > 1:
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
+                single=single,
             )
 
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
@@ -352,8 +465,20 @@ class IndexSearcher:
             cache = build_leaf_cache(leaf, sim, stats)
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
+            work, _ = prune_conjunctions(
+                work, n_required, (leaf.packed.blk_first_doc, leaf.packed.blk_last_doc)
+            )
 
-            if prune:
+            if single:
+                lane_cnt = np.zeros(b_pad, np.int32)
+                for i, rq in enumerate(rqs):
+                    rec = leaf.term_record(rq.clauses[0].term.field, rq.clauses[0].term.text)
+                    if rec is not None:
+                        lane_cnt[i] = rec.doc_freq
+                s, d, h = self._run_single_view(
+                    leaf.device, work, lane_cnt, cache, n_required, min_should, k
+                )
+            elif prune:
                 s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
             else:
                 s, d, h = self._run_work(leaf, work[:6], cache, n_required, min_should, k, pure=pure)
@@ -372,7 +497,7 @@ class IndexSearcher:
     def _search_device_combined(
         self, rqs, k, stats, weight, occur, n_required, min_should,
         match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
-        pure: bool = False,
+        pure: bool = False, single: bool = False,
     ) -> list[TopDocs]:
         """All leaves in ONE executor dispatch over the concatenated view."""
         from rucene_tpu.index.combined import build_combined_tables
@@ -397,10 +522,27 @@ class IndexSearcher:
         weight_x = np.repeat(weight, length, axis=1)
         occur_x = np.repeat(occur, length, axis=1)
         work = build_flat_work(block_start, block_count, weight_x, field_id, occur_x)
-        if prune:
-            # tslot -> CLAUSE id (not (clause, leaf) slot): the WAND "other
-            # clauses" bound must not sum the same clause across leaves
-            work = work[:7] + (work[7] // length,)
+        # tslot -> CLAUSE id (not (clause, leaf) slot): conjunction intervals
+        # and the WAND "other clauses" bound must group a clause's blocks
+        # across leaves
+        work = work[:7] + (work[7] // length,)
+        work, _ = prune_conjunctions(
+            work, n_required, (view.blk_first_host, view.blk_last_host)
+        )
+        if single:
+            # one clause per row; its work items span all leaves, ascending
+            # in the combined doc space, so the lane path applies unchanged
+            lane_cnt = np.zeros(b_pad, np.int32)
+            for i, rq in enumerate(rqs):
+                c = rq.clauses[0]
+                for leaf in leaves:
+                    rec = leaf.term_record(c.term.field, c.term.text)
+                    if rec is not None:
+                        lane_cnt[i] += rec.doc_freq
+            s, d, h = self._run_single_view(
+                view.device, work, lane_cnt, cache, n_required, min_should, k
+            )
+        elif prune:
             s, d, h = self._run_pruned_view(
                 view.device, view.blk_max_freq, view.n_blocks,
                 work, cache, n_required, min_should, k, pure=pure,
@@ -431,6 +573,37 @@ class IndexSearcher:
                 )
             )
         return out
+
+    def _run_single_view(
+        self, device, work, lane_cnt, cache, n_required, min_should, k
+    ):
+        """Combine-free single-term path: per-row top-k over the row's own
+        lane range (executor.execute_flat_single)."""
+        from rucene_tpu.search.executor import execute_flat_single
+
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+        n = work[6]
+        b = len(lane_cnt)
+        starts = np.searchsorted(wi_row[:n], np.arange(b)).astype(np.int32)
+        ends = np.searchsorted(wi_row[:n], np.arange(b), side="right")
+        max_items = int((ends - starts).max()) if n else 1
+        max_lanes = next_pow2(max(max_items, 1), 1) * 128
+        fq = jax.device_put(
+            FlatQueryBatch(
+                wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
+                wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
+                n_required=n_required, min_should=min_should, cache=cache,
+            )
+        )
+        s, d, h = jax.device_get(
+            execute_flat_single(
+                device, fq, jnp.asarray(starts),
+                jnp.asarray((ends - starts).astype(np.int32)),
+                jnp.asarray(lane_cnt),
+                k=k, max_lanes=max_lanes, use_pallas=self._use_pallas,
+            )
+        )
+        return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k, pure=False):
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays

@@ -82,9 +82,9 @@ def timeit(fn, reps=3, warmup=1):
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    stages = os.environ.get(
-        "PROF_STAGES", "decode,scatter,topk,dense,candidate"
-    ).split(",")
+    # candidate excluded by default: at L=33.5M lanes its XLA program
+    # OOM-kills the axon compile helper (SIGKILL) — opt in explicitly
+    stages = os.environ.get("PROF_STAGES", "decode,scatter,topk,dense").split(",")
 
     import jax
     import jax.numpy as jnp
@@ -145,7 +145,12 @@ def main():
     dev = leaf.device
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    results = {}
+    class _Results(dict):
+        def __setitem__(self, key, val):  # print as soon as each stage lands
+            print(f"{key:28s} {val * 1e3:9.1f} ms", flush=True)
+            super().__setitem__(key, val)
+
+    results = _Results()
 
     if "decode" in stages:
         f = jax.jit(
@@ -193,8 +198,7 @@ def main():
             )
         )
 
-    for k, v in results.items():
-        print(f"{k:28s} {v * 1e3:9.1f} ms")
+    print("# done", flush=True)
 
 
 if __name__ == "__main__":
