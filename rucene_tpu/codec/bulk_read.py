@@ -12,7 +12,12 @@ from __future__ import annotations
 import numpy as np
 
 from rucene_tpu.codec.postings import PackedSegment
-from rucene_tpu.util.packing import BLOCK_SIZE
+from rucene_tpu.util.packing import (
+    BLOCK_SIZE,
+    EF_TAG,
+    EF_UNARY_WORDS,
+    doc_plane_words_np,
+)
 
 
 def read_all_postings(packed: PackedSegment) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -44,11 +49,32 @@ def read_all_postings(packed: PackedSegment) -> tuple[np.ndarray, np.ndarray, np
     blk_off = packed.blk_off.astype(np.int64)
     for bits in np.unique(packed.blk_doc_bits):
         sel = np.flatnonzero(packed.blk_doc_bits == bits)
-        deltas = unpack_group(blk_off[sel], int(bits)).astype(np.int64)
-        docs[sel] = packed.blk_base[sel, None] + np.cumsum(deltas, axis=1)
+        if bits >= EF_TAG:
+            # Elias-Fano plane: low bits FOR-packed, high bits unary
+            l = int(bits) - EF_TAG
+            if l:
+                low = unpack_group(blk_off[sel], l).astype(np.int64)
+            else:
+                low = np.zeros((len(sel), BLOCK_SIZE), np.int64)
+            uw = padded[
+                blk_off[sel][:, None] + 4 * l + np.arange(EF_UNARY_WORDS)
+            ].astype(np.uint32)
+            b384 = (
+                (uw[:, :, None] >> np.arange(32, dtype=np.uint32)) & np.uint32(1)
+            ).reshape(len(sel), -1)
+            cum = np.cumsum(b384, axis=1)  # rank 0..128
+            cnt = np.zeros((len(sel), BLOCK_SIZE + 1), np.int64)
+            np.add.at(cnt, (np.arange(len(sel))[:, None], cum), 1)
+            select = np.cumsum(cnt, axis=1)[:, :BLOCK_SIZE]
+            hi = select - np.arange(BLOCK_SIZE)[None, :]
+            docs[sel] = packed.blk_base[sel, None] + ((hi << l) + low)
+        else:
+            deltas = unpack_group(blk_off[sel], int(bits)).astype(np.int64)
+            docs[sel] = packed.blk_base[sel, None] + np.cumsum(deltas, axis=1)
+    dplane = doc_plane_words_np(packed.blk_doc_bits).astype(np.int64)
     for bits in np.unique(packed.blk_freq_bits):
         sel = np.flatnonzero(packed.blk_freq_bits == bits)
-        offs = blk_off[sel] + 4 * packed.blk_doc_bits[sel].astype(np.int64)
+        offs = blk_off[sel] + dplane[sel]
         freqs[sel] = unpack_group(offs, int(bits)).astype(np.int64)
 
     docs[~valid] = -1

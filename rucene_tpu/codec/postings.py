@@ -27,7 +27,12 @@ import numpy as np
 
 from rucene_tpu.index.field_infos import FieldInfos
 from rucene_tpu.index.memory import FieldStats, SegmentData
-from rucene_tpu.util.packing import BLOCK_SIZE
+from rucene_tpu.util.packing import (
+    BLOCK_SIZE,
+    EF_TAG,
+    EF_UNARY_WORDS,
+    doc_plane_words_np,
+)
 
 
 def _bits_for(values: np.ndarray) -> np.ndarray:
@@ -250,27 +255,53 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             if e0 > s0:
                 nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]].astype(np.uint64)
 
-        # word layout: [doc words | freq words | ceil(count/4) norm words]
+        # --- adaptive doc-plane encoding (reference PF/EF/BITSET choice,
+        # posting_reader.rs:336-341): full blocks whose Elias-Fano size
+        # 4*l + EF_UNARY_WORDS beats FOR's 4*doc_bits words switch to EF.
+        # l is picked so the block's doc span U = last-base shifts below
+        # 256, keeping the unary plane at a fixed 384 bits; l == 0 is the
+        # dense/bitmap (BITSET) regime.
+        blk_span = (blk_last_doc - blk_base).astype(np.int64)  # U >= count
+        ef_l = np.maximum(_bits_for(np.maximum(blk_span, 1)) - 8, 0).astype(np.int64)
+        use_ef = (blk_count == BLOCK_SIZE) & (
+            4 * ef_l + EF_UNARY_WORDS < 4 * blk_doc_bits.astype(np.int64)
+        )
+        blk_doc_bits = np.where(use_ef, EF_TAG + ef_l, blk_doc_bits).astype(np.int32)
+
+        # word layout: [doc plane | freq words | ceil(count/4) norm words]
         # per block. Tail blocks store only the bytes they have; decode
         # always reads 128 lanes but masks the invalid ones, so lanes past
         # the stored bytes harmlessly read the next block's words.
         norm_words = (blk_count * 8 + 31) // 32
-        words_per_blk = (
-            4 * (blk_doc_bits.astype(np.int64) + blk_freq_bits.astype(np.int64))
-            + norm_words
-        )
+        dplane_words = doc_plane_words_np(blk_doc_bits).astype(np.int64)
+        words_per_blk = dplane_words + 4 * blk_freq_bits.astype(np.int64) + norm_words
         blk_off = np.concatenate([[0], np.cumsum(words_per_blk)])
         total_words = int(blk_off[-1])
         blk_off = blk_off[:-1]
 
         out = np.zeros(total_words + 1, dtype=np.uint64)  # +1 pad word
-        _scatter_pack(out, dvals, blk_doc_bits, blk_off)
-        _scatter_pack(out, fvals, blk_freq_bits, blk_off + 4 * blk_doc_bits.astype(np.int64))
+        for_sel = np.flatnonzero(~use_ef)
+        _scatter_pack(out, dvals[for_sel], blk_doc_bits[for_sel], blk_off[for_sel])
+        ef_sel = np.flatnonzero(use_ef)
+        if len(ef_sel):
+            # cumulative offsets v = doc - base per lane of each EF block
+            ef_v = np.cumsum(dvals[ef_sel], axis=1).astype(np.int64)
+            lsel = ef_l[ef_sel]
+            low = (ef_v & ((np.int64(1) << lsel[:, None]) - 1)).astype(np.uint64)
+            _scatter_pack(out, low, lsel.astype(np.int32), blk_off[ef_sel])
+            # unary plane: set bit lane + (v >> l) at word blk_off + 4*l
+            lane64 = np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
+            bitpos = lane64 + (ef_v >> lsel[:, None])  # [E,128] < 384
+            uword = (blk_off[ef_sel] + 4 * lsel)[:, None] + (bitpos >> 5)
+            np.bitwise_or.at(
+                out, uword, np.uint64(1) << (bitpos & 31).astype(np.uint64)
+            )
+        _scatter_pack(out, fvals, blk_freq_bits, blk_off + dplane_words)
         _scatter_pack(
             out,
             nvals,
             np.full(nb_total, 8, np.int32),
-            blk_off + 4 * (blk_doc_bits + blk_freq_bits).astype(np.int64),
+            blk_off + dplane_words + 4 * blk_freq_bits.astype(np.int64),
             n_words=norm_words,
         )
         data = out.astype(np.uint32)

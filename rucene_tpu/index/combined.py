@@ -45,6 +45,7 @@ class CombinedView:
     # host doc-range copies for conjunction pruning (padded-global doc space)
     blk_first_host: np.ndarray | None = None  # i64[NB]
     blk_last_host: np.ndarray | None = None  # i64[NB]
+    blk_dbits_host: np.ndarray | None = None  # i32[NB] doc-plane widths (EF detection)
 
     def map_docs(self, padded_docs: np.ndarray, leaves) -> np.ndarray:
         """Padded-global doc ids -> real reader-global doc ids (monotone,
@@ -166,6 +167,7 @@ def build_combined_view(
         pos_word_bases=pos_word_bases if with_positions else None,
         blk_first_host=cat_pad(first_p, nbp, 0, np.int64),
         blk_last_host=cat_pad(last_p, nbp, -1, np.int64),
+        blk_dbits_host=cat_pad(dbits_p, nbp, 1, np.int32),
     )
 
 

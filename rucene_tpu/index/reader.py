@@ -17,7 +17,12 @@ import numpy as np
 from rucene_tpu.codec.device import DeviceSegment, build_device_segment, with_live
 from rucene_tpu.codec.postings import PackedSegment
 from rucene_tpu.search.similarity import CollectionStats
-from rucene_tpu.util.packing import unpack_block
+from rucene_tpu.util.packing import (
+    EF_TAG,
+    EF_UNARY_WORDS,
+    decode_ef_doc_plane,
+    unpack_block,
+)
 
 
 def _decode_positions(
@@ -167,10 +172,16 @@ class SegmentSnapshot:
             off = int(p.blk_off[bi])
             dbits = int(p.blk_doc_bits[bi])
             fbits = int(p.blk_freq_bits[bi])
-            dwords = p.data[off : off + 4 * dbits].astype(np.uint64)
-            fwords = p.data[off + 4 * dbits : off + 4 * (dbits + fbits)].astype(np.uint64)
-            deltas = unpack_block(dwords, dbits)[:cnt].astype(np.int64)
-            docs[out : out + cnt] = int(p.blk_base[bi]) + np.cumsum(deltas)
+            if dbits >= EF_TAG:
+                dwlen = 4 * (dbits - EF_TAG) + EF_UNARY_WORDS
+                v = decode_ef_doc_plane(p.data[off : off + dwlen], dbits - EF_TAG)
+                docs[out : out + cnt] = int(p.blk_base[bi]) + v[:cnt]
+            else:
+                dwlen = 4 * dbits
+                dwords = p.data[off : off + dwlen].astype(np.uint64)
+                deltas = unpack_block(dwords, dbits)[:cnt].astype(np.int64)
+                docs[out : out + cnt] = int(p.blk_base[bi]) + np.cumsum(deltas)
+            fwords = p.data[off + dwlen : off + dwlen + 4 * fbits].astype(np.uint64)
             freqs[out : out + cnt] = unpack_block(fwords, fbits)[:cnt]
             out += cnt
         positions = None

@@ -10,6 +10,24 @@ rucene_tpu.ops.pallas_decode for the TPU hot path.
 
 Layout contract (see rucene_tpu.util.packing): 128 values at width ``bits``
 occupy exactly 4*bits uint32 words (128*bits/32), LSB-first.
+
+Block encodings (the adaptive per-block choice mirrors the reference's
+PF/EF/BITSET selection, posting_reader.rs:336-341, elias_fano_encoder.rs:25):
+
+- FOR   (blk_doc_bits < EF_TAG): delta-packed at width blk_doc_bits;
+        doc plane = 4*bits words.
+- EF    (blk_doc_bits = EF_TAG + l): Elias-Fano over the cumulative offsets
+        v_i = doc_i - base (strictly increasing). Low l bits lane-packed
+        like FOR (4*l words), high bits as the classic EF unary stream —
+        bit (i + (v_i >> l)) set — in a FIXED 12-word (384-bit) plane:
+        l is chosen so U >> l < 256, hence max bit index 127+255 < 384.
+        l == 0 degenerates into a pure unary/bitmap plane — the TPU shape
+        of the reference's BITSET encoding for dense blocks.
+
+EF decode has no per-lane select loop: expand the 384 unary bits, one
+cumsum gives each position's running rank, a 129-bin histogram + cumsum
+gives select(i) (position of the i-th one) for all 128 lanes at once:
+hi_i = select_i - i.
 """
 
 from __future__ import annotations
@@ -17,11 +35,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rucene_tpu.util.packing import BLOCK_SIZE
+from rucene_tpu.util.packing import BLOCK_SIZE, EF_TAG, EF_UNARY_WORDS
 
 # docid sentinel for masked / padded lanes: larger than any valid doc id so
 # sorted combines push padding to the end.
 INVALID_DOC = jnp.int32(2**31 - 1)
+
+
+def doc_plane_words(doc_bits: jax.Array) -> jax.Array:
+    """Words occupied by a block's doc plane for either encoding."""
+    return jnp.where(
+        doc_bits >= EF_TAG,
+        4 * (doc_bits - EF_TAG) + EF_UNARY_WORDS,
+        4 * doc_bits,
+    )
 
 
 def unpack(data: jax.Array, word_off: jax.Array, bits: jax.Array) -> jax.Array:
@@ -50,21 +77,64 @@ def unpack(data: jax.Array, word_off: jax.Array, bits: jax.Array) -> jax.Array:
     return (lo | hi) & mask
 
 
+def _decode_ef_values(
+    data: jax.Array, word_off: jax.Array, l: jax.Array
+) -> jax.Array:
+    """EF doc plane -> cumulative offsets v_i = doc_i - base, int32[...,128].
+
+    l: int32[...] low-bit width (0..24). The unary plane sits at
+    word_off + 4*l and is always EF_UNARY_WORDS words."""
+    low = unpack(data, word_off, l).astype(jnp.int32)  # l=0 -> zeros
+    limit = data.shape[0] - 1
+    uoff = word_off[..., None] + 4 * l[..., None] + jnp.arange(
+        EF_UNARY_WORDS, dtype=jnp.int32
+    )
+    uw = data[jnp.clip(uoff, 0, limit)].astype(jnp.uint32)  # [..., 12]
+    bits = (
+        (uw[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    ).astype(jnp.int32)
+    b384 = bits.reshape(*uw.shape[:-1], EF_UNARY_WORDS * 32)  # [..., 384]
+    cum = jnp.cumsum(b384, axis=-1)  # running rank, 0..128
+    # histogram of ranks over ALL 384 positions: select_i (position of the
+    # (i+1)-th one) = #positions with rank <= i = cumsum(cnt)[i]
+    lead = b384.shape[:-1]
+    cum2 = cum.reshape(-1, EF_UNARY_WORDS * 32)
+    rows = jnp.arange(cum2.shape[0], dtype=jnp.int32)[:, None]
+    cnt = jnp.zeros((cum2.shape[0], BLOCK_SIZE + 1), jnp.int32).at[
+        rows, jnp.clip(cum2, 0, BLOCK_SIZE)
+    ].add(1, mode="drop")
+    select = jnp.cumsum(cnt, axis=-1)[:, :BLOCK_SIZE].reshape(*lead, BLOCK_SIZE)
+    hi = select - jnp.arange(BLOCK_SIZE, dtype=jnp.int32)
+    return (hi << l[..., None]) + low
+
+
 def decode_doc_blocks(
     data: jax.Array,
     word_off: jax.Array,
     doc_bits: jax.Array,
     base: jax.Array,
     count: jax.Array,
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode doc-id blocks: bit-unpack deltas then inclusive prefix-sum.
 
     base:  int32[...] doc id preceding the block (-1 for a list's first block)
     count: int32[...] valid docs in the block (BLOCK_SIZE, or less for tail)
+    has_ef: STATIC — caller saw blk_doc_bits >= EF_TAG somewhere in this
+            work list; False keeps the FOR-only program (zero overhead)
     returns (docids int32[...,128] with INVALID_DOC padding, valid bool mask)
     """
-    deltas = unpack(data, word_off, doc_bits).astype(jnp.int32)
-    docs = base[..., None] + jnp.cumsum(deltas, axis=-1)
+    if has_ef:
+        is_ef = doc_bits >= EF_TAG
+        for_bits = jnp.where(is_ef, 1, doc_bits)
+        deltas = unpack(data, word_off, for_bits).astype(jnp.int32)
+        docs_for = base[..., None] + jnp.cumsum(deltas, axis=-1)
+        l = jnp.where(is_ef, doc_bits - EF_TAG, 0)
+        docs_ef = base[..., None] + _decode_ef_values(data, word_off, l)
+        docs = jnp.where(is_ef[..., None], docs_ef, docs_for)
+    else:
+        deltas = unpack(data, word_off, doc_bits).astype(jnp.int32)
+        docs = base[..., None] + jnp.cumsum(deltas, axis=-1)
     valid = jnp.arange(BLOCK_SIZE, dtype=jnp.int32) < count[..., None]
     docs = jnp.where(valid, docs, INVALID_DOC)
     return docs, valid
@@ -77,9 +147,9 @@ def decode_freq_blocks(
     freq_bits: jax.Array,
     valid: jax.Array,
 ) -> jax.Array:
-    """Decode the freq half of doc blocks (stored right after the doc words:
-    freq words start at word_off + 4*doc_bits). Padded lanes get freq 0."""
-    freq_off = word_off + 4 * doc_bits
+    """Decode the freq half of doc blocks (stored right after the doc plane,
+    whose width depends on the block's encoding). Padded lanes get freq 0."""
+    freq_off = word_off + doc_plane_words(doc_bits)
     freqs = unpack(data, freq_off, freq_bits).astype(jnp.int32)
     return jnp.where(valid, freqs, 0)
 
@@ -91,9 +161,9 @@ def decode_norm_blocks(
     freq_bits: jax.Array,
     valid: jax.Array,
 ) -> jax.Array:
-    """Decode the inline norm-byte plane (32 words after the freq words).
+    """Decode the inline norm-byte plane (right after the freq words).
     One SmallFloat byte per posting, stored at pack time so scoring never
     random-gathers a [fields, max_doc] norms table. Padded lanes get 0."""
-    norm_off = word_off + 4 * (doc_bits + freq_bits)
+    norm_off = word_off + doc_plane_words(doc_bits) + 4 * freq_bits
     nb = unpack(data, norm_off, jnp.full_like(doc_bits, 8)).astype(jnp.int32)
     return jnp.where(valid, nb, 0)

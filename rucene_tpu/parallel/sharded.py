@@ -188,7 +188,8 @@ class ShardedIndex:
 
 
 @partial(
-    jax.jit, static_argnames=("k", "mesh", "use_pallas", "pure", "with_match_all")
+    jax.jit,
+    static_argnames=("k", "mesh", "use_pallas", "pure", "with_match_all", "has_ef"),
 )
 def _sharded_search_step(
     mesh,
@@ -201,6 +202,7 @@ def _sharded_search_step(
     use_pallas: bool = False,
     pure: bool = False,
     with_match_all: bool = False,
+    has_ef: bool = False,
 ):
     """One fused device program: per-(shard,dp) flat execute (+ match-all
     rows when present) + ICI all-gather merge over the shard axis."""
@@ -209,7 +211,8 @@ def _sharded_search_step(
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
         scores, docs, hits = execute_flat_impl(
-            dev, q, k, use_pallas=use_pallas, pure_disjunction=pure
+            dev, q, k, use_pallas=use_pallas, pure_disjunction=pure,
+            has_ef=has_ef,
         )
         if with_match_all:
             from rucene_tpu.search.executor import execute_match_all
@@ -393,6 +396,12 @@ class ShardedSearcher:
             ).copy(),
             cache=stackf(6),
         )
+        from rucene_tpu.search.searcher import work_has_ef
+
+        has_ef = any(
+            work_has_ef(v.blk_dbits_host, fq.wi_block[si], fq.wi_valid[si])
+            for si, v in enumerate(self.index.views)
+        )
         fq = jax.device_put(fq)
         use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
         from rucene_tpu.search.query import Occur
@@ -419,6 +428,7 @@ class ShardedSearcher:
             use_pallas,
             pure,
             with_match_all,
+            has_ef,
         )
         scores = np.asarray(scores)
         docs = np.asarray(docs)

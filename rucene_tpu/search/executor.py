@@ -79,10 +79,13 @@ class FlatQueryBatch(NamedTuple):
 
 
 def decode_score_lanes(
-    dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool = False
+    dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool = False,
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shared prologue: gather + unpack each work item's block and score
-    every posting lane with BM25. Returns (target i32[W,128] — doc id or
+    every posting lane with BM25. has_ef (STATIC) = the work list touches
+    Elias-Fano-encoded blocks; the Mosaic kernel is FOR-only, so EF work
+    lists take the XLA decode. Returns (target i32[W,128] — doc id or
     md+1 for invalid lanes, rows i32[W,1], sc f32[W,128], valid bool[W,128])."""
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
@@ -94,7 +97,7 @@ def decode_score_lanes(
     base = dev.blk_base[blk]
     cnt = jnp.where(q.wi_valid, dev.blk_count[blk], 0)
 
-    if use_pallas:
+    if use_pallas and not has_ef:
         from rucene_tpu.ops.decode import INVALID_DOC
         from rucene_tpu.ops.pallas_decode import decode_work_items_pallas
 
@@ -107,7 +110,9 @@ def decode_score_lanes(
         freqs = jnp.where(valid, raw_freqs, 0)
         norm_byte = jnp.where(valid, raw_norms, 0)
     else:
-        docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
+        docs, valid = decode_doc_blocks(
+            dev.data, off, dbits, base, cnt, has_ef=has_ef
+        )  # [W,128]
         freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
         norm_byte = decode_norm_blocks(dev.data, off, dbits, fbits, valid)
 
@@ -131,6 +136,7 @@ def execute_flat_impl(
     use_pallas: bool = False,
     pure_disjunction: bool = False,
     strategy: str = "auto",
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
@@ -143,7 +149,7 @@ def execute_flat_impl(
     shape heuristic ("auto" | "dense" | "candidate")."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
 
     # --- match + top-k: shape-adaptive strategy ---
     # Dense: scatter-add into [B, md] accumulators and run vectorized top-k
@@ -282,11 +288,11 @@ def execute_flat_impl(
 
 execute_flat = jax.jit(
     execute_flat_impl,
-    static_argnames=("k", "use_pallas", "pure_disjunction", "strategy"),
+    static_argnames=("k", "use_pallas", "pure_disjunction", "strategy", "has_ef"),
 )
 
 
-@partial(jax.jit, static_argnames=("k", "use_pallas", "max_lanes"))
+@partial(jax.jit, static_argnames=("k", "use_pallas", "max_lanes", "has_ef"))
 def execute_flat_single(
     dev: DeviceSegment,
     q: FlatQueryBatch,
@@ -296,6 +302,7 @@ def execute_flat_single(
     k: int,
     max_lanes: int,
     use_pallas: bool = False,
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Single-scoring-clause rows (plain term queries), no deleted docs:
     each row's lanes are one posting list in doc order, so no cross-clause
@@ -308,7 +315,7 @@ def execute_flat_single(
     Caller guarantees: one scoring clause per row with positive weight, no
     MUST_NOT/FILTER, dev.live all-true over real docs, and every row's
     work items contiguous in the flat list."""
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
     # trailing pad so the last row's dynamic_slice never clamps (a clamped
     # start would silently shift that row's lanes)
     sc_flat = jnp.concatenate(
@@ -351,11 +358,12 @@ def execute_flat_single(
     return top_scores, top_docs, total_hits
 
 
-def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool):
+def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
+                 has_ef: bool = False):
     """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas)
+    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
     acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
     inc = jnp.where(valid, q.wi_enc[:, None], 0)
     acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
@@ -371,7 +379,7 @@ def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool):
     return match, acc_score
 
 
-@partial(jax.jit, static_argnames=("k", "use_pallas", "reverse"))
+@partial(jax.jit, static_argnames=("k", "use_pallas", "reverse", "has_ef"))
 def execute_flat_sorted(
     dev: DeviceSegment,
     q: FlatQueryBatch,
@@ -379,6 +387,7 @@ def execute_flat_sorted(
     k: int,
     use_pallas: bool = False,
     reverse: bool = False,
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-by-field search on the device (reference sort_field machinery,
     field_comparator.rs:367): dense boolean match + top-k by
@@ -386,7 +395,7 @@ def execute_flat_sorted(
     order-preserving RANKS (exact in f32 for <2^24 distinct values); the
     caller maps ranks back to field values. Returns
     (top_keys f32[B,k], scores f32[B,k], docs i32[B,k], total_hits i32[B])."""
-    match, acc_score = _dense_match(dev, q, use_pallas)
+    match, acc_score = _dense_match(dev, q, use_pallas, has_ef)
     sortval = jnp.where(match, keycol[None, :] * (1.0 if reverse else -1.0), -jnp.inf)
     top_negkeys, top_docs = topk_score_doc(sortval, k)
     got = top_negkeys > -jnp.inf
@@ -397,19 +406,20 @@ def execute_flat_sorted(
     return top_keys, scores, top_docs, total_hits
 
 
-@partial(jax.jit, static_argnames=("n_keys", "use_pallas"))
+@partial(jax.jit, static_argnames=("n_keys", "use_pallas", "has_ef"))
 def execute_collapse(
     dev: DeviceSegment,
     q: FlatQueryBatch,
     keycol: jax.Array,  # i32[mdp] collapse-key rank per doc
     n_keys: int,
     use_pallas: bool = False,
+    has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Field collapse on the device (reference collapse_top_docs.rs:239):
     best (score desc, doc asc) hit per collapse key. Returns per-key tables
     (best_score f32[B,K] — -inf for absent keys, best_doc i32[B,K],
     total_hits i32[B]); the host merges leaves and takes the final top-k."""
-    match, acc_score = _dense_match(dev, q, use_pallas)
+    match, acc_score = _dense_match(dev, q, use_pallas, has_ef)
     md = dev.max_doc_padded
     b = match.shape[0]
     key_b = jnp.broadcast_to(keycol[None, :], (b, md))

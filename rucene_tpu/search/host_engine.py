@@ -81,7 +81,10 @@ def phrase_postings(
                 row = idxs[j][ci]
                 s, pos_j = starts[j]
                 plists.append(pos_j[s[row] : s[row + 1]])
-            pf = 0.0
+            # histogram accumulation: pf = sum_d count(distance==d)/(d+1),
+            # f32, ascending d — the exact operation order of the device
+            # kernel (phrase_device.py) so parity is bit-identical
+            dist_counts = np.zeros(slop + 1, np.int64)
             for p0 in plists[0]:
                 prev = int(p0)
                 ok = True
@@ -94,8 +97,15 @@ def phrase_postings(
                 if ok:
                     distance = (prev - int(p0)) - (n - 1)
                     if distance <= slop:
-                        pf += 1.0 / (distance + 1.0)
-            pf = np.float32(pf)
+                        dist_counts[distance] += 1
+            pf = np.float32(0.0)
+            for d in range(slop + 1):
+                if dist_counts[d]:
+                    pf = np.float32(
+                        pf
+                        + np.float32(dist_counts[d])
+                        * np.float32(1.0 / (d + 1.0))
+                    )
         if pf > 0:
             out_docs.append(int(cand[ci]))
             out_freqs.append(pf)

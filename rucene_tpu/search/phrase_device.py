@@ -1,9 +1,12 @@
-"""Device-side exact-phrase execution.
+"""Device-side phrase execution (exact and sloppy).
 
 reference: rucene src/core/search/scorer/phrase_scorer.rs:122
 (ExactPhraseScorer): conjunction of the phrase terms, then per-doc
 verification that positions line up consecutively; scoring is BM25 with
-freq = number of phrase occurrences.
+freq = number of phrase occurrences. Sloppy (phrase_scorer.rs:442,
+SloppyPhraseScorer): this engine's semantics are an ordered greedy chain
+(first slot-j position strictly after the previous slot's pick), match iff
+total gap <= slop, freq = sum of 1/(distance+1) per slot-0 occurrence.
 
 TPU shape of that pipeline, one jitted program per batch of phrase queries:
 
@@ -35,6 +38,7 @@ from rucene_tpu.codec.device import DeviceSegment
 from rucene_tpu.ops.decode import decode_doc_blocks, decode_freq_blocks
 
 NMAX = 8  # max phrase length (terms); longer -> host
+SLOP_CAP = 32  # max device slop (one jit bucket); wider -> host
 DOC_PAD = jnp.int32(2**31 - 1)
 
 
@@ -49,10 +53,12 @@ class PhraseBatch(NamedTuple):
     cache: jax.Array  # f32[F,256]
     pos_width: jax.Array  # i32[B,NMAX] packed position-delta width per slot
     pos_word_start: jax.Array  # i32[B,NMAX] word offset of slot's stream
+    slop: jax.Array  # i32[B] per-row slop (0 = exact)
 
 
 def execute_phrases_impl(
-    dev: DeviceSegment, pb: PhraseBatch, k: int, cand_cap: int, fmax: int
+    dev: DeviceSegment, pb: PhraseBatch, k: int, cand_cap: int, fmax: int,
+    slop_max: int = 0, has_ef: bool = False,
 ):
     """Returns (scores f32[B,k], docs i32[B,k], hits i32[B], overflow bool[B])."""
     b = pb.n_terms.shape[0]
@@ -66,7 +72,9 @@ def execute_phrases_impl(
     cnt = jnp.where(pb.wi_valid, dev.blk_count[blk], 0)
     pos_base = dev.blk_pos_base[blk]
 
-    docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt)  # [W,128]
+    docs, valid = decode_doc_blocks(
+        dev.data, off, dbits, base, cnt, has_ef=has_ef
+    )  # [W,128]
     freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
     # per-lane start into the positions stream
     pos_off = pos_base[:, None] + (jnp.cumsum(freqs, axis=1) - freqs)
@@ -153,14 +161,42 @@ def execute_phrases_impl(
 
     base_pos = pwin[:, 0, :]  # [C, FMAX] slot-0 positions
     base_valid = pvalid[:, 0, :]
-    match_f0 = base_valid
-    for j in range(1, NMAX):
-        need = (jnp.int32(j) < pb.n_terms[jnp.clip(c_row, 0, b - 1)])[:, None]
-        hit = jnp.any(
-            pwin[:, j, None, :] == (base_pos[:, :, None] + j), axis=-1
-        )  # [C, FMAX]
-        match_f0 = match_f0 & jnp.where(need, hit, True)
-    pf = jnp.sum(match_f0 & base_valid, axis=1).astype(jnp.float32)  # [C]
+    if slop_max == 0:
+        # exact: slot j must contain p0 + j (ExactPhraseScorer,
+        # phrase_scorer.rs:122); pf = match count
+        match_f0 = base_valid
+        for j in range(1, NMAX):
+            need = (jnp.int32(j) < pb.n_terms[jnp.clip(c_row, 0, b - 1)])[:, None]
+            hit = jnp.any(
+                pwin[:, j, None, :] == (base_pos[:, :, None] + j), axis=-1
+            )  # [C, FMAX]
+            match_f0 = match_f0 & jnp.where(need, hit, True)
+        pf = jnp.sum(match_f0 & base_valid, axis=1).astype(jnp.float32)  # [C]
+    else:
+        # sloppy: greedy ordered chain — for each slot-0 occurrence take the
+        # FIRST slot-j position strictly after the previous slot's pick;
+        # match iff total gap <= row slop; sloppy freq = 1/(distance+1)
+        # summed as an ascending-distance histogram so the host oracle
+        # (host_engine.phrase_postings) reproduces it bit-for-bit
+        # (SloppyPhraseScorer analog, phrase_scorer.rs:442).
+        big = jnp.int32(2**30)
+        n_of_row = pb.n_terms[jnp.clip(c_row, 0, b - 1)]  # [C]
+        prev = base_pos  # [C, FMAX]
+        found = base_valid
+        for j in range(1, NMAX):
+            need = (jnp.int32(j) < n_of_row)[:, None]  # [C,1]
+            cand = pwin[:, j, None, :]  # [C, 1, FMAX]
+            gt = (cand > prev[:, :, None]) & pvalid[:, j, None, :]
+            nxt = jnp.min(jnp.where(gt, cand, big), axis=-1)  # [C, FMAX]
+            found = found & jnp.where(need, nxt < big, True)
+            prev = jnp.where(need, jnp.minimum(nxt, big), prev)
+        distance = prev - base_pos - (n_of_row[:, None] - 1)
+        row_slop = pb.slop[jnp.clip(c_row, 0, b - 1)][:, None]
+        matched_f0 = found & base_valid & (distance <= row_slop)
+        pf = jnp.zeros((base_pos.shape[0],), jnp.float32)
+        for d in range(slop_max + 1):
+            cnt = jnp.sum(matched_f0 & (distance == d), axis=1).astype(jnp.float32)
+            pf = pf + cnt * jnp.float32(1.0 / (d + 1.0))
 
     # ---- BM25 with tf = phrase_freq ----
     safe_row = jnp.clip(c_row, 0, b - 1)
@@ -197,5 +233,6 @@ def execute_phrases_impl(
 
 
 execute_phrases = jax.jit(
-    execute_phrases_impl, static_argnames=("k", "cand_cap", "fmax")
+    execute_phrases_impl,
+    static_argnames=("k", "cand_cap", "fmax", "slop_max", "has_ef"),
 )

@@ -30,6 +30,20 @@ from rucene_tpu.util import next_pow2
 from rucene_tpu.util.metrics import METRICS
 
 
+def work_has_ef(host_dbits, wi_block, wi_valid) -> bool:
+    """Does this work list touch any Elias-Fano/bitset-encoded block?
+    Checked host-side per dispatch so FOR-only batches keep the FOR-only
+    (and Pallas-eligible) executor program."""
+    from rucene_tpu.util.packing import EF_TAG
+
+    if host_dbits is None or len(host_dbits) == 0:
+        return False
+    blk = np.asarray(wi_block)[np.asarray(wi_valid)]
+    if len(blk) == 0:
+        return False
+    return bool((np.asarray(host_dbits)[blk] >= EF_TAG).any())
+
+
 class ScoreDoc(NamedTuple):
     # NamedTuple, not dataclass: ~5x cheaper to build, and result lists
     # hold batch_size * k of these on every search
@@ -476,7 +490,8 @@ class IndexSearcher:
                     if rec is not None:
                         lane_cnt[i] = rec.doc_freq
                 s, d, h = self._run_single_view(
-                    leaf.device, work, lane_cnt, cache, n_required, min_should, k
+                    leaf.device, work, lane_cnt, cache, n_required, min_should, k,
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
                 )
             elif prune:
                 s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
@@ -539,17 +554,21 @@ class IndexSearcher:
                     rec = leaf.term_record(c.term.field, c.term.text)
                     if rec is not None:
                         lane_cnt[i] += rec.doc_freq
+            view_ef = work_has_ef(view.blk_dbits_host, work[0], work[5])
             s, d, h = self._run_single_view(
-                view.device, work, lane_cnt, cache, n_required, min_should, k
+                view.device, work, lane_cnt, cache, n_required, min_should, k,
+                has_ef=view_ef,
             )
         elif prune:
             s, d, h = self._run_pruned_view(
                 view.device, view.blk_max_freq, view.n_blocks,
                 work, cache, n_required, min_should, k, pure=pure,
+                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
             )
         else:
             s, d, h = self._run_work_view(
-                view.device, work[:6], cache, n_required, min_should, k, pure=pure
+                view.device, work[:6], cache, n_required, min_should, k, pure=pure,
+                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
             )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
@@ -575,7 +594,8 @@ class IndexSearcher:
         return out
 
     def _run_single_view(
-        self, device, work, lane_cnt, cache, n_required, min_should, k
+        self, device, work, lane_cnt, cache, n_required, min_should, k,
+        has_ef: bool = False,
     ):
         """Combine-free single-term path: per-row top-k over the row's own
         lane range (executor.execute_flat_single)."""
@@ -601,11 +621,12 @@ class IndexSearcher:
                 jnp.asarray((ends - starts).astype(np.int32)),
                 jnp.asarray(lane_cnt),
                 k=k, max_lanes=max_lanes, use_pallas=self._use_pallas,
+                has_ef=has_ef,
             )
         )
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
-    def _run_work_view(self, device, arrays, cache, n_required, min_should, k, pure=False):
+    def _run_work_view(self, device, arrays, cache, n_required, min_should, k, pure=False, has_ef=False):
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
         fq = jax.device_put(
             FlatQueryBatch(
@@ -621,7 +642,8 @@ class IndexSearcher:
             )
         )
         res = execute_flat(
-            device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure
+            device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure,
+            has_ef=has_ef,
         )
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
@@ -629,7 +651,8 @@ class IndexSearcher:
     def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False):
         """One executor dispatch for a (possibly subset) work list."""
         return self._run_work_view(
-            leaf.device, arrays, cache, n_required, min_should, k, pure=pure
+            leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
+            has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
         )
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
@@ -637,11 +660,12 @@ class IndexSearcher:
         return self._run_pruned_view(
             leaf.device, leaf.packed.blk_max_freq, leaf.packed.num_blocks,
             work, cache, n_required, min_should, k, pure=pure,
+            has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
         )
 
     def _run_pruned_view(
         self, device, blk_max_freq, n_blocks, work, cache, n_required, min_should, k,
-        pure=False,
+        pure=False, has_ef=False,
     ):
         """Block-max (WAND-style) two-pass pruning for pure disjunctions
         (the reference's skip-list role, SURVEY §5 'block-max metadata').
@@ -699,11 +723,13 @@ class IndexSearcher:
         if pass1.sum() == wi_valid.sum():  # nothing to prune
             return self._run_work_view(
                 device, (wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid), cache,
-                n_required, min_should, k,
+                n_required, min_should, k, has_ef=has_ef,
             )
 
         sub = self._subset_work(work, pass1)
-        s1, d1, h1 = self._run_work_view(device, sub, cache, n_required, min_should, k)
+        s1, d1, h1 = self._run_work_view(
+            device, sub, cache, n_required, min_should, k, has_ef=has_ef
+        )
         t = s1[:, k - 1] if k <= s1.shape[1] else np.full(s1.shape[0], -np.inf, np.float32)
 
         survivors = (~pass1) & wi_valid & (bound >= t[wi_row])
@@ -715,7 +741,9 @@ class IndexSearcher:
         # rerun affected rows with their full work lists
         full_mask = wi_valid & affected[wi_row]
         sub2 = self._subset_work(work, full_mask)
-        s2, d2, h2 = self._run_work_view(device, sub2, cache, n_required, min_should, k)
+        s2, d2, h2 = self._run_work_view(
+            device, sub2, cache, n_required, min_should, k, has_ef=has_ef
+        )
         out_s = np.where(affected[:, None], s2, s1)
         out_d = np.where(affected[:, None], d2, d1)
         out_h = np.where(affected, h2, h1)
@@ -825,6 +853,7 @@ class IndexSearcher:
                 execute_flat_sorted(
                     leaf.device, fq, jnp.asarray(keycol), k,
                     use_pallas=self._use_pallas, reverse=sf.reverse,
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
                 )
             )
             got = scores[0] > -np.inf
@@ -1026,6 +1055,7 @@ class IndexSearcher:
                 execute_collapse(
                     leaf.device, fq, jnp.asarray(keycol), n_keys,
                     use_pallas=self._use_pallas,
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
                 )
             )
             total += int(hits[0])
@@ -1159,7 +1189,7 @@ class IndexSearcher:
 
     # --- device phrase path ---
     def _phrase_device_eligible(self, rq) -> bool:
-        from rucene_tpu.search.phrase_device import NMAX
+        from rucene_tpu.search.phrase_device import NMAX, SLOP_CAP
 
         return (
             rq is not None
@@ -1168,7 +1198,7 @@ class IndexSearcher:
             and not rq.ranges
             and not rq.groups
             and not rq.match_all
-            and rq.phrases[0][3] == 0  # sloppy phrases run on the host
+            and 0 <= rq.phrases[0][3] <= SLOP_CAP  # wider slop -> host
             and 2 <= len(rq.phrases[0][1]) <= NMAX
         )
 
@@ -1184,8 +1214,9 @@ class IndexSearcher:
 
         n_terms = np.zeros(b_pad, np.int32)
         weight = np.zeros(b_pad, np.float32)
+        slop = np.zeros(b_pad, np.int32)
         for i, rq in enumerate(rqs):
-            field, terms, boost, _slop = rq.phrases[0]
+            field, terms, boost, slop[i] = rq.phrases[0]
             st = stats[field]
             doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
             idf_sum = np.float32(0.0)
@@ -1243,10 +1274,21 @@ class IndexSearcher:
                     cache=cache,
                     pos_width=pos_width,
                     pos_word_start=pos_word_start,
+                    slop=slop,
                 )
             )
+            # one slop bucket (0 exact / SLOP_CAP sloppy) keeps the number
+            # of distinct jit shapes at two; per-row exactness comes from
+            # the slop array inside the kernel
+            from rucene_tpu.search.phrase_device import SLOP_CAP
+
+            slop_bucket = 0 if int(slop.max()) == 0 else SLOP_CAP
             s, d, h, ov = jax.device_get(
-                execute_phrases(leaf.device, pb, k=k, cand_cap=cand_cap, fmax=32)
+                execute_phrases(
+                    leaf.device, pb, k=k, cand_cap=cand_cap, fmax=32,
+                    slop_max=slop_bucket,
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                )
             )
             METRICS.incr("search.phrase_device", b_actual)
             for i in range(b_actual):

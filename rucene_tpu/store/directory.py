@@ -19,7 +19,8 @@ import zlib
 from typing import Protocol
 
 MAGIC = b"RTPU"
-VERSION = 2  # v2: postings blocks carry an inline norm-byte plane
+VERSION = 3  # v3: adaptive EF/bitset doc planes (v2: inline norm bytes)
+MIN_READ_VERSION = 2  # v2 files decode fine (no EF blocks ever written)
 
 
 class CorruptIndexError(Exception):
@@ -65,7 +66,7 @@ def check_footer(data: bytes, expect_name: str | None = None) -> bytes:
     if len(data) < 26 or data[:4] != MAGIC:
         raise CorruptIndexError("bad header magic")
     version, name_len = struct.unpack_from("<IH", data, 4)
-    if version != VERSION:
+    if not (MIN_READ_VERSION <= version <= VERSION):
         raise CorruptIndexError(f"unsupported version {version}")
     name = data[10 : 10 + name_len].decode("utf-8")
     if expect_name is not None and name != expect_name:

@@ -18,6 +18,36 @@ import numpy as np
 
 BLOCK_SIZE = 128  # docs per postings block (parity: posting_format.rs:36)
 
+# Elias-Fano doc-plane encoding (adaptive per block, the analog of the
+# reference's PF/EF/BITSET choice, posting_reader.rs:336-341):
+# blk_doc_bits = EF_TAG + l marks an EF plane with low width l; the unary
+# high-bit plane is a fixed EF_UNARY_WORDS words (384 bits: 128 ones +
+# <=255 zeros because l is chosen so (last-base) >> l < 256). l == 0 is
+# the dense/bitmap (reference BITSET) regime.
+EF_TAG = 64
+EF_UNARY_WORDS = 12
+
+
+def doc_plane_words_np(doc_bits: np.ndarray) -> np.ndarray:
+    """Words occupied by each block's doc plane (vectorized, both encodings)."""
+    db = np.asarray(doc_bits)
+    return np.where(db >= EF_TAG, 4 * (db - EF_TAG) + EF_UNARY_WORDS, 4 * db)
+
+
+def decode_ef_doc_plane(words: np.ndarray, l: int) -> np.ndarray:
+    """Numpy reference EF decode: plane words -> cumulative offsets
+    v_i = doc_i - base, int64[BLOCK_SIZE]. ``words`` = 4*l low words then
+    EF_UNARY_WORDS unary words."""
+    if l:
+        low = unpack_block(words[: 4 * l].astype(np.uint64), l).astype(np.int64)
+    else:
+        low = np.zeros(BLOCK_SIZE, np.int64)
+    uw = words[4 * l : 4 * l + EF_UNARY_WORDS].astype(np.uint32)
+    bits = ((uw[:, None] >> np.arange(32, dtype=np.uint32)) & np.uint32(1)).reshape(-1)
+    ones_pos = np.flatnonzero(bits)[:BLOCK_SIZE].astype(np.int64)
+    hi = ones_pos - np.arange(BLOCK_SIZE, dtype=np.int64)
+    return (hi << l) + low
+
 
 def bits_required(max_value: int) -> int:
     """Minimum bit width to represent max_value (at least 1, at most 32)."""

@@ -23,9 +23,15 @@ def test_pallas_decode_matches_xla():
     packed = pack_segment(buf.finish())
     dev = build_device_segment(packed)
 
-    nb = packed.num_blocks
+    # the Mosaic kernel's contract is FOR blocks only — EF work lists are
+    # routed to the XLA decode by decode_score_lanes (has_ef), so restrict
+    # the comparison to FOR blocks
+    from rucene_tpu.util.packing import EF_TAG
+
+    for_blocks = np.flatnonzero(np.asarray(packed.blk_doc_bits) < EF_TAG)
+    nb = len(for_blocks)
     w = ((nb + G - 1) // G) * G
-    idx = np.arange(w) % nb  # pad by repeating valid blocks
+    idx = for_blocks[np.arange(w) % nb]  # pad by repeating valid blocks
     off = jnp.asarray(np.asarray(dev.blk_off)[idx])
     dbits = jnp.asarray(np.asarray(dev.blk_doc_bits)[idx])
     fbits = jnp.asarray(np.asarray(dev.blk_freq_bits)[idx])

@@ -106,3 +106,57 @@ def test_sloppy_phrase():
     # tighter matches score higher (sloppy freq 1/(d+1))
     by_doc = {sd.doc: sd.score for sd in s4.score_docs}
     assert by_doc[2] > by_doc[0] > by_doc[4]
+
+
+def test_device_sloppy_phrase_matches_host():
+    """Sloppy phrases run on the device kernel and match the host oracle
+    bit-for-bit (histogram-ordered sloppy-freq accumulation)."""
+    rng = np.random.default_rng(909)
+    texts = random_corpus(rng, 400)
+    s = _searcher(texts)
+    METRICS.reset()
+    tried = 0
+    for i in range(24):
+        d = texts[i].split()
+        if len(d) < 4:
+            continue
+        pos = int(rng.integers(0, len(d) - 3))
+        # skip a word so exact rarely matches and slop does the work
+        terms = [d[pos], d[pos + 2]]
+        if i % 4 == 0:
+            terms.append(d[pos + 3])
+        slop = int(rng.integers(1, 6))
+        q = PhraseQuery("body", terms, slop=slop)
+        got = s.search(q, k=15)
+        want = _host_result(s, q, 15)
+        assert got.total_hits == want.total_hits, (terms, slop)
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in got.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
+        tried += 1
+    assert tried >= 15
+    snap = METRICS.snapshot()["counters"]
+    assert snap.get("search.phrase_device", 0) >= tried
+
+
+def test_mixed_exact_and_sloppy_batch():
+    """A batch mixing slop=0 and slop>0 rows stays exact for both."""
+    rng = np.random.default_rng(910)
+    texts = random_corpus(rng, 300)
+    s = _searcher(texts)
+    d0, d1 = texts[0].split(), texts[1].split()
+    queries = [
+        PhraseQuery("body", [d0[0], d0[1]]),
+        PhraseQuery("body", [d1[0], d1[2]], slop=3),
+        PhraseQuery("body", [d0[1], d0[2]]),
+        PhraseQuery("body", [d1[1], d1[3]], slop=2),
+    ]
+    got = s.search_batch(queries, k=10)
+    for q, g in zip(queries, got):
+        want = _host_result(s, q, 10)
+        assert g.total_hits == want.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
