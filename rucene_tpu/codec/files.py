@@ -243,28 +243,34 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
         w.add_npy("pay_offs", offs)
     for f in sorted(packed.norms):
         w.add_npy(f"norms.{f}", packed.norms[f])
+    from rucene_tpu.codec.dv_codec import encode_binary, encode_numeric
+
     for f in sorted(packed.numeric_dv):
         vals, present = packed.numeric_dv[f]
-        w.add_npy(f"dv.{f}.vals", vals)
-        w.add_npy(f"dv.{f}.present", present)
+        # compressed numeric column (const/table/gcd/raw — Lucene54
+        # doc_values_consumer.rs strategy menu); present as a bitmap
+        nmeta, narrs = encode_numeric(np.asarray(vals))
+        w.add_json(f"dv.{f}.meta", nmeta)
+        for kk, arr in narrs.items():
+            w.add_npy(f"dv.{f}.{kk}", arr)
+        w.add_npy(f"dv.{f}.pbits", np.packbits(np.asarray(present, bool)))
     for f in sorted(packed.points):
         vals, docs = packed.points[f]
         w.add_npy(f"pt.{f}.vals", vals)
         w.add_npy(f"pt.{f}.docs", docs)
     if packed.binary_dv:
         for f, per_doc in sorted(packed.binary_dv.items()):
-            blob = b"".join(v or b"" for v in per_doc)
-            offs = np.zeros(len(per_doc) + 1, np.int64)
-            offs[1:] = np.cumsum([len(v) if v else 0 for v in per_doc])
-            present = np.array([v is not None for v in per_doc], bool)
-            w.add_npy(f"bdv.{f}.blob", np.frombuffer(blob, np.uint8).copy())
-            w.add_npy(f"bdv.{f}.offs", offs)
-            w.add_npy(f"bdv.{f}.present", present)
+            # prefix-compressed + deflated (BINARY_PREFIX_COMPRESSED analog)
+            bmeta, barrs = encode_binary(list(per_doc))
+            w.add_json(f"bdv.{f}.meta", bmeta)
+            for kk, arr in barrs.items():
+                w.add_npy(f"bdv.{f}.{kk}", arr)
     if packed.sorted_dv:
         for f, (values, ords) in sorted(packed.sorted_dv.items()):
-            to, tb = _terms_to_arrays(values)
-            w.add_npy(f"sdv.{f}.voffs", to)
-            w.add_npy(f"sdv.{f}.vbytes", tb)
+            w.add_npy(
+                f"sdv.{f}.vfc",
+                np.frombuffer(encode_terms(values), np.uint8).copy(),
+            )
             w.add_npy(f"sdv.{f}.ords", ords)
     if packed.sorted_numeric_dv:
         for f, (flat, offs) in sorted(packed.sorted_numeric_dv.items()):
@@ -272,9 +278,10 @@ def write_segment(directory: Directory, name: str, packed: PackedSegment) -> str
             w.add_npy(f"sndv.{f}.offs", offs)
     if packed.sorted_set_dv:
         for f, (values, flat_ords, offs) in sorted(packed.sorted_set_dv.items()):
-            to, tb = _terms_to_arrays(values)
-            w.add_npy(f"ssdv.{f}.voffs", to)
-            w.add_npy(f"ssdv.{f}.vbytes", tb)
+            w.add_npy(
+                f"ssdv.{f}.vfc",
+                np.frombuffer(encode_terms(values), np.uint8).copy(),
+            )
             w.add_npy(f"ssdv.{f}.ords", flat_ords)
             w.add_npy(f"ssdv.{f}.offs", offs)
 
@@ -323,6 +330,32 @@ def _fallback_block_ranges(r, fields) -> tuple[np.ndarray, np.ndarray]:
             if c > 1:
                 lasts[s : s + c - 1] = blk_base[s + 1 : s + c]
     return firsts.astype(np.int32), lasts.astype(np.int32)
+
+
+def _read_numeric_dv(r: "SectionReader", f: str, max_doc: int):
+    """Compressed (v3) or raw (v2) numeric DV column."""
+    if f"dv.{f}.meta" in r:
+        from rucene_tpu.codec.dv_codec import decode_numeric
+
+        nmeta = r.json(f"dv.{f}.meta")
+        arrays = {
+            kk: r.npy(f"dv.{f}.{kk}")
+            for kk in ("table", "packed", "raw")
+            if f"dv.{f}.{kk}" in r
+        }
+        vals = decode_numeric(nmeta, arrays)
+        present = np.unpackbits(r.npy(f"dv.{f}.pbits"))[: len(vals)].astype(bool)
+        return vals, present
+    return r.npy(f"dv.{f}.vals"), r.npy(f"dv.{f}.present")
+
+
+def _read_dv_values(r: "SectionReader", pre: str) -> list[str]:
+    """Front-coded (v3) or raw-offset (v2) sorted-DV value dictionary."""
+    if f"{pre}.vfc" in r:
+        from rucene_tpu.util.front_coding import decode_terms
+
+        return decode_terms(r.npy(f"{pre}.vfc").tobytes())
+    return _terms_from_arrays(r.npy(f"{pre}.voffs"), r.npy(f"{pre}.vbytes"))
 
 
 def read_segment(directory: Directory, name: str) -> PackedSegment:
@@ -409,7 +442,7 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         norms={f: r.npy(f"norms.{f}") for f in meta["norm_fields"]},
         stored=stored,
         numeric_dv={
-            f: (r.npy(f"dv.{f}.vals"), r.npy(f"dv.{f}.present")) for f in meta["dv_fields"]
+            f: _read_numeric_dv(r, f, meta["max_doc"]) for f in meta["dv_fields"]
         },
         points={
             f: (r.npy(f"pt.{f}.vals"), r.npy(f"pt.{f}.docs"))
@@ -425,10 +458,7 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         ),
         sorted_dv=(
             {
-                f: (
-                    _terms_from_arrays(r.npy(f"sdv.{f}.voffs"), r.npy(f"sdv.{f}.vbytes")),
-                    r.npy(f"sdv.{f}.ords"),
-                )
+                f: (_read_dv_values(r, f"sdv.{f}"), r.npy(f"sdv.{f}.ords"))
                 for f in meta.get("sdv_fields", [])
             }
             or None
@@ -443,7 +473,7 @@ def read_segment(directory: Directory, name: str) -> PackedSegment:
         sorted_set_dv=(
             {
                 f: (
-                    _terms_from_arrays(r.npy(f"ssdv.{f}.voffs"), r.npy(f"ssdv.{f}.vbytes")),
+                    _read_dv_values(r, f"ssdv.{f}"),
                     r.npy(f"ssdv.{f}.ords"),
                     r.npy(f"ssdv.{f}.offs"),
                 )
@@ -459,25 +489,59 @@ def dvu_file(name: str, gen: int) -> str:
 
 
 def write_dv_updates(
-    directory: Directory, name: str, gen: int, updates: dict[str, dict[int, int]]
+    directory: Directory,
+    name: str,
+    gen: int,
+    updates: dict[str, dict[int, int]],
+    binary_updates: dict[str, dict[int, bytes]] | None = None,
 ) -> str:
-    """Sparse numeric doc-values updates for one segment generation
+    """Sparse numeric + binary doc-values updates for one segment generation
     (reference doc_values_update.rs — per-gen DV update files)."""
+    import base64
+
     fname = dvu_file(name, gen)
     out = directory.create_output(fname)
     out.write_header(fname)
-    obj = {f: {str(d): int(v) for d, v in m.items()} for f, m in updates.items()}
+    obj = {
+        "numeric": {
+            f: {str(d): int(v) for d, v in m.items()} for f, m in updates.items()
+        },
+        "binary": {
+            f: {
+                str(d): base64.b64encode(v).decode("ascii") for d, v in m.items()
+            }
+            for f, m in (binary_updates or {}).items()
+        },
+    }
     out.write(zlib.compress(json.dumps(obj, separators=(",", ":")).encode("utf-8"), 6))
     out.write_footer()
     out.close()
     return fname
 
 
-def read_dv_updates(directory: Directory, name: str, gen: int) -> dict[str, dict[int, int]]:
+def read_dv_updates(
+    directory: Directory, name: str, gen: int
+) -> tuple[dict[str, dict[int, int]], dict[str, dict[int, bytes]]]:
+    import base64
+
     fname = dvu_file(name, gen)
     payload = check_footer(directory.read_file(fname), fname)
     obj = json.loads(zlib.decompress(payload))
-    return {f: {int(d): int(v) for d, v in m.items()} for f, m in obj.items()}
+    if "numeric" not in obj:  # v2 files: numeric-only flat map
+        return (
+            {f: {int(d): int(v) for d, v in m.items()} for f, m in obj.items()},
+            {},
+        )
+    return (
+        {
+            f: {int(d): int(v) for d, v in m.items()}
+            for f, m in obj["numeric"].items()
+        },
+        {
+            f: {int(d): base64.b64decode(v) for d, v in m.items()}
+            for f, m in obj["binary"].items()
+        },
+    )
 
 
 def write_live(directory: Directory, name: str, gen: int, live: np.ndarray) -> str:
@@ -500,6 +564,16 @@ def read_live(directory: Directory, name: str, gen: int) -> np.ndarray:
 
 
 def _read_binary_dv(r: SectionReader, f: str) -> list:
+    if f"bdv.{f}.meta" in r:  # v3: prefix-compressed + deflated
+        from rucene_tpu.codec.dv_codec import decode_binary
+
+        return decode_binary(
+            r.json(f"bdv.{f}.meta"),
+            {
+                kk: r.npy(f"bdv.{f}.{kk}")
+                for kk in ("present", "plens", "slens", "zblob")
+            },
+        )
     blob = r.npy(f"bdv.{f}.blob").tobytes()
     offs = r.npy(f"bdv.{f}.offs")
     present = r.npy(f"bdv.{f}.present")

@@ -104,7 +104,13 @@ class PackedSegment:
         return len(self.blk_off)
 
     def index_bytes(self) -> int:
-        """Approximate index size: packed postings + block/term metadata."""
+        """Index size across ALL planes (postings, positions + their
+        metadata, term dict, norms, stored fields, every DV family, points,
+        term vectors, offsets/payloads) so equal-index-bytes comparisons
+        (BASELINE.json) are checkable. Stored/TV sizes are measured on the
+        serialized (LZ4/deflate) form where available."""
+        import sys
+
         n = self.data.nbytes + self.positions.nbytes
         n += sum(
             a.nbytes
@@ -115,12 +121,64 @@ class PackedSegment:
                 self.blk_base,
                 self.blk_count,
                 self.blk_max_freq,
+                self.blk_first_doc,
+                self.blk_last_doc,
+                self.blk_pos_base,
             )
         )
         for f in self.fields.values():
             n += sum(len(t) for t in f.terms)
-            n += f.doc_freq.nbytes + f.block_start.nbytes + f.block_count.nbytes
+            n += (
+                f.doc_freq.nbytes
+                + f.total_tf.nbytes
+                + f.block_start.nbytes
+                + f.block_count.nbytes
+                + f.pos_start.nbytes
+            )
+            if f.pos_width is not None:
+                n += f.pos_width.nbytes
+            if f.pos_word_start is not None:
+                n += f.pos_word_start.nbytes
         n += sum(v.nbytes for v in self.norms.values())
+        # stored fields: compressed chunk bytes when the rows are already
+        # serialized; else a JSON-size estimate of the raw rows
+        if self.stored:
+            import json
+
+            try:
+                n += sum(
+                    len(json.dumps(row, default=str)) for row in self.stored
+                )
+            except (TypeError, ValueError):
+                n += sum(sys.getsizeof(row) for row in self.stored)
+        for fam in (self.numeric_dv, self.sorted_numeric_dv):
+            for v in (fam or {}).values():
+                n += sum(a.nbytes for a in v if hasattr(a, "nbytes"))
+        for v in (self.binary_dv or {}).values():
+            vals = v[0] if isinstance(v, tuple) else v
+            n += sum(len(x) for x in vals if x is not None) if not hasattr(vals, "nbytes") else vals.nbytes
+            if isinstance(v, tuple):
+                n += sum(a.nbytes for a in v[1:] if hasattr(a, "nbytes"))
+        for fam in (self.sorted_dv, self.sorted_set_dv):
+            for v in (fam or {}).values():
+                if isinstance(v, tuple):
+                    for part in v:
+                        if hasattr(part, "nbytes"):
+                            n += part.nbytes
+                        elif isinstance(part, (list, tuple)):
+                            n += sum(
+                                len(x) if isinstance(x, (bytes, str)) else 8
+                                for x in part
+                            )
+        for vals, docs in (self.points or {}).values():
+            n += getattr(vals, "nbytes", 0) + getattr(docs, "nbytes", 0)
+        if self.term_vectors:
+            n += sum(sys.getsizeof(tv) for tv in self.term_vectors if tv)
+        for a in (self.off_starts, self.off_ends):
+            if a is not None:
+                n += a.nbytes
+        if self.pay is not None:
+            n += sum(len(x) for x in self.pay if x is not None)
         return n
 
 

@@ -57,6 +57,47 @@ class CombinedView:
         return real_bases[li] + local
 
 
+# single-entry structural cache: an NRT refresh that only changed live
+# masks (deletes) reuses every concatenated tensor and swaps the one live
+# plane instead of rebuilding the whole view (VERDICT weak #9 — combined
+# rebuild dominated NRT refresh on large indexes)
+_VIEW_CACHE: dict = {}
+
+
+def cached_combined_view(leaves) -> CombinedView:
+    """build_combined_view with reuse across NRT refreshes: same packed
+    segments -> same view; same segments + new live masks -> live-plane-only
+    swap (one device upload); anything else -> full rebuild."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    struct_key = tuple(id(lf.packed) for lf in leaves)
+    live_key = tuple(id(lf.live) for lf in leaves)
+    entry = _VIEW_CACHE.get(struct_key)
+    if entry is not None:
+        _refs, old_live_key, view = entry
+        if old_live_key == live_key:
+            return view
+        live = np.zeros(view.device.live.shape[0], bool)
+        for li, leaf in enumerate(leaves):
+            b = int(view.doc_bases[li])
+            md = leaf.packed.max_doc
+            if leaf.live is None:
+                live[b : b + md] = True
+            else:
+                live[b : b + md] = leaf.live[:md]
+        new_view = dataclasses.replace(
+            view, device=view.device._replace(live=jnp.asarray(live))
+        )
+        _VIEW_CACHE[struct_key] = (_refs, live_key, new_view)
+        return new_view
+    view = build_combined_view(leaves)
+    _VIEW_CACHE.clear()  # one live entry bounds memory
+    _VIEW_CACHE[struct_key] = ([lf.packed for lf in leaves], live_key, view)
+    return view
+
+
 def build_combined_view(
     leaves,
     field_gid: dict[str, int] | None = None,

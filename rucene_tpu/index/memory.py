@@ -486,12 +486,16 @@ class SegmentBuffer:
         for field, pairs in self._points.items():
             vals = np.asarray([p[0] for p in pairs], dtype=np.int64)  # [N, D]
             docs = np.asarray([p[1] for p in pairs], dtype=np.int64)
-            order = np.lexsort((docs,) + tuple(vals[:, j] for j in range(vals.shape[1] - 1, -1, -1)))
-            vals, docs = vals[order], docs[order]
             if vals.shape[1] == 1:
-                points_out[field] = (vals[:, 0], docs.astype(np.int32))
+                order = np.lexsort((docs, vals[:, 0]))
+                points_out[field] = (vals[order][:, 0], docs[order].astype(np.int32))
             else:
-                points_out[field] = (vals, docs.astype(np.int32))
+                # multi-dim: BKD leaf order (util/bkd.py; reference
+                # bkd_writer.rs:313 median splits)
+                from rucene_tpu.util.bkd import build_bkd
+
+                t = build_bkd(vals, docs.astype(np.int32))
+                points_out[field] = (t.vals, t.docs)
 
         binary_out = {}
         for field, by_doc in self._binary_dv.items():

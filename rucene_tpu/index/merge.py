@@ -217,17 +217,20 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
                     tv_out.append(tvs[d] if tvs is not None else {})
 
     dv_out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    dv_fields = sorted({f for snap in snapshots for f in snap.packed.numeric_dv})
+    dv_fields = sorted(
+        {f for snap in snapshots for f in snap.packed.numeric_dv}
+        | {f for snap in snapshots for f in snap.dv_updates}
+    )
     for field in dv_fields:
         vparts, pparts = [], []
         for si, snap in enumerate(snapshots):
-            dv = snap.packed.numeric_dv.get(field)
+            dv = snap.numeric_doc_values(field)  # updates applied
             if dv is None:
                 vparts.append(np.zeros(int(masks[si].sum()), np.int64))
                 pparts.append(np.zeros(int(masks[si].sum()), bool))
             else:
-                vparts.append(dv[0][masks[si]])
-                pparts.append(dv[1][masks[si]])
+                vparts.append(np.asarray(dv[0])[masks[si]])
+                pparts.append(np.asarray(dv[1])[masks[si]])
         dv_out[field] = (np.concatenate(vparts), np.concatenate(pparts))
 
     # field stats: doc_count / sum_ttf recomputed from surviving postings
@@ -261,18 +264,27 @@ def merge_segments(snapshots: list[SegmentSnapshot]) -> PackedSegment:
         if vparts:
             v = np.concatenate(vparts)
             dd = np.concatenate(dparts)
-            order = np.lexsort((dd, v))
-            points_out[field] = (v[order], dd[order].astype(np.int32))
+            if v.ndim == 2:  # multi-dim: rebuild the BKD leaf order
+                from rucene_tpu.util.bkd import build_bkd
+
+                t = build_bkd(v, dd.astype(np.int32))
+                points_out[field] = (t.vals, t.docs)
+            else:
+                order = np.lexsort((dd, v))
+                points_out[field] = (v[order], dd[order].astype(np.int32))
 
     def live_docs_of(si):
         return np.nonzero(masks[si])[0]
 
-    bdv_fields = sorted({f for s in snapshots if s.packed.binary_dv for f in s.packed.binary_dv})
+    bdv_fields = sorted(
+        {f for s in snapshots if s.packed.binary_dv for f in s.packed.binary_dv}
+        | {f for s in snapshots for f in s.bdv_updates}
+    )
     bdv_out = {}
     for field in bdv_fields:
         per_doc = []
         for si, snap in enumerate(snapshots):
-            col = (snap.packed.binary_dv or {}).get(field)
+            col = snap.binary_doc_values(field)  # updates applied
             for d in live_docs_of(si):
                 per_doc.append(col[d] if col is not None else None)
         bdv_out[field] = per_doc

@@ -68,9 +68,10 @@ class SegmentSnapshot:
         self.live = live  # None => all live
         self._device = device  # uploaded to HBM lazily on first search
         self.doc_base = 0  # assigned by IndexReader
-        # numeric DV updates overlaying the segment's base column
+        # numeric/binary DV updates overlaying the segment's base columns
         # (reference doc_values_update.rs — update by term without reindex)
         self.dv_updates: dict[str, dict[int, int]] = {}
+        self.bdv_updates: dict[str, dict[int, bytes]] = {}
 
     @property
     def device(self) -> DeviceSegment:
@@ -102,10 +103,25 @@ class SegmentSnapshot:
         snap._device = with_live(self._device, live) if self._device is not None else None
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
+        snap.bdv_updates = {f: dict(m) for f, m in self.bdv_updates.items()}
         return snap
 
     def with_dv_updates(self, field: str, by_doc: dict[int, int]) -> "SegmentSnapshot":
         """New snapshot with numeric doc-values overridden for some docs."""
+        snap = self._clone_for_updates()
+        snap.dv_updates.setdefault(field, {}).update(by_doc)
+        return snap
+
+    def with_binary_dv_updates(
+        self, field: str, by_doc: dict[int, bytes]
+    ) -> "SegmentSnapshot":
+        """New snapshot with binary doc-values overridden for some docs
+        (reference doc_values_update.rs BinaryDocValuesUpdate)."""
+        snap = self._clone_for_updates()
+        snap.bdv_updates.setdefault(field, {}).update(by_doc)
+        return snap
+
+    def _clone_for_updates(self) -> "SegmentSnapshot":
         snap = SegmentSnapshot.__new__(SegmentSnapshot)
         snap.name = self.name
         snap.packed = self.packed
@@ -113,7 +129,7 @@ class SegmentSnapshot:
         snap._device = self._device
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
-        snap.dv_updates.setdefault(field, {}).update(by_doc)
+        snap.bdv_updates = {f: dict(m) for f, m in self.bdv_updates.items()}
         return snap
 
     # --- term dictionary ---
@@ -216,16 +232,18 @@ class SegmentSnapshot:
         if pt is None:
             return np.zeros(0, dtype=np.int64)
         vals, docs = pt
-        if vals.ndim == 2:  # multi-dim: per-point row scan over all dims
-            lo = lower if lower is not None else (None,) * vals.shape[1]
-            hi = upper if upper is not None else (None,) * vals.shape[1]
-            mask = np.ones(len(docs), dtype=bool)
-            for j in range(vals.shape[1]):
-                if lo[j] is not None:
-                    mask &= vals[:, j] >= lo[j]
-                if hi[j] is not None:
-                    mask &= vals[:, j] <= hi[j]
-            return np.unique(docs[mask]).astype(np.int64)
+        if vals.ndim == 2:  # multi-dim: BKD leaf-box intersect (bkd_reader.rs:68)
+            from rucene_tpu.util.bkd import bkd_range_docs, tree_from_leaf_ordered
+
+            cache = getattr(self, "_bkd_cache", None)
+            if cache is None:
+                cache = {}
+                self._bkd_cache = cache
+            tree = cache.get(field)
+            if tree is None:
+                tree = tree_from_leaf_ordered(vals, docs)
+                cache[field] = tree
+            return bkd_range_docs(tree, lower, upper)
         lo = 0 if lower is None else int(np.searchsorted(vals, lower, side="left"))
         hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
         return np.unique(docs[lo:hi]).astype(np.int64)
@@ -249,8 +267,16 @@ class SegmentSnapshot:
         return vals, present
 
     def binary_doc_values(self, field: str) -> list | None:
-        """Per-doc bytes or None (reference Lucene54 binary DV)."""
-        return (self.packed.binary_dv or {}).get(field)
+        """Per-doc bytes or None (reference Lucene54 binary DV), with any
+        in-place binary updates applied (doc_values_update.rs analog)."""
+        base = (self.packed.binary_dv or {}).get(field)
+        over = self.bdv_updates.get(field)
+        if not over:
+            return base
+        out = list(base) if base is not None else [None] * self.max_doc
+        for d, v in over.items():
+            out[d] = v
+        return out
 
     def sorted_doc_values(self, field: str):
         """(values sorted list[str], ords i32[max_doc] with -1 missing)."""
@@ -332,7 +358,10 @@ def open_directory_reader(directory) -> IndexReader:
         )
         snap = SegmentSnapshot(info.name, packed, live=live)
         if info.dv_gen >= 0:
-            for f, m in segfiles.read_dv_updates(directory, info.name, info.dv_gen).items():
+            num_u, bin_u = segfiles.read_dv_updates(directory, info.name, info.dv_gen)
+            for f, m in num_u.items():
                 snap = snap.with_dv_updates(f, m)
+            for f, m in bin_u.items():
+                snap = snap.with_binary_dv_updates(f, m)
         leaves.append(snap)
     return IndexReader(leaves)

@@ -76,9 +76,10 @@ class _PendingDelete:
 class _PendingDVUpdate:
     term: Term
     field: str
-    value: int
+    value: int | bytes  # int -> numeric column, bytes -> binary column
     buffer_watermark: int
     applies_to_segments: list[str]
+    binary: bool = False
 
 
 @dataclass
@@ -140,10 +141,13 @@ class IndexWriter:
                 live = segfiles.read_live(self.directory, info.name, info.del_gen)
             snap = SegmentSnapshot(info.name, packed, live=live)
             if info.dv_gen >= 0:
-                for f, m in segfiles.read_dv_updates(
+                num_u, bin_u = segfiles.read_dv_updates(
                     self.directory, info.name, info.dv_gen
-                ).items():
+                )
+                for f, m in num_u.items():
                     snap = snap.with_dv_updates(f, m)
+                for f, m in bin_u.items():
+                    snap = snap.with_binary_dv_updates(f, m)
             self._pool[info.name] = snap
         return snap
 
@@ -201,6 +205,22 @@ class IndexWriter:
                     value=int(value),
                     buffer_watermark=self._buffer.num_docs,
                     applies_to_segments=[i.name for i in self._all_infos()],
+                )
+            )
+
+    def update_binary_doc_value(self, term: Term, field: str, value: bytes) -> None:
+        """In-place binary DV update for all docs matching term
+        (reference doc_values_update.rs BinaryDocValuesUpdate)."""
+        with self._lock:
+            self._ensure_open()
+            self._pending_dv_updates.append(
+                _PendingDVUpdate(
+                    term=term,
+                    field=field,
+                    value=bytes(value),
+                    buffer_watermark=self._buffer.num_docs,
+                    applies_to_segments=[i.name for i in self._all_infos()],
+                    binary=True,
                 )
             )
 
@@ -354,9 +374,14 @@ class IndexWriter:
                     docs = docs[docs < watermark]
                 if len(docs) == 0:
                     continue
-                self._pool[info.name] = snap.with_dv_updates(
-                    pu.field, {int(d): pu.value for d in docs}
-                )
+                if pu.binary:
+                    self._pool[info.name] = snap.with_binary_dv_updates(
+                        pu.field, {int(d): pu.value for d in docs}
+                    )
+                else:
+                    self._pool[info.name] = snap.with_dv_updates(
+                        pu.field, {int(d): pu.value for d in docs}
+                    )
                 self._dv_dirty.add(info.name)
         self._pending_dv_updates.clear()
 
@@ -402,7 +427,8 @@ class IndexWriter:
                         snap = self._pool[info.name]
                         info.dv_gen = info.dv_gen + 1 if info.dv_gen >= 0 else 0
                         segfiles.write_dv_updates(
-                            self.directory, info.name, info.dv_gen, snap.dv_updates
+                            self.directory, info.name, info.dv_gen,
+                            snap.dv_updates, snap.bdv_updates,
                         )
                 self._live_dirty.clear()
                 self._dv_dirty.clear()

@@ -94,16 +94,17 @@ def _decode_ef_values(
         (uw[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
     ).astype(jnp.int32)
     b384 = bits.reshape(*uw.shape[:-1], EF_UNARY_WORDS * 32)  # [..., 384]
-    cum = jnp.cumsum(b384, axis=-1)  # running rank, 0..128
-    # histogram of ranks over ALL 384 positions: select_i (position of the
-    # (i+1)-th one) = #positions with rank <= i = cumsum(cnt)[i]
+    cum = jnp.cumsum(b384, axis=-1)  # running rank, 0..128 (sorted per row)
+    # select_i (position of the (i+1)-th one) = #positions with rank <= i:
+    # cum is non-decreasing, so this is a batched binary search — no
+    # scatter (a [.., 129]-bin scatter-histogram costs ~27ns/update on TPU,
+    # ~0.6s at a 64K-item work list; searchsorted is 9 gather steps)
     lead = b384.shape[:-1]
     cum2 = cum.reshape(-1, EF_UNARY_WORDS * 32)
-    rows = jnp.arange(cum2.shape[0], dtype=jnp.int32)[:, None]
-    cnt = jnp.zeros((cum2.shape[0], BLOCK_SIZE + 1), jnp.int32).at[
-        rows, jnp.clip(cum2, 0, BLOCK_SIZE)
-    ].add(1, mode="drop")
-    select = jnp.cumsum(cnt, axis=-1)[:, :BLOCK_SIZE].reshape(*lead, BLOCK_SIZE)
+    targets = jnp.arange(BLOCK_SIZE, dtype=cum2.dtype)
+    select = jax.vmap(
+        lambda c: jnp.searchsorted(c, targets, side="right")
+    )(cum2).astype(jnp.int32).reshape(*lead, BLOCK_SIZE)
     hi = select - jnp.arange(BLOCK_SIZE, dtype=jnp.int32)
     return (hi << l[..., None]) + low
 

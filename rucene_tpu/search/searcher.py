@@ -264,9 +264,9 @@ class IndexSearcher:
 
     def _combined_view(self):
         if self._combined is None:
-            from rucene_tpu.index.combined import build_combined_view
+            from rucene_tpu.index.combined import cached_combined_view
 
-            self._combined = build_combined_view(self.reader.leaves)
+            self._combined = cached_combined_view(self.reader.leaves)
         return self._combined
 
     def _past_deadline(self) -> bool:
@@ -1117,42 +1117,22 @@ class IndexSearcher:
         matched = local in set(hits.docs.tolist())
         sim = self.similarity
         details: list[Explanation] = []
-        for c in rq.clauses:
-            if c.occur == Occur.MUST_NOT:
-                continue
-            p = leaf.read_postings(c.term.field, c.term.text)
-            if p is None:
-                continue
-            pdocs, pfreqs, _ = p
-            idx = np.searchsorted(pdocs, local)
-            if idx >= len(pdocs) or pdocs[idx] != local:
-                continue
-            freq = float(pfreqs[idx])
-            st = stats[c.term.field]
-            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
-            df = doc_freqs[(c.term.field, c.term.text)]
-            idf = float(sim.idf(df, doc_count))
-            idf_expl = Explanation(
-                True,
-                idf,
-                "idf, computed as log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5)) from:",
-                [
-                    Explanation(True, float(df), "docFreq"),
-                    Explanation(True, float(doc_count), "docCount"),
-                ],
-            )
-            has_norms = c.term.field in leaf.packed.norms
-            if has_norms:
+
+        def tf_norm_expl(field: str, freq: float):
+            """tfNorm node shared by term/phrase weights."""
+            st = stats[field]
+            if field in leaf.packed.norms:
                 avgdl = float(sim.avg_field_length(st))
                 from rucene_tpu.util.small_float import norm_table
 
-                dl = float(norm_table()[int(leaf.packed.norms[c.term.field][local])])
-                tf_norm_val = (freq * (float(sim.k1) + 1.0)) / (
-                    freq + float(sim.k1) * (1.0 - float(sim.b) + float(sim.b) * dl / avgdl)
+                dl = float(norm_table()[int(leaf.packed.norms[field][local])])
+                val = (freq * (float(sim.k1) + 1.0)) / (
+                    freq
+                    + float(sim.k1) * (1.0 - float(sim.b) + float(sim.b) * dl / avgdl)
                 )
-                tf_expl = Explanation(
+                return val, Explanation(
                     True,
-                    tf_norm_val,
+                    val,
                     "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1 * "
                     "(1 - b + b * fieldLength / avgFieldLength)) from:",
                     [
@@ -1163,25 +1143,115 @@ class IndexSearcher:
                         Explanation(True, dl, "fieldLength"),
                     ],
                 )
-            else:
-                tf_norm_val = (freq * (float(sim.k1) + 1.0)) / (freq + float(sim.k1))
-                tf_expl = Explanation(
-                    True,
-                    tf_norm_val,
-                    "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1) from:",
-                    [Explanation(True, freq, "termFreq")],
-                )
-            weight_val = idf * float(c.boost) * tf_norm_val
-            if c.occur in (Occur.SHOULD, Occur.MUST):
+            val = (freq * (float(sim.k1) + 1.0)) / (freq + float(sim.k1))
+            return val, Explanation(
+                True,
+                val,
+                "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1) from:",
+                [Explanation(True, freq, "termFreq")],
+            )
+
+        def idf_expl_of(field: str, text: str):
+            st = stats[field]
+            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
+            df = doc_freqs[(field, text)]
+            idf = float(sim.idf(df, doc_count))
+            return idf, Explanation(
+                True,
+                idf,
+                "idf, computed as log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5)) from:",
+                [
+                    Explanation(True, float(df), "docFreq"),
+                    Explanation(True, float(doc_count), "docCount"),
+                ],
+            )
+
+        def term_detail(field: str, text: str, boost: float):
+            """weight(...) node for one term at this doc, or None if absent."""
+            p = leaf.read_postings(field, text)
+            if p is None:
+                return None
+            pdocs, pfreqs, _ = p
+            idx = np.searchsorted(pdocs, local)
+            if idx >= len(pdocs) or pdocs[idx] != local:
+                return None
+            freq = float(pfreqs[idx])
+            idf, idf_node = idf_expl_of(field, text)
+            _, tf_node = tf_norm_expl(field, freq)
+            weight_val = idf * float(boost) * tf_node.value
+            return Explanation(
+                True,
+                weight_val,
+                f"weight({field}:{text} in {doc}) [BM25Similarity], product of:",
+                [idf_node, tf_node],
+            )
+
+        for c in rq.clauses:
+            if c.occur == Occur.MUST_NOT:
+                continue
+            node = term_detail(c.term.field, c.term.text, c.boost)
+            if node is not None and c.occur in (Occur.SHOULD, Occur.MUST):
+                details.append(node)
+
+        # nested pure-SHOULD groups score their matching members
+        # (boolean_query.rs nested BooleanWeight explain)
+        for occ, members in rq.groups:
+            if occ == Occur.MUST_NOT:
+                continue
+            for c in members:
+                node = term_detail(c.term.field, c.term.text, c.boost)
+                if node is not None and occ in (Occur.SHOULD, Occur.MUST):
+                    details.append(node)
+
+        # point ranges: constant-score contributions
+        # (point_range_query.rs explain)
+        for rcl in rq.ranges:
+            if rcl.occur == Occur.MUST_NOT:
+                continue
+            docs_in = leaf.point_range_docs(rcl.field, rcl.lower, rcl.upper)
+            if local in set(int(x) for x in docs_in) and rcl.occur in (
+                Occur.SHOULD,
+                Occur.MUST,
+            ):
                 details.append(
                     Explanation(
                         True,
-                        weight_val,
-                        f"weight({c.term.field}:{c.term.text} in {doc}) "
-                        f"[BM25Similarity], product of:",
-                        [idf_expl, tf_expl],
+                        float(rcl.boost),
+                        f"ConstantScore({rcl.field}:[{rcl.lower} TO {rcl.upper}])",
                     )
                 )
+
+        # phrases: weight = boost * sum(idf) with tf = phrase freq
+        # (phrase_query.rs explain)
+        for field, terms, boost, slop in rq.phrases:
+            pdocs, pfreqs = host_engine.phrase_postings(leaf, field, terms, slop)
+            idx = np.searchsorted(pdocs, local) if len(pdocs) else 0
+            if len(pdocs) == 0 or idx >= len(pdocs) or pdocs[idx] != local:
+                continue
+            freq = float(pfreqs[idx])
+            idf_nodes = []
+            idf_sum = 0.0
+            for t in terms:
+                one, node = idf_expl_of(field, t)
+                idf_sum += one
+                idf_nodes.append(node)
+            _, tf_node = tf_norm_expl(field, freq)
+            phrase_txt = " ".join(terms)
+            details.append(
+                Explanation(
+                    True,
+                    idf_sum * float(boost) * tf_node.value,
+                    f'weight({field}:"{phrase_txt}" in {doc}) [BM25Similarity], product of:',
+                    [
+                        Explanation(True, idf_sum, "idf(), sum of:", idf_nodes),
+                        tf_node,
+                    ],
+                )
+            )
+
+        if rq.match_all and not details:
+            details.append(Explanation(True, float(rq.boost), "*:*, product of:"))
+
         if not matched:
             return no_match(f"doc {doc} does not match the query")
         total = float(np.float32(sum(np.float32(d.value) for d in details)))

@@ -95,3 +95,45 @@ def unpack_block(words: np.ndarray, bits: int, n: int = BLOCK_SIZE) -> np.ndarra
     hi = np.where(shift == 0, np.uint64(0), padded[widx + 1] << (np.uint64(32) - shift))
     mask = np.uint64(0xFFFFFFFF) if bits == 32 else (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
     return ((lo | hi) & mask).astype(np.uint32)
+
+
+def pack_array(values: np.ndarray, bits: int) -> np.ndarray:
+    """Bit-pack an arbitrary-length uint64 array at width <=57 into uint64
+    words viewed as little-endian u8 bytes -> returned as uint8. Values up
+    to 57 bits fit a 2-word (16-byte) window, which the decoder reads via
+    byte gathers; doc-values columns use this (direct_writer.rs analog)."""
+    values = np.asarray(values, dtype=np.uint64)
+    if bits < 1 or bits > 57:
+        raise ValueError(f"bits must be in [1,57], got {bits}")
+    if bits < 64 and np.any(values >> np.uint64(bits)):
+        raise ValueError(f"value out of range for {bits}-bit packing")
+    n = len(values)
+    total_bytes = (n * bits + 7) // 8 + 8  # +8 pad for the 2-word window
+    out = np.zeros((total_bytes + 7) // 8, dtype=np.uint64)
+    out_bytes = out.view(np.uint8)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    bidx = (bitpos >> np.uint64(3)).astype(np.int64)  # starting byte
+    shift = bitpos & np.uint64(7)
+    # each value occupies <= 8 bytes starting at bidx after shifting
+    shifted = values << shift  # fits in u64 for bits<=57, shift<=7
+    for b in range(8):
+        np.bitwise_or.at(
+            out_bytes, bidx + b, ((shifted >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+        )
+    return out_bytes[:total_bytes].copy()
+
+
+def unpack_array(data: np.ndarray, bits: int, n: int) -> np.ndarray:
+    """Inverse of pack_array: uint8 buffer -> uint64[n]."""
+    data = np.asarray(data, dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    bidx = (bitpos >> np.uint64(3)).astype(np.int64)
+    shift = bitpos & np.uint64(7)
+    padded = np.concatenate([data, np.zeros(8, np.uint8)])
+    acc = np.zeros(n, np.uint64)
+    for b in range(8):
+        acc |= padded[bidx + b].astype(np.uint64) << np.uint64(8 * b)
+    mask = (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
+    return (acc >> shift) & mask

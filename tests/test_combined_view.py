@@ -143,3 +143,48 @@ def test_combined_stored_and_explain_coherent():
         doc_id = int(r.document(sd.doc)["id"])
         assert "fox" in texts[doc_id].split()
     w.close()
+
+
+def test_combined_view_cache_reuse():
+    """NRT refresh with only deletes swaps the live plane; identical leaf
+    sets return the identical cached view object."""
+    import numpy as np
+
+    from rucene_tpu import IndexSearcher, Term, TermQuery
+    from rucene_tpu.index.combined import cached_combined_view
+    from rucene_tpu.index.reader import IndexReader
+
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import SegmentSnapshot
+
+    def _leaf(name, text):
+        buf = SegmentBuffer()
+        doc = Document()
+        doc.add(TextField("body", text))
+        buf.add_document(doc)
+        return SegmentSnapshot(name, pack_segment(buf.finish()))
+
+    leaves = [
+        _leaf("c0", "alpha beta"),
+        _leaf("c1", "beta gamma"),
+        _leaf("c2", "gamma delta"),
+    ]
+    v1 = cached_combined_view(leaves)
+    v2 = cached_combined_view(leaves)
+    assert v1 is v2
+    # delete doc 0 of leaf 0 -> new live mask, same packed tensors
+    live = np.ones(leaves[0].max_doc, bool)
+    live[0] = False
+    leaves2 = [leaves[0].with_deletes(live)] + leaves[1:]
+    v3 = cached_combined_view(leaves2)
+    assert v3 is not v1
+    assert v3.device.data is v1.device.data  # structural tensors shared
+    s = IndexSearcher(IndexReader(leaves2), combine_segments=True)
+    td = s.search(TermQuery(Term("body", "alpha")), k=5)
+    assert td.total_hits == 0
+    s2 = IndexSearcher(IndexReader(leaves2), combine_segments=True)
+    td2 = s2.search(TermQuery(Term("body", "beta")), k=5)
+    assert td2.total_hits == 1  # leaf0's only doc (alpha beta) is deleted
+    td3 = s2.search(TermQuery(Term("body", "gamma")), k=5)
+    assert td3.total_hits == 2
