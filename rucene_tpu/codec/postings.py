@@ -324,6 +324,10 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         use_ef = (blk_count == BLOCK_SIZE) & (
             4 * ef_l + EF_UNARY_WORDS < 4 * blk_doc_bits.astype(np.int64)
         )
+        import os
+
+        if os.environ.get("RUCENE_NO_EF") == "1":  # FOR-only (A/B + debug)
+            use_ef[:] = False
         blk_doc_bits = np.where(use_ef, EF_TAG + ef_l, blk_doc_bits).astype(np.int32)
 
         # word layout: [doc plane | freq words | ceil(count/4) norm words]

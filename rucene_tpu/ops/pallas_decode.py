@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rucene_tpu.util.packing import EF_TAG, EF_UNARY_WORDS
+
 BLOCK = 128
 WIN_ROWS = 16  # 16 rows x 128 words = 2048-word window (two 1024 tiles)
 G = 8  # work items per program
@@ -85,19 +87,57 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
             )
             return ((lo | hi) & mask).astype(jnp.int32)
 
+        def prefix_sum(col):
+            # inclusive prefix sum: 7 shift-add steps (no cumsum in Mosaic);
+            # rolled-in tail entries are masked off by lane index
+            acc = col
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                rolled = pltpu.roll(acc, shift=s, axis=0)
+                acc = acc + jnp.where(lane >= s, rolled, 0)
+            return acc
+
         db = dbits_ref[i]
-        deltas = extract(db, 0)
-        # inclusive prefix sum: 7 shift-add steps (no cumsum in Mosaic);
-        # rolled-in tail entries are masked off by lane index
-        acc = deltas
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            rolled = pltpu.roll(acc, shift=s, axis=0)
-            acc = acc + jnp.where(lane >= s, rolled, 0)
-        docs_ref[g, :] = (base_ref[i] + acc)[:, 0]
+        is_ef = db >= EF_TAG
+        l_ef = jnp.maximum(db - EF_TAG, 0)
+        dwords = jnp.where(is_ef, 4 * l_ef + EF_UNARY_WORDS, 4 * db)
+
+        def docs_for(_):
+            deltas = extract(db, 0)
+            return prefix_sum(deltas)
+
+        def docs_ef(_):
+            # Elias-Fano plane: low bits FOR-packed at width l, high bits a
+            # 384-bit unary stream. select_i (position of the i-th one) is
+            # recovered transpose-free: per 128-bit row r, compare the
+            # running rank column against a target iota ([128,128], lanes =
+            # targets), reduce over positions, then row->column via an
+            # identity mask (Mosaic has no cheap vector transpose).
+            low = extract(l_ef, 0)  # [128,1]; l==0 -> zeros
+            ubase = 4 * l_ef
+            sel_row = jnp.zeros((1, BLOCK), jnp.int32)
+            off_r = jnp.int32(0)
+            for r in range(3):  # 3 rows x 128 bits = the 384-bit plane
+                widx = local + ubase + r * 4 + (lane >> 5)
+                w_r = fetch(widx)  # [128,1] uint32
+                bit_r = ((w_r >> (lane & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+                cum_r = prefix_sum(bit_r) + off_r  # global rank at each position
+                m_r = (col_iota >= cum_r).astype(jnp.int32)  # [pos, target]
+                sel_row = sel_row + jnp.sum(m_r, axis=0, keepdims=True)
+                off_r = jnp.max(cum_r)  # running total of ones so far
+            # row [1,128] -> column [128,1] via the identity mask
+            ident = (col_iota == lane).astype(jnp.int32)
+            sel_col = jnp.sum(
+                ident * jnp.broadcast_to(sel_row, (BLOCK, BLOCK)), axis=1, keepdims=True
+            )
+            hi = sel_col - lane
+            return (hi << l_ef) + low
+
+        vcol = jax.lax.cond(is_ef, docs_ef, docs_for, None)
+        docs_ref[g, :] = (base_ref[i] + vcol)[:, 0]
         fb = fbits_ref[i]
-        freqs_ref[g, :] = extract(fb, 4 * db)[:, 0]
+        freqs_ref[g, :] = extract(fb, dwords)[:, 0]
         # inline norm-byte plane: 32 fixed-width words after the freqs
-        norms_ref[g, :] = extract(jnp.int32(8), 4 * (db + fb))[:, 0]
+        norms_ref[g, :] = extract(jnp.int32(8), dwords + 4 * fb)[:, 0]
 
 
 from functools import partial

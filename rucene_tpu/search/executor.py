@@ -83,10 +83,11 @@ def decode_score_lanes(
     has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shared prologue: gather + unpack each work item's block and score
-    every posting lane with BM25. has_ef (STATIC) = the work list touches
-    Elias-Fano-encoded blocks; the Mosaic kernel is FOR-only, so EF work
-    lists take the XLA decode. Returns (target i32[W,128] — doc id or
-    md+1 for invalid lanes, rows i32[W,1], sc f32[W,128], valid bool[W,128])."""
+    every posting lane with BM25. has_ef (STATIC) marks work lists that
+    touch Elias-Fano-encoded blocks — the XLA path specializes on it; the
+    Mosaic kernel branches per item (lax.cond) so it takes every list.
+    Returns (target i32[W,128] — doc id or md+1 for invalid lanes,
+    rows i32[W,1], sc f32[W,128], valid bool[W,128])."""
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
 
@@ -97,7 +98,7 @@ def decode_score_lanes(
     base = dev.blk_base[blk]
     cnt = jnp.where(q.wi_valid, dev.blk_count[blk], 0)
 
-    if use_pallas and not has_ef:
+    if use_pallas:
         from rucene_tpu.ops.decode import INVALID_DOC
         from rucene_tpu.ops.pallas_decode import decode_work_items_pallas
 

@@ -17,21 +17,26 @@ from tests.conftest import make_docs, random_corpus
 def test_pallas_decode_matches_xla():
     rng = np.random.default_rng(31)
     texts = random_corpus(rng, 400)
+    # skewed hot term -> guarantees Elias-Fano blocks (incl. near the
+    # window edge): present in two dense runs separated by a long gap
+    texts = [
+        t + (" efhot" if (i < 70 or 330 <= i < 390) else "")
+        for i, t in enumerate(texts)
+    ]
     buf = SegmentBuffer()
     for d in make_docs(texts):
         buf.add_document(d)
     packed = pack_segment(buf.finish())
     dev = build_device_segment(packed)
 
-    # the Mosaic kernel's contract is FOR blocks only — EF work lists are
-    # routed to the XLA decode by decode_score_lanes (has_ef), so restrict
-    # the comparison to FOR blocks
+    # the kernel branches per item on the encoding (lax.cond), so the
+    # comparison covers EVERY block — FOR and EF alike
     from rucene_tpu.util.packing import EF_TAG
 
-    for_blocks = np.flatnonzero(np.asarray(packed.blk_doc_bits) < EF_TAG)
-    nb = len(for_blocks)
+    assert (np.asarray(packed.blk_doc_bits) >= EF_TAG).any()
+    nb = packed.num_blocks
     w = ((nb + G - 1) // G) * G
-    idx = for_blocks[np.arange(w) % nb]  # pad by repeating valid blocks
+    idx = np.arange(w) % nb  # pad by repeating valid blocks
     off = jnp.asarray(np.asarray(dev.blk_off)[idx])
     dbits = jnp.asarray(np.asarray(dev.blk_doc_bits)[idx])
     fbits = jnp.asarray(np.asarray(dev.blk_freq_bits)[idx])
@@ -42,7 +47,7 @@ def test_pallas_decode_matches_xla():
     p_docs, p_freqs, p_norms = decode_work_items_pallas(
         data2d, off, dbits, fbits, base, interpret=True
     )
-    x_docs, x_valid = xdec.decode_doc_blocks(dev.data, off, dbits, base, cnt)
+    x_docs, x_valid = xdec.decode_doc_blocks(dev.data, off, dbits, base, cnt, has_ef=True)
     x_freqs = xdec.decode_freq_blocks(dev.data, off, dbits, fbits, x_valid)
     x_norms = xdec.decode_norm_blocks(dev.data, off, dbits, fbits, x_valid)
 
