@@ -592,6 +592,10 @@ class SegmentCommitInfo:
     del_gen: int = -1  # -1 => no deletes
     del_count: int = 0
     dv_gen: int = -1  # -1 => no doc-values updates
+    # lightweight shape metadata (num_blocks/data_words/pos_words/fields):
+    # lets a multi-host process compute every shard's padded array shapes
+    # WITHOUT reading unowned .seg files (parallel/sharded.py partial load)
+    dims: dict | None = None
 
     def files(self) -> list[str]:
         out = [segment_file(self.name)]
@@ -625,7 +629,9 @@ class SegmentInfos:
             version=self.version,
             generation=self.generation,
             segments=[
-                SegmentCommitInfo(s.name, s.max_doc, s.del_gen, s.del_count, s.dv_gen)
+                SegmentCommitInfo(
+                    s.name, s.max_doc, s.del_gen, s.del_count, s.dv_gen, s.dims
+                )
                 for s in self.segments
             ],
         )
@@ -654,6 +660,7 @@ def write_segments_file(directory: Directory, infos: SegmentInfos) -> str:
                 "del_gen": s.del_gen,
                 "del_count": s.del_count,
                 "dv_gen": s.dv_gen,
+                "dims": s.dims,
             }
             for s in infos.segments
         ],
@@ -683,6 +690,21 @@ def latest_segments_gen(directory: Directory) -> int:
     return max(gens, default=-1)
 
 
+def packed_dims(packed: PackedSegment) -> dict:
+    """SegmentCommitInfo.dims for a packed segment: the shape + stats
+    metadata a multi-host process needs about segments it does NOT load."""
+    return {
+        "num_blocks": int(packed.num_blocks),
+        "data_words": int(len(packed.data)),
+        "pos_words": int(len(packed.positions)),
+        "fields": sorted(packed.fields),
+        "stats": {
+            f: [int(st.doc_count), int(st.sum_total_term_freq), int(st.sum_doc_freq)]
+            for f, st in packed.stats.items()
+        },
+    }
+
+
 def read_segments_file(directory: Directory) -> SegmentInfos:
     gen = latest_segments_gen(directory)
     if gen < 0:
@@ -695,7 +717,8 @@ def read_segments_file(directory: Directory) -> SegmentInfos:
         generation=obj["generation"],
         segments=[
             SegmentCommitInfo(
-                s["name"], s["max_doc"], s["del_gen"], s["del_count"], s.get("dv_gen", -1)
+                s["name"], s["max_doc"], s["del_gen"], s["del_count"],
+                s.get("dv_gen", -1), s.get("dims"),
             )
             for s in obj["segments"]
         ],

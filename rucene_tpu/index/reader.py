@@ -343,25 +343,32 @@ class IndexReader:
         raise IndexError(f"doc {doc} out of range")
 
 
+def load_segment_snapshot(directory, info) -> SegmentSnapshot:
+    """Load one committed segment (+ live gen + DV-update gen) as a
+    snapshot. Shared by directory readers and multi-host partial loading."""
+    from rucene_tpu.codec import files as segfiles
+
+    packed = segfiles.read_segment(directory, info.name)
+    live = (
+        segfiles.read_live(directory, info.name, info.del_gen)
+        if info.del_gen >= 0
+        else None
+    )
+    snap = SegmentSnapshot(info.name, packed, live=live)
+    if info.dv_gen >= 0:
+        num_u, bin_u = segfiles.read_dv_updates(directory, info.name, info.dv_gen)
+        for f, m in num_u.items():
+            snap = snap.with_dv_updates(f, m)
+        for f, m in bin_u.items():
+            snap = snap.with_binary_dv_updates(f, m)
+    return snap
+
+
 def open_directory_reader(directory) -> IndexReader:
     """Open the latest commit (reference directory_reader.rs:62)."""
     from rucene_tpu.codec import files as segfiles
 
     infos = segfiles.read_segments_file(directory)
-    leaves = []
-    for info in infos.segments:
-        packed = segfiles.read_segment(directory, info.name)
-        live = (
-            segfiles.read_live(directory, info.name, info.del_gen)
-            if info.del_gen >= 0
-            else None
-        )
-        snap = SegmentSnapshot(info.name, packed, live=live)
-        if info.dv_gen >= 0:
-            num_u, bin_u = segfiles.read_dv_updates(directory, info.name, info.dv_gen)
-            for f, m in num_u.items():
-                snap = snap.with_dv_updates(f, m)
-            for f, m in bin_u.items():
-                snap = snap.with_binary_dv_updates(f, m)
-        leaves.append(snap)
-    return IndexReader(leaves)
+    return IndexReader(
+        [load_segment_snapshot(directory, info) for info in infos.segments]
+    )

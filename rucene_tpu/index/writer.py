@@ -295,7 +295,9 @@ class IndexWriter:
         segfiles.write_segment(self.directory, name, packed)
         snap = SegmentSnapshot(name, packed)
         self._pool[name] = snap
-        info = SegmentCommitInfo(name=name, max_doc=packed.max_doc)
+        info = SegmentCommitInfo(
+            name=name, max_doc=packed.max_doc, dims=segfiles.packed_dims(packed)
+        )
         self._uncommitted.append(info)
         self._buffer = SegmentBuffer(self.config.analyzer)
         # pending deletes/updates may also target the freshly flushed segment
@@ -401,7 +403,12 @@ class IndexWriter:
             self._infos.counter += 1
             segfiles.write_segment(self.directory, name, packed)
             self._pool[name] = SegmentSnapshot(name, packed)
-            self._uncommitted.append(SegmentCommitInfo(name=name, max_doc=packed.max_doc))
+            self._uncommitted.append(
+                SegmentCommitInfo(
+                    name=name, max_doc=packed.max_doc,
+                    dims=segfiles.packed_dims(packed),
+                )
+            )
 
     def flush(self) -> None:
         with self._lock:
@@ -595,7 +602,10 @@ class IndexWriter:
         all_dead = merged.max_doc == 0  # fully-deleted inputs: drop, no output
         new_info = None
         if not all_dead:
-            new_info = SegmentCommitInfo(name=reg.new_name, max_doc=merged.max_doc)
+            new_info = SegmentCommitInfo(
+                name=reg.new_name, max_doc=merged.max_doc,
+                dims=segfiles.packed_dims(merged),
+            )
             new_snap = SegmentSnapshot(reg.new_name, merged)
             # remap updates that arrived during the merge: merged layout is
             # the concatenation of each input's live docs in order
@@ -699,7 +709,10 @@ class IndexWriter:
                 new_name = _seg_name(self._infos.counter)
                 self._infos.counter += 1
                 segfiles.write_segment(self.directory, new_name, merged)
-                new_info = SegmentCommitInfo(name=new_name, max_doc=merged.max_doc)
+                new_info = SegmentCommitInfo(
+                    name=new_name, max_doc=merged.max_doc,
+                    dims=segfiles.packed_dims(merged),
+                )
                 self._pool[new_name] = SegmentSnapshot(new_name, merged)
                 self._infos.segments = [
                     new_info if i.name == name else i for i in self._infos.segments

@@ -53,18 +53,38 @@ def initialize(
 def make_pod_mesh(
     shards_per_host: int | None = None,
     devices=None,
+    partition: str = "replicated",
 ) -> Mesh:
-    """Mesh over ALL devices of the (possibly multi-process) runtime with
-    "shard" laid out within each host and "dp" across hosts.
+    """Mesh over ALL devices of the (possibly multi-process) runtime.
+
+    partition="replicated" (small index, max QPS): "shard" within each
+    host's ICI domain, "dp" across hosts — every host holds the whole
+    index, zero DCN traffic on the hot path.
+
+    partition="index" (big index, partial loading): "shard" ACROSS hosts —
+    each host loads only its segment groups (ShardedIndex.from_directory);
+    the per-query DCN traffic is the [S, B, k] top-k all_gather, which is
+    tiny, so the slow-axis rule still holds (the heavy postings arrays
+    never cross hosts).
 
     jax.devices() orders devices by process, so reshaping to
-    (n_hosts, devices_per_host) puts each row on one host's ICI domain;
-    transposing gives ("shard" fastest within host, "dp" across)."""
+    (n_hosts, devices_per_host) puts each row on one host's ICI domain."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     procs = sorted({getattr(d, "process_index", 0) for d in devices})
     n_hosts = len(procs)
     per_host = n // n_hosts
+    if partition == "index":
+        # rows = hosts (optionally several shard rows per host)
+        shards_per_host = shards_per_host or 1
+        dp_within = per_host // shards_per_host
+        if per_host % shards_per_host:
+            raise ValueError(
+                f"{per_host} devices/host not divisible by "
+                f"shards_per_host={shards_per_host}"
+            )
+        grid = np.asarray(devices).reshape(n_hosts * shards_per_host, dp_within)
+        return Mesh(grid, axis_names=("shard", "dp"))
     if shards_per_host is None:
         shards_per_host = per_host
     if per_host % shards_per_host:

@@ -116,6 +116,55 @@ def _pad_host_segment(seg: DeviceSegment, nbp, wp, mdp, npp) -> DeviceSegment:
     )
 
 
+def _global_stack(mesh: Mesh, s: int, tail: tuple, block_fn) -> jax.Array:
+    """Assemble a global (S, *tail) array sharded P("shard") from per-shard
+    host blocks, providing only this process's addressable shards
+    (jax.make_array_from_single_device_arrays) — the multi-host-safe
+    device_put."""
+    spec = NamedSharding(mesh, P("shard"))
+    gshape = (s,) + tuple(tail)
+    grid = np.asarray(mesh.devices)
+    pid = jax.process_index()
+    arrays = []
+    for si in range(s):
+        blk = None
+        for d in grid[si].flat:
+            if getattr(d, "process_index", 0) != pid:
+                continue
+            if blk is None:
+                blk = np.asarray(block_fn(si))[None]
+            arrays.append(jax.device_put(blk, d))
+    return jax.make_array_from_single_device_arrays(gshape, spec, arrays)
+
+
+def _global_cells(mesh: Mesh, host: np.ndarray) -> jax.Array:
+    """Global (S, DP, ...) array sharded P("shard", "dp") from a host
+    array every process computed for (at least) its own cells."""
+    spec = NamedSharding(mesh, P("shard", "dp"))
+    grid = np.asarray(mesh.devices)
+    pid = jax.process_index()
+    arrays = []
+    for si in range(grid.shape[0]):
+        for dj in range(grid.shape[1]):
+            d = grid[si, dj]
+            if getattr(d, "process_index", 0) != pid:
+                continue
+            arrays.append(jax.device_put(host[si : si + 1, dj : dj + 1], d))
+    return jax.make_array_from_single_device_arrays(host.shape, spec, arrays)
+
+
+def _host_rows(garr: jax.Array) -> np.ndarray:
+    """Reassemble a P("dp")-sharded output from this process's addressable
+    shards (dp lives within the host, so every row is locally present)."""
+    shards = sorted(garr.addressable_shards, key=lambda sh: sh.index[0].start or 0)
+    rows: dict[int, np.ndarray] = {}
+    for sh in shards:
+        start = sh.index[0].start or 0
+        rows[start] = np.asarray(sh.data)
+    ordered = [rows[k2] for k2 in sorted(rows)]
+    return np.concatenate(ordered, axis=0)
+
+
 class ShardedIndex:
     """Segments partitioned into <= S contiguous groups; each group is one
     combined view (index/combined.py) stacked on a leading shard axis and
@@ -125,6 +174,8 @@ class ShardedIndex:
     def __init__(self, mesh: Mesh, reader: IndexReader):
         self.mesh = mesh
         self.reader = reader
+        self.partial = False
+        self.global_stats = None
         s = mesh.shape["shard"]
         leaves = list(reader.leaves)
         if not leaves:
@@ -180,11 +231,172 @@ class ShardedIndex:
         local = shard_docs % self.stride
         for g in range(len(self.views)):
             m = si == g
-            if m.any():
+            if not m.any():
+                continue
+            if self.views[g] is not None:
                 out[m] = self.views[g].map_docs(local[m], self.groups[g])
+            elif self.partial and g < len(self._meta_doc_map):
+                pads, reals, _maxds = self._meta_doc_map[g]
+                li = np.clip(np.searchsorted(pads, local[m], side="right") - 1, 0, len(pads) - 1)
+                out[m] = reals[li] + (local[m] - pads[li])
+            else:
+                raise ValueError(f"doc id from unloaded shard {g}")
         if (si >= len(self.views)).any():
             raise ValueError("doc id from a filler shard")
         return out
+
+    # ---------- multi-host partial loading ----------
+
+    @classmethod
+    def from_directory(cls, mesh: Mesh, directory, owned_shards=None):
+        """Open a committed index with each process loading ONLY the
+        segment groups whose shard rows live on its local devices — the
+        pod-scale path where the index does not fit one host. Requires the
+        commit to carry per-segment dims metadata (segments written by this
+        codebase's writer do; legacy commits fall back to a full load).
+
+        Layout note: for partial loading the "shard" axis should span
+        hosts (each host holds a slice of the corpus); the only cross-host
+        traffic is the [S, B, k] top-k all_gather — tiny, so DCN is fine
+        (scaling-book rule: the heavy arrays never move)."""
+        from rucene_tpu.codec import files as segfiles
+        from rucene_tpu.index.combined import build_combined_view
+        from rucene_tpu.index.reader import (
+            load_segment_snapshot,
+            open_directory_reader,
+        )
+        from rucene_tpu.search.similarity import CollectionStats
+        from rucene_tpu.util import round_up
+
+        infos = segfiles.read_segments_file(directory)
+        if not infos.segments:
+            raise ValueError("cannot shard an empty index")
+        if any(i.dims is None for i in infos.segments):
+            return cls(mesh, open_directory_reader(directory))  # legacy
+        s = mesh.shape["shard"]
+        groups_meta = _partition_leaves(infos.segments, s)
+        grid = np.asarray(mesh.devices)
+        pid = jax.process_index()
+        if owned_shards is None:
+            owned = {
+                si
+                for si in range(len(groups_meta))
+                if any(d.process_index == pid for d in grid[si].flat)
+            }
+        else:
+            owned = set(owned_shards) & set(range(len(groups_meta)))
+
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.partial = True
+        self.owned = owned
+        self.reader = None
+        self.n_shards = s
+
+        # global field numbering + collection stats from commit metadata
+        field_names = sorted({f for i in infos.segments for f in i.dims["fields"]})
+        self.field_gid = {n: i for i, n in enumerate(field_names)}
+        gmax_doc = sum(i.max_doc for i in infos.segments)
+        self.global_stats = {}
+        for f in field_names:
+            dc = sttf = 0
+            for i in infos.segments:
+                st = (i.dims.get("stats") or {}).get(f)
+                if st:
+                    dc += st[0]
+                    sttf += st[1]
+            self.global_stats[f] = CollectionStats(
+                field=f, max_doc=gmax_doc, doc_count=dc, sum_total_term_freq=sttf
+            )
+
+        # common padded shapes for EVERY shard, from metadata alone
+        def group_dims(group):
+            nb = sum(i.dims["num_blocks"] for i in group)
+            words = sum(i.dims["data_words"] for i in group)
+            md = sum(round_up(max(i.max_doc, 1), 1024) for i in group)
+            return nb, words, md
+
+        dims = [group_dims(g) for g in groups_meta]
+        nbp = max(next_pow2(max(nb, 1), 1) for nb, _, _ in dims)
+        wp = max(next_pow2(max(w + 2048, 2), 2048) for _, w, _ in dims)
+        mdp = max(md for _, _, md in dims)
+        npp = 1  # sharded views carry no position streams
+        n_fields = max(len(self.field_gid), 1)
+        self.stride = mdp
+
+        # load ONLY the owned groups
+        base_of = np.concatenate(
+            [[0], np.cumsum([i.max_doc for i in infos.segments])]
+        )
+        info_pos = {i.name: k for k, i in enumerate(infos.segments)}
+        # doc-id mapping for EVERY shard (owned or not) from metadata:
+        # shard-padded local id -> reader-global id
+        self._meta_doc_map = []
+        for g in groups_meta:
+            pads = np.concatenate(
+                [[0], np.cumsum([round_up(max(i.max_doc, 1), 1024) for i in g])]
+            )[:-1]
+            reals = np.asarray([base_of[info_pos[i.name]] for i in g], np.int64)
+            maxds = np.asarray([i.max_doc for i in g], np.int64)
+            self._meta_doc_map.append((pads.astype(np.int64), reals, maxds))
+        self.groups = [None] * len(groups_meta)
+        self.views = [None] * len(groups_meta)
+        self.leaves = []
+        per_shard_host: dict[int, DeviceSegment] = {}
+        for si in sorted(owned):
+            leaves = []
+            for info in groups_meta[si]:
+                lf = load_segment_snapshot(directory, info)
+                lf.doc_base = int(base_of[info_pos[info.name]])
+                leaves.append(lf)
+            self.groups[si] = leaves
+            self.leaves.extend(leaves)
+            v = build_combined_view(leaves, field_gid=self.field_gid, as_numpy=True)
+            self.views[si] = v
+            per_shard_host[si] = _pad_host_segment(v.device, nbp, wp, mdp, npp)
+
+        # zero block for filler rows and (test-only) unowned-but-local rows
+        shapes = dict(
+            data=(wp,), blk_off=(nbp,), blk_doc_bits=(nbp,), blk_freq_bits=(nbp,),
+            blk_base=(nbp,), blk_count=(nbp,), blk_max_freq=(nbp,),
+            norms=(n_fields, mdp), live=(mdp,), positions=(npp,), blk_pos_base=(nbp,),
+        )
+        dtypes = dict(
+            data=np.uint32, blk_off=np.int32, blk_doc_bits=np.int32,
+            blk_freq_bits=np.int32, blk_base=np.int32, blk_count=np.int32,
+            blk_max_freq=np.int32, norms=np.uint8, live=bool,
+            positions=np.uint32, blk_pos_base=np.int32,
+        )
+        zero_seg = DeviceSegment(
+            **{f: np.zeros(shapes[f], dtypes[f]) for f in DeviceSegment._fields}
+        )
+
+        def block_of(si):
+            return per_shard_host.get(si, zero_seg)
+
+        stacked_fields = []
+        for fname in DeviceSegment._fields:
+            tail = shapes[fname]
+            stacked_fields.append(
+                _global_stack(
+                    mesh, s, tail, lambda si, f=fname: getattr(block_of(si), f)
+                )
+            )
+        self.stacked = DeviceSegment(*stacked_fields)
+        self.doc_base = _global_stack(
+            mesh, s, (),
+            lambda si: np.asarray(si * mdp, np.int32),
+        )
+        return self
+
+    def local_doc_freq(self, field: str, text: str) -> int:
+        """Doc freq over THIS process's loaded leaves (partial mode)."""
+        total = 0
+        for lf in self.leaves:
+            rec = lf.term_record(field, text)
+            if rec is not None:
+                total += rec.doc_freq
+        return total
 
 
 @partial(
@@ -269,13 +481,42 @@ class ShardedSearcher:
     def collection_stats(self, field: str):
         st = self._stats.get(field)
         if st is None:
-            st = self.reader.collection_stats(field)
+            if self.index.partial:
+                st = self.index.global_stats.get(field)
+                if st is None:
+                    from rucene_tpu.search.similarity import CollectionStats
+
+                    st = CollectionStats(field, 0, 0, 0)
+            else:
+                st = self.reader.collection_stats(field)
             self._stats[field] = st
         return st
+
+    def _doc_freqs_global(self, keys: list[tuple[str, str]]) -> dict:
+        """Per-term doc freqs. In partial mode each process counts its own
+        leaves and the counts are summed across processes with one psum
+        (the distributed analog of TermContext stats, searcher.rs:49)."""
+        if not self.index.partial:
+            return {k: self.reader.doc_freq(*k) for k in keys}
+        local = np.asarray(
+            [self.index.local_doc_freq(f, t) for f, t in keys], np.int64
+        )
+        if jax.process_count() > 1 and len(keys):
+            from jax.experimental import multihost_utils
+
+            # allgather over processes -> sum: shard counts are disjoint
+            gathered = multihost_utils.process_allgather(local)
+            local = np.asarray(gathered).sum(axis=0)
+        return {k: int(v) for k, v in zip(keys, local)}
 
     def _fallback_searcher(self):
         """Cached single-process searcher for query types the shard program
         does not cover yet (phrases/ranges/groups/host-eval)."""
+        if self.index.partial:
+            raise NotImplementedError(
+                "partial-mode sharded search covers term/boolean/match-all "
+                "queries; phrases/ranges/groups need the full-reader mode"
+            )
         if self._fallback is None:
             from rucene_tpu.search.searcher import IndexSearcher
 
@@ -315,14 +556,15 @@ class ShardedSearcher:
         rqs = [q.rewrite() for q in queries]
         sim = self.similarity
 
-        doc_freqs = {}
         fields = set()
+        keys = []
         for rq in rqs:
             for c in rq.clauses:
                 fields.add(c.term.field)
                 key = (c.term.field, c.term.text)
-                if key not in doc_freqs:
-                    doc_freqs[key] = self.reader.doc_freq(*key)
+                if key not in keys:
+                    keys.append(key)
+        doc_freqs = self._doc_freqs_global(keys)
         stats = {f: self.collection_stats(f) for f in fields}
 
         b_actual = len(rqs)
@@ -341,6 +583,7 @@ class ShardedSearcher:
         cache = np.zeros((n_fields, 256), np.float32)
         has_norms = {
             name: any(name in lf.packed.norms for lf in self.index.leaves)
+            or (self.index.partial and not self.index.leaves)
             for name in field_gid
         }
         for name, g in field_gid.items():
@@ -351,7 +594,7 @@ class ShardedSearcher:
         cells = []  # [S][DP] work-table slices
         w_req = 1
         for si in range(s):
-            if si < len(self.index.views):
+            if si < len(self.index.views) and self.index.views[si] is not None:
                 view = self.index.views[si]
                 length = view.n_leaves
                 bs, bc, fid = build_combined_tables(
@@ -401,8 +644,24 @@ class ShardedSearcher:
         has_ef = any(
             work_has_ef(v.blk_dbits_host, fq.wi_block[si], fq.wi_valid[si])
             for si, v in enumerate(self.index.views)
+            if v is not None
         )
-        fq = jax.device_put(fq)
+        if jax.process_count() > 1:
+            # every process must trace the same has_ef: OR across processes
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([has_ef], np.int32)
+            )
+            has_ef = bool(np.asarray(flags).any())
+            fq = FlatQueryBatch(
+                *[
+                    _global_cells(mesh, np.asarray(a))
+                    for a in fq
+                ]
+            )
+        else:
+            fq = jax.device_put(fq)
         use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
         from rucene_tpu.search.query import Occur
 
@@ -417,22 +676,33 @@ class ShardedSearcher:
         )
         boosts_x = np.broadcast_to(boosts.reshape(dp, b_local), (s, dp, b_local)).copy()
         ma_x = np.broadcast_to(ma_rows.reshape(dp, b_local), (s, dp, b_local)).copy()
+        if jax.process_count() > 1:
+            boosts_d = _global_cells(mesh, boosts_x)
+            ma_d = _global_cells(mesh, ma_x)
+        else:
+            boosts_d = jnp.asarray(boosts_x)
+            ma_d = jnp.asarray(ma_x)
         scores, docs, hits = _sharded_search_step(
             mesh,
             self.index.stacked,
             fq,
             self.index.doc_base,
-            jnp.asarray(boosts_x),
-            jnp.asarray(ma_x),
+            boosts_d,
+            ma_d,
             k,
             use_pallas,
             pure,
             with_match_all,
             has_ef,
         )
-        scores = np.asarray(scores)
-        docs = np.asarray(docs)
-        hits = np.asarray(hits)
+        if jax.process_count() > 1:
+            scores = _host_rows(scores)
+            docs = _host_rows(docs)
+            hits = _host_rows(hits)
+        else:
+            scores = np.asarray(scores)
+            docs = np.asarray(docs)
+            hits = np.asarray(hits)
         out = []
         for i in range(b_actual):
             keep = scores[i] > -np.inf

@@ -1,0 +1,107 @@
+"""Multi-host partial index loading (parallel/sharded.py from_directory):
+per-process segment-group loading driven by segments_N dims metadata."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rucene_tpu import Document, StringField, Term, TermQuery, TextField
+from rucene_tpu.index.reader import open_directory_reader
+from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+from rucene_tpu.parallel.sharded import ShardedIndex, ShardedSearcher, make_mesh
+from rucene_tpu.store.directory import FSDirectory
+from tests.conftest import random_corpus
+from tests.hitcheck import assert_hits_equal
+
+
+class CountingDirectory(FSDirectory):
+    def __init__(self, path):
+        super().__init__(path)
+        self.reads: list[str] = []
+
+    def read_file(self, name: str) -> bytes:
+        self.reads.append(name)
+        return super().read_file(name)
+
+
+@pytest.fixture(scope="module")
+def committed_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("partial")
+    rng = np.random.default_rng(77)
+    texts = random_corpus(rng, 1200)
+    w = IndexWriter(FSDirectory(path), IndexWriterConfig(max_buffered_docs=150))
+    for i, t in enumerate(texts):
+        d = Document()
+        d.add(StringField("id", str(i), stored=True))
+        d.add(TextField("body", t))
+        w.add_document(d)
+    w.commit()
+    w.close()
+    return path, texts
+
+
+def test_dims_metadata_recorded(committed_dir):
+    path, _ = committed_dir
+    from rucene_tpu.codec import files as segfiles
+
+    infos = segfiles.read_segments_file(FSDirectory(path))
+    assert len(infos.segments) > 4
+    for i in infos.segments:
+        assert i.dims is not None
+        assert i.dims["num_blocks"] >= 0 and i.dims["data_words"] > 0
+        assert "body" in i.dims["fields"]
+        assert i.dims["stats"]["body"][0] == i.max_doc
+
+
+def test_partial_full_equals_reader_path(committed_dir):
+    """from_directory with every shard owned == classic ShardedIndex."""
+    path, texts = committed_dir
+    mesh = make_mesh(4, 2)
+    ref = ShardedSearcher(ShardedIndex(mesh, open_directory_reader(FSDirectory(path))))
+    got = ShardedSearcher(ShardedIndex.from_directory(mesh, FSDirectory(path)))
+    assert got.index.partial
+    words = sorted({w for t in texts[:40] for w in t.split()})[:12]
+    queries = [TermQuery(Term("body", w)) for w in words]
+    r1 = ref.search_batch(queries, k=12)
+    r2 = got.search_batch(queries, k=12)
+    for a, b in zip(r1, r2):
+        assert a.total_hits == b.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in a.score_docs],
+            [(sd.doc, sd.score) for sd in b.score_docs],
+        )
+
+
+def test_partial_loads_only_owned_segments(committed_dir):
+    path, _ = committed_dir
+    mesh = make_mesh(4, 2)
+    d = CountingDirectory(path)
+    idx = ShardedIndex.from_directory(mesh, d, owned_shards={1, 2})
+    seg_reads = [n for n in d.reads if n.endswith(".seg")]
+    owned_names = {
+        i.name for si in (1, 2) for i in _groups_meta(d, mesh)[si]
+    }
+    assert {n[: -len(".seg")] for n in seg_reads} == owned_names
+    # unowned views absent, owned present
+    assert idx.views[0] is None and idx.views[3] is None
+    assert idx.views[1] is not None and idx.views[2] is not None
+    # stats came from metadata (all fields known without loading all)
+    assert idx.global_stats["body"].doc_count == 1200
+
+
+def _groups_meta(directory, mesh):
+    from rucene_tpu.codec import files as segfiles
+    from rucene_tpu.parallel.sharded import _partition_leaves
+
+    infos = segfiles.read_segments_file(directory)
+    return _partition_leaves(infos.segments, mesh.shape["shard"])
+
+
+def test_partial_local_doc_freq(committed_dir):
+    path, texts = committed_dir
+    mesh = make_mesh(4, 2)
+    full = ShardedIndex.from_directory(mesh, FSDirectory(path))
+    word = texts[0].split()[0]
+    reader = open_directory_reader(FSDirectory(path))
+    assert full.local_doc_freq("body", word) == reader.doc_freq("body", word)
