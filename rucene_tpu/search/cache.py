@@ -36,7 +36,9 @@ class LRUQueryCache:
         self.misses = 0
 
     def get_or_compute(self, leaf, key, compute) -> np.ndarray:
-        full_key = (id(leaf.packed), leaf.name, key)
+        return self.get_or_compute_keyed((id(leaf.packed), leaf.name, key), compute)
+
+    def get_or_compute_keyed(self, full_key, compute):
         hit = self._entries.get(full_key)
         if hit is not None:
             self._entries.move_to_end(full_key)
@@ -55,3 +57,15 @@ class LRUQueryCache:
 
 
 DEFAULT_QUERY_CACHE = LRUQueryCache()
+
+
+class _AlwaysCachePolicy:
+    def should_cache(self, key) -> bool:
+        return True
+
+
+# Device-resident filter planes (bool[mdp] per distinct range/exists
+# filter per leaf/view): building one costs a host scatter + an upload,
+# so repeats across batches must hit on first reuse — always-cache LRU,
+# bounded by entry count (planes are ~max_doc/8 KB each).
+DEVICE_PLANE_CACHE = LRUQueryCache(max_entries=256, policy=_AlwaysCachePolicy())

@@ -78,6 +78,56 @@ class FlatQueryBatch(NamedTuple):
     cache: jax.Array  # f32[F,256]
 
 
+class FilterPlanes(NamedTuple):
+    """Constant-score doc-set clauses (point ranges / exists) as dense
+    per-doc bool planes, the device form of the reference's cached filter
+    DocIdSets (query_cache.rs:229) and PointRangeQuery's constant-score
+    weight (point_range_query.rs:366).
+
+    A plane is one [mdp] bool column per DISTINCT filter in the batch
+    (deduped + device-cached across batches by the searcher); each query
+    row references up to R of them by index with its own occur encoding
+    and constant score. idx == -1 marks an inert slot.
+    """
+
+    planes: jax.Array  # bool[P, mdp]
+    idx: jax.Array  # i32[B, R] plane index per row slot; -1 = inert
+    enc: jax.Array  # i32[B, R] clause-count encoding (ENC_* units)
+    boost: jax.Array  # f32[B, R] constant score (0 for FILTER/MUST_NOT)
+
+
+def _apply_planes_dense(acc_score, acc_counts, filters: FilterPlanes):
+    """Fold filter planes into dense [B, md] accumulators: each referenced
+    plane contributes its occur counts and constant score wherever set —
+    identical semantics to host_engine's range fold (constant-score +
+    req/should/not counts)."""
+    r_slots = filters.idx.shape[1]
+    p = filters.planes.shape[0]
+    for r in range(r_slots):  # R is tiny and static: unrolled
+        pidx = filters.idx[:, r]  # i32[B]
+        pl = filters.planes[jnp.clip(pidx, 0, p - 1)]  # bool[B, md]
+        on = pl & (pidx >= 0)[:, None]
+        acc_score = acc_score + jnp.where(on, filters.boost[:, r][:, None], 0.0)
+        acc_counts = acc_counts + jnp.where(on, filters.enc[:, r][:, None], 0)
+    return acc_score, acc_counts
+
+
+def _apply_planes_lanes(sum_sc, sum_enc, o_row, safe_docs, b, filters: FilterPlanes):
+    """Fold filter planes into candidate-lane group totals (one gather per
+    slot). Caller guarantees candidate completeness: every possible match
+    carries at least one decoded lane (i.e. some MUST term clause exists),
+    so no match can consist of filter-plane membership alone."""
+    r_slots = filters.idx.shape[1]
+    p = filters.planes.shape[0]
+    row_safe = jnp.clip(o_row, 0, b - 1)
+    for r in range(r_slots):
+        pidx = filters.idx[row_safe, r]  # i32[L]
+        on = (pidx >= 0) & filters.planes[jnp.clip(pidx, 0, p - 1), safe_docs]
+        sum_sc = sum_sc + jnp.where(on, filters.boost[row_safe, r], 0.0)
+        sum_enc = sum_enc + jnp.where(on, filters.enc[row_safe, r], 0)
+    return sum_sc, sum_enc
+
+
 def decode_score_lanes(
     dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool = False,
     has_ef: bool = False,
@@ -138,6 +188,7 @@ def execute_flat_impl(
     pure_disjunction: bool = False,
     strategy: str = "auto",
     has_ef: bool = False,
+    filters: FilterPlanes | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
@@ -168,6 +219,10 @@ def execute_flat_impl(
         else:
             inc = jnp.where(valid, q.wi_enc[:, None], 0)
             acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
+            if filters is not None:
+                acc_score, acc_counts = _apply_planes_dense(
+                    acc_score, acc_counts, filters
+                )
             req_count = acc_counts >> 16
             should_count = (acc_counts >> 8) & 0xFF
             has_not = (acc_counts & 0xFF) > 0
@@ -241,6 +296,12 @@ def execute_flat_impl(
         sum_sc, sum_enc, _ = jax.lax.associative_scan(
             comb, (o_sc, o_enc, seg_start)
         )
+        if filters is not None:
+            # seg_end lanes carry group totals; adding each lane's own
+            # plane bonus is exact there (one bonus per group, not scanned)
+            sum_sc, sum_enc = _apply_planes_lanes(
+                sum_sc, sum_enc, o_row, safe_docs, b, filters
+            )
         req_count = sum_enc >> 16
         should_count = (sum_enc >> 8) & 0xFF
         has_not = (sum_enc & 0xFF) > 0
@@ -360,7 +421,7 @@ def execute_flat_single(
 
 
 def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
-                 has_ef: bool = False):
+                 has_ef: bool = False, filters: FilterPlanes | None = None):
     """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
@@ -368,6 +429,8 @@ def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
     acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
     inc = jnp.where(valid, q.wi_enc[:, None], 0)
     acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
+    if filters is not None:
+        acc_score, acc_counts = _apply_planes_dense(acc_score, acc_counts, filters)
     req_count = acc_counts >> 16
     should_count = (acc_counts >> 8) & 0xFF
     has_not = (acc_counts & 0xFF) > 0

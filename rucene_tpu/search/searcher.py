@@ -323,9 +323,9 @@ class IndexSearcher:
             for i, rq in enumerate(rewritten)
             if rq is not None
             and not rq.phrases
-            and not rq.ranges
             and not rq.groups
-            and not (rq.match_all and rq.clauses)
+            and len(rq.ranges) <= 8
+            and not (rq.match_all and (rq.clauses or rq.ranges))
         ]
         phrase_idx = [
             i
@@ -407,6 +407,130 @@ class IndexSearcher:
             score_docs=[ScoreDoc(dd, ss) for dd, ss in zip(dl, sl)],
         )
 
+    # --- range filters on device (reference point_range_query.rs constant-
+    # score weight + the query cache it would ride, query_cache.rs:229) ---
+    def _range_filter_tables(self, rqs, b_pad: int):
+        """Dedup the batch's range clauses into distinct filter keys and
+        per-row slot tables (plane index / occur encoding / constant
+        score). Rows without ranges carry idx == -1 (inert)."""
+        from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
+
+        keys: list[tuple] = []
+        for rq in rqs:
+            for r in rq.ranges:
+                key = (r.field, r.lower, r.upper)
+                if key not in keys:
+                    keys.append(key)
+        r_slots = next_pow2(max((len(rq.ranges) for rq in rqs), default=1), 1)
+        idx = np.full((b_pad, r_slots), -1, np.int32)
+        enc = np.zeros((b_pad, r_slots), np.int32)
+        boost = np.zeros((b_pad, r_slots), np.float32)
+        for i, rq in enumerate(rqs):
+            for j, r in enumerate(rq.ranges):
+                idx[i, j] = keys.index((r.field, r.lower, r.upper))
+                if r.occur in (Occur.MUST, Occur.FILTER):
+                    enc[i, j] = ENC_REQUIRED
+                elif r.occur == Occur.SHOULD:
+                    enc[i, j] = ENC_SHOULD
+                else:
+                    enc[i, j] = ENC_NOT
+                if r.occur in (Occur.MUST, Occur.SHOULD):
+                    boost[i, j] = np.float32(r.boost)  # constant-score
+        return keys, idx, enc, boost
+
+    def _leaf_plane(self, leaf, key):
+        """Device bool[mdp] plane for one (field, lower, upper) filter on
+        one leaf; cached across batches (VERDICT: the device executor must
+        not recompute identical filter work every batch)."""
+        from rucene_tpu.search.cache import DEFAULT_QUERY_CACHE, DEVICE_PLANE_CACHE
+
+        mdp = int(leaf.device.live.shape[0])
+
+        def compute():
+            docs = DEFAULT_QUERY_CACHE.get_or_compute(
+                leaf,
+                ("range",) + key,
+                lambda: leaf.point_range_docs(key[0], key[1], key[2]),
+            )
+            m = np.zeros(mdp, bool)
+            m[np.asarray(docs, np.int64)] = True
+            return jax.device_put(m)
+
+        return DEVICE_PLANE_CACHE.get_or_compute(leaf, ("plane",) + key, compute)
+
+    def _leaf_filters(self, leaf, keys, idx, enc, boost):
+        from rucene_tpu.search.cache import DEVICE_PLANE_CACHE
+        from rucene_tpu.search.executor import FilterPlanes
+
+        p_pad = next_pow2(max(len(keys), 1), 1)
+        mdp = int(leaf.device.live.shape[0])
+
+        def stack():
+            planes = [self._leaf_plane(leaf, k2) for k2 in keys]
+            while len(planes) < p_pad:
+                planes.append(jnp.zeros(mdp, bool))
+            return jnp.stack(planes)
+
+        st = DEVICE_PLANE_CACHE.get_or_compute(leaf, ("stack", tuple(keys)), stack)
+        return FilterPlanes(
+            planes=st, idx=jnp.asarray(idx), enc=jnp.asarray(enc),
+            boost=jnp.asarray(boost),
+        )
+
+    def _view_filters(self, view, leaves, keys, idx, enc, boost):
+        """FilterPlanes in a combined view's padded doc space: each leaf's
+        doc set lands at its view doc base."""
+        from rucene_tpu.search.cache import DEFAULT_QUERY_CACHE, DEVICE_PLANE_CACHE
+        from rucene_tpu.search.executor import FilterPlanes
+
+        p_pad = next_pow2(max(len(keys), 1), 1)
+        mdp = int(view.device.live.shape[0])
+        holder = id(view.device.data)  # stable across live-plane swaps
+
+        def plane_of(key):
+            def compute():
+                m = np.zeros(mdp, bool)
+                for li, leaf in enumerate(leaves):
+                    docs = DEFAULT_QUERY_CACHE.get_or_compute(
+                        leaf,
+                        ("range",) + key,
+                        lambda leaf=leaf: leaf.point_range_docs(
+                            key[0], key[1], key[2]
+                        ),
+                    )
+                    m[int(view.doc_bases[li]) + np.asarray(docs, np.int64)] = True
+                return jax.device_put(m)
+
+            return DEVICE_PLANE_CACHE.get_or_compute_keyed(
+                (holder, "plane", key), compute
+            )
+
+        def stack():
+            planes = [plane_of(k2) for k2 in keys]
+            while len(planes) < p_pad:
+                planes.append(jnp.zeros(mdp, bool))
+            return jnp.stack(planes)
+
+        st = DEVICE_PLANE_CACHE.get_or_compute_keyed(
+            (holder, "stack", tuple(keys)), stack
+        )
+        return FilterPlanes(
+            planes=st, idx=jnp.asarray(idx), enc=jnp.asarray(enc),
+            boost=jnp.asarray(boost),
+        )
+
+    @staticmethod
+    def _ranges_complete(rqs) -> bool:
+        """Candidate-path completeness with filter planes: every possible
+        match must carry >= 1 decoded term lane, i.e. every range-bearing
+        row has a required TERM clause. Otherwise a doc matching only the
+        range would never appear among the candidates -> dense strategy."""
+        return all(
+            (not rq.ranges)
+            or any(c.occur in (Occur.MUST, Occur.FILTER) for c in rq.clauses)
+            for rq in rqs
+        )
+
     # --- device path ---
     def _search_device(
         self, rqs: list[RewrittenQuery], k: int, prune: bool = False
@@ -427,6 +551,7 @@ class IndexSearcher:
             rq.n_required == 0
             and rq.effective_min_should() <= 1
             and not rq.match_all
+            and not rq.ranges
             and bool(rq.clauses)
             and all(c.occur == Occur.SHOULD for c in rq.clauses)
             and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
@@ -440,6 +565,24 @@ class IndexSearcher:
             p and len(rq.clauses) == 1 for p, rq in zip(pure_rows, rqs)
         ]
         single = all(single_rows) and not prune and no_deletes and not match_all_rows.any()
+
+        # range clauses ride as device filter planes; WAND bounds don't
+        # cover their constant scores, so pruning is disabled for such
+        # batches, and candidate-strategy completeness decides the shape
+        any_ranges = any(rq.ranges for rq in rqs)
+        filter_tables = None
+        strategy = "auto"
+        if any_ranges:
+            filter_tables = self._range_filter_tables(rqs, b_pad)
+            strategy = "auto" if self._ranges_complete(rqs) else "dense"
+            prune = False
+        # conjunction pruning intersects required TERM clause intervals
+        # only — ranges satisfy their requirement via planes, not lanes
+        n_required_terms = np.zeros(b_pad, np.int32)
+        for i, rq in enumerate(rqs):
+            n_required_terms[i] = sum(
+                1 for c in rq.clauses if c.occur in (Occur.MUST, Occur.FILTER)
+            )
 
         # mixed large-corpus batches: split by row class so single-clause
         # rows skip the dense accumulators entirely and pure disjunctions
@@ -467,7 +610,8 @@ class IndexSearcher:
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
-                single=single,
+                single=single, filter_tables=filter_tables, strategy=strategy,
+                n_required_terms=n_required_terms,
             )
 
         per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
@@ -480,7 +624,11 @@ class IndexSearcher:
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
             work, _ = prune_conjunctions(
-                work, n_required, (leaf.packed.blk_first_doc, leaf.packed.blk_last_doc)
+                work, n_required_terms,
+                (leaf.packed.blk_first_doc, leaf.packed.blk_last_doc),
+            )
+            filters = (
+                self._leaf_filters(leaf, *filter_tables) if filter_tables else None
             )
 
             if single:
@@ -496,7 +644,10 @@ class IndexSearcher:
             elif prune:
                 s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
             else:
-                s, d, h = self._run_work(leaf, work[:6], cache, n_required, min_should, k, pure=pure)
+                s, d, h = self._run_work(
+                    leaf, work[:6], cache, n_required, min_should, k, pure=pure,
+                    filters=filters, strategy=strategy,
+                )
             if match_all_rows.any():
                 ms, mdoc, mh = jax.device_get(
                     execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
@@ -512,7 +663,8 @@ class IndexSearcher:
     def _search_device_combined(
         self, rqs, k, stats, weight, occur, n_required, min_should,
         match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
-        pure: bool = False, single: bool = False,
+        pure: bool = False, single: bool = False, filter_tables=None,
+        strategy: str = "auto", n_required_terms=None,
     ) -> list[TopDocs]:
         """All leaves in ONE executor dispatch over the concatenated view."""
         from rucene_tpu.index.combined import build_combined_tables
@@ -542,7 +694,14 @@ class IndexSearcher:
         # across leaves
         work = work[:7] + (work[7] // length,)
         work, _ = prune_conjunctions(
-            work, n_required, (view.blk_first_host, view.blk_last_host)
+            work,
+            n_required if n_required_terms is None else n_required_terms,
+            (view.blk_first_host, view.blk_last_host),
+        )
+        filters = (
+            self._view_filters(view, leaves, *filter_tables)
+            if filter_tables
+            else None
         )
         if single:
             # one clause per row; its work items span all leaves, ascending
@@ -569,6 +728,7 @@ class IndexSearcher:
             s, d, h = self._run_work_view(
                 view.device, work[:6], cache, n_required, min_should, k, pure=pure,
                 has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
+                filters=filters, strategy=strategy,
             )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
@@ -626,7 +786,8 @@ class IndexSearcher:
         )
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
-    def _run_work_view(self, device, arrays, cache, n_required, min_should, k, pure=False, has_ef=False):
+    def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
+                       pure=False, has_ef=False, filters=None, strategy="auto"):
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
         fq = jax.device_put(
             FlatQueryBatch(
@@ -643,16 +804,18 @@ class IndexSearcher:
         )
         res = execute_flat(
             device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure,
-            has_ef=has_ef,
+            has_ef=has_ef, strategy=strategy, filters=filters,
         )
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
-    def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False):
+    def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False,
+                  filters=None, strategy="auto"):
         """One executor dispatch for a (possibly subset) work list."""
         return self._run_work_view(
             leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
+            filters=filters, strategy=strategy,
         )
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):

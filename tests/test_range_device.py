@@ -1,0 +1,194 @@
+"""Range queries on the device executor: filter planes vs the host oracle.
+
+reference: point_range_query.rs:366 (constant-score weight),
+query_cache.rs:229 (the filter cache the planes replace).
+"""
+
+import numpy as np
+import pytest
+
+from rucene_tpu import (
+    BooleanQuery,
+    Document,
+    IndexSearcher,
+    IntPoint,
+    PointRangeQuery,
+    Term,
+    TermQuery,
+    TextField,
+)
+from rucene_tpu.codec.postings import pack_segment
+from rucene_tpu.index.memory import SegmentBuffer
+from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+from rucene_tpu.search.query import Occur
+
+from tests.hitcheck import assert_hits_equal
+
+
+def _build(n_docs=500, seed=11, n_segments=1):
+    rng = np.random.default_rng(seed)
+    leaves = []
+    per = n_docs // n_segments
+    for s in range(n_segments):
+        buf = SegmentBuffer()
+        for i in range(per):
+            d = Document()
+            d.add(
+                TextField(
+                    "body",
+                    " ".join(f"w{rng.integers(0, 30)}" for _ in range(12)),
+                )
+            )
+            d.add(IntPoint("price", int(rng.integers(0, 1000))))
+            buf.add_document(d)
+        leaves.append(SegmentSnapshot(f"s{s}", pack_segment(buf.finish())))
+    return IndexReader(leaves)
+
+
+def _host_oracle(searcher, query, k):
+    """Dense host evaluation of the same rewritten query (the engine's own
+    parity oracle, host_engine.evaluate_rewritten)."""
+    from rucene_tpu.search import host_engine
+
+    rq = query.rewrite()
+    doc_freqs, stats = searcher._gather_stats([rq])
+    out = []
+    for leaf in searcher.reader.leaves:
+        hh = host_engine.execute_on_segment(
+            leaf, rq, searcher.similarity, stats, doc_freqs, k
+        )
+        out.append((leaf.doc_base, hh))
+    return out
+
+
+def _merge_oracle(per_leaf, k):
+    docs = np.concatenate(
+        [base + h.docs.astype(np.int64) for base, h in per_leaf]
+    )
+    scores = np.concatenate([h.scores for base, h in per_leaf])
+    order = np.lexsort((docs, -scores))[:k]
+    total = sum(h.total_hits for _, h in per_leaf)
+    return total, docs[order], scores[order]
+
+
+QUERIES = []
+
+
+def _range_query_set():
+    qs = []
+    # pure range (constant score, no term clauses -> dense strategy)
+    qs.append(PointRangeQuery("price", 100, 400))
+    qs.append(PointRangeQuery("price", None, 250, boost=2.0))
+    # term + FILTER range (candidate-complete? no MUST term -> dense)
+    q = BooleanQuery()
+    q.should(TermQuery(Term("body", "w3")))
+    q.add(PointRangeQuery("price", 200, 800), Occur.FILTER)
+    qs.append(q)
+    # MUST term + MUST range (candidate-complete -> auto strategy)
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w5")))
+    q.add(PointRangeQuery("price", 0, 500), Occur.MUST)
+    qs.append(q)
+    # MUST term + MUST_NOT range
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w2")))
+    q.add(PointRangeQuery("price", 300, 700), Occur.MUST_NOT)
+    qs.append(q)
+    # SHOULD term + SHOULD range (union match; range-only docs must appear)
+    q = BooleanQuery()
+    q.should(TermQuery(Term("body", "w7")))
+    q.add(PointRangeQuery("price", 900, 999), Occur.SHOULD)
+    qs.append(q)
+    # two ranges on one row
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w1")))
+    q.add(PointRangeQuery("price", 100, 900), Occur.FILTER)
+    q.add(PointRangeQuery("price", 0, 450), Occur.MUST)
+    qs.append(q)
+    return qs
+
+
+def _assert_device_matches_oracle(searcher, queries, k=25):
+    res = searcher.search_batch(queries, k=k)
+    for q, td in zip(queries, res):
+        total, docs, scores = _merge_oracle(_host_oracle(searcher, q, k), k)
+        assert td.total_hits == total, f"{q}: {td.total_hits} != {total}"
+        got = [(sd.doc, sd.score) for sd in td.score_docs]
+        want = list(zip(docs.tolist(), scores.tolist()))
+        assert_hits_equal(got, want)
+
+
+def test_ranges_device_single_segment():
+    reader = _build()
+    s = IndexSearcher(reader)
+    qs = _range_query_set()
+    # whole batch in one call (mixed strategies resolve per sub-batch)
+    _assert_device_matches_oracle(s, qs)
+    # repeat: filter planes now come from the device cache
+    _assert_device_matches_oracle(s, qs)
+
+
+def test_ranges_device_routing():
+    """Range-bearing rewrites must take the device path, not host."""
+    reader = _build()
+    s = IndexSearcher(reader)
+    calls = []
+    orig = s._search_host
+
+    def spy(q, k):
+        calls.append(q)
+        return orig(q, k)
+
+    s._search_host = spy
+    _assert_device_matches_oracle(s, _range_query_set())
+    assert not calls, f"host fallback used for {calls}"
+
+
+def test_ranges_device_multi_segment_combined():
+    reader = _build(n_docs=600, n_segments=3)
+    s = IndexSearcher(reader, combine_segments=True)
+    _assert_device_matches_oracle(s, _range_query_set())
+
+
+def test_ranges_device_with_deletes():
+    reader = _build()
+    live = np.ones(reader.leaves[0].max_doc, bool)
+    live[::3] = False
+    reader = IndexReader([reader.leaves[0].with_deletes(live)])
+    s = IndexSearcher(reader)
+    _assert_device_matches_oracle(s, _range_query_set())
+
+
+def test_ranges_mixed_with_plain_batch():
+    """Plain term rows and range rows in one batch: inert slots must not
+    perturb the plain rows."""
+    reader = _build()
+    s = IndexSearcher(reader)
+    qs = [TermQuery(Term("body", "w4"))] + _range_query_set() + [
+        TermQuery(Term("body", "w9"))
+    ]
+    _assert_device_matches_oracle(s, qs)
+
+
+def test_range_strategy_override_parity():
+    """Force both executor strategies on a candidate-complete query."""
+    from rucene_tpu.search.executor import execute_flat  # noqa: F401
+
+    reader = _build()
+    s = IndexSearcher(reader)
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w5")))
+    q.add(PointRangeQuery("price", 0, 500), Occur.MUST)
+    rq = q.rewrite()
+    res_d = s._search_device([rq], 20)
+    # dense vs auto must agree; run twice with forced strategies via the
+    # completeness switch: monkeypatch _ranges_complete
+    orig = IndexSearcher._ranges_complete
+    try:
+        IndexSearcher._ranges_complete = staticmethod(lambda rqs: False)
+        res_f = s._search_device([q.rewrite()], 20)
+    finally:
+        IndexSearcher._ranges_complete = orig
+    a, b = res_d[0], res_f[0]
+    assert a.total_hits == b.total_hits
+    assert [sd.doc for sd in a.score_docs] == [sd.doc for sd in b.score_docs]
