@@ -15,6 +15,23 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if _os.name == "posix" and _os.environ.get("RUCENE_TPU_NO_MALLOC_TUNE") != "1":
+    # Keep freed large buffers in the heap instead of munmap-ing them.
+    # Sandboxed/VM environments with lazily-faulted (remote-backed) memory
+    # charge ~0.5ms per FRESH 4K page — 50s to first-touch 256MB — while
+    # re-touching warm pages is ~1000x faster. numpy frees big temporaries
+    # constantly; without this every temporary re-faults its pages. Top-of-
+    # heap retention (no trim, no mmap for big blocks) makes page cost a
+    # one-time peak-footprint charge per process.
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL(None, use_errno=True)
+        _libc.mallopt(-1, _ctypes.c_int(2**31 - 1))  # M_TRIM_THRESHOLD: never
+        _libc.mallopt(-3, _ctypes.c_int(2**31 - 1))  # M_MMAP_THRESHOLD: never
+    except Exception:
+        pass
+
 if _os.environ.get("RUCENE_TPU_NO_COMPILE_CACHE") != "1":
     # Persistent XLA compile cache: executor shapes cost minutes to compile
     # over remote-TPU links; caching makes every process after the first fast.

@@ -184,6 +184,14 @@ class PackedSegment:
 
 def pack_segment(seg: SegmentData) -> PackedSegment:
     """Pack all postings of a segment into the flat block format."""
+    import os as _os, time as _time
+    _dbg = _os.environ.get("RUCENE_PACK_DEBUG") == "1"
+    _t = [_time.time()]
+    def _mark(name):
+        if _dbg:
+            now = _time.time()
+            print(f"  pack[{name}]: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
     field_names = [name for name in sorted(seg.terms, key=lambda n: seg.field_infos.by_name[n].number)]
 
     # --- flatten all postings across fields/terms in global term order ---
@@ -226,6 +234,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
                     list(e) if e is not None and len(e) == len(p) else [None] * len(p)
                 )
 
+    _mark("flatten")
     if df_list:
         docs = np.concatenate(docs_parts).astype(np.int64)
         freqs = np.concatenate(freqs_parts).astype(np.int64)
@@ -247,6 +256,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
 
     # --- per-posting indexing: which term, which block, which lane ---
     if n_post:
+        _mark("concat+stats")
         term_of_post = np.repeat(np.arange(len(df)), df)
         idx_in_term = np.arange(n_post) - term_start[term_of_post]
         blk_in_term = idx_in_term // BLOCK_SIZE
@@ -257,6 +267,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         nb_total = int(term_blk_start[-1])
 
         # deltas: doc[i] - doc[i-1] within a term; first of term = doc + 1
+        _mark("post-index")
         prev = np.empty(n_post, dtype=np.int64)
         prev[1:] = docs[:-1]
         prev[0] = -1
@@ -267,11 +278,16 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             raise ValueError("doc ids must be strictly increasing within a term")
 
         # block value matrices [NB, 128], padded with zeros
-        dvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
-        fvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
-        dvals[gblk, lane] = deltas.astype(np.uint64)
-        fvals[gblk, lane] = freqs.astype(np.uint64)
+        # int64 throughout the pack: numpy's uint64 inner loops hit a
+        # ~40x-slower non-SIMD path for broadcast shifts/ors; every packed
+        # value is < 2^32 so signed arithmetic is exact and >> == logical
+        _mark("deltas")
+        dvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
+        fvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
+        dvals[gblk, lane] = deltas
+        fvals[gblk, lane] = freqs
 
+        _mark("block-matrices")
         blk_doc_bits = _bits_for(dvals.max(axis=1))
         blk_freq_bits = _bits_for(fvals.max(axis=1))
         blk_max_freq = fvals.max(axis=1).astype(np.int32)
@@ -301,7 +317,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         # norm byte per posting, inlined into the block so scoring never
         # random-gathers the [F, max_doc] norms plane (the gather was ~15%
         # of device time at the 50K/256q shape — docs/ROADMAP.md budget)
-        nvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.uint64)
+        nvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
         gt = 0
         for name, terms_sorted in term_field_order:
             t0, t1 = gt, gt + len(terms_sorted)
@@ -311,7 +327,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
                 continue
             s0, e0 = int(term_start[t0]), int(term_start[t1])
             if e0 > s0:
-                nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]].astype(np.uint64)
+                nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]].astype(np.int64)
 
         # --- adaptive doc-plane encoding (reference PF/EF/BITSET choice,
         # posting_reader.rs:336-341): full blocks whose Elias-Fano size
@@ -319,6 +335,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         # l is picked so the block's doc span U = last-base shifts below
         # 256, keeping the unary plane at a fixed 384 bits; l == 0 is the
         # dense/bitmap (BITSET) regime.
+        _mark("block-meta")
         blk_span = (blk_last_doc - blk_base).astype(np.int64)  # U >= count
         ef_l = np.maximum(_bits_for(np.maximum(blk_span, 1)) - 8, 0).astype(np.int64)
         use_ef = (blk_count == BLOCK_SIZE) & (
@@ -341,24 +358,25 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         total_words = int(blk_off[-1])
         blk_off = blk_off[:-1]
 
-        out = np.zeros(total_words + 1, dtype=np.uint64)  # +1 pad word
+        _mark("layout")
+        out = np.zeros(total_words + 1, dtype=np.int64)  # +1 pad word
         for_sel = np.flatnonzero(~use_ef)
         _scatter_pack(out, dvals[for_sel], blk_doc_bits[for_sel], blk_off[for_sel])
         ef_sel = np.flatnonzero(use_ef)
         if len(ef_sel):
             # cumulative offsets v = doc - base per lane of each EF block
-            ef_v = np.cumsum(dvals[ef_sel], axis=1).astype(np.int64)
+            ef_v = np.cumsum(dvals[ef_sel], axis=1)
             lsel = ef_l[ef_sel]
-            low = (ef_v & ((np.int64(1) << lsel[:, None]) - 1)).astype(np.uint64)
+            low = ef_v & ((np.int64(1) << lsel[:, None]) - 1)
             _scatter_pack(out, low, lsel.astype(np.int32), blk_off[ef_sel])
             # unary plane: set bit lane + (v >> l) at word blk_off + 4*l
             lane64 = np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
             bitpos = lane64 + (ef_v >> lsel[:, None])  # [E,128] < 384
             uword = (blk_off[ef_sel] + 4 * lsel)[:, None] + (bitpos >> 5)
-            np.bitwise_or.at(
-                out, uword, np.uint64(1) << (bitpos & 31).astype(np.uint64)
-            )
+            np.bitwise_or.at(out, uword, np.int64(1) << (bitpos & 31))
+        _mark("doc-plane")
         _scatter_pack(out, fvals, blk_freq_bits, blk_off + dplane_words)
+        _mark("freq-plane")
         _scatter_pack(
             out,
             nvals,
@@ -366,12 +384,14 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             blk_off + dplane_words + 4 * blk_freq_bits.astype(np.int64),
             n_words=norm_words,
         )
+        _mark("norm-plane")
         data = out.astype(np.uint32)
 
         # --- positions: within-doc deltas at fixed per-term width ---
         n_occ = len(positions)
         pos_width = np.ones(len(df), np.int32)
         if n_occ:
+            _mark("pos-setup0")
             occ_term = np.repeat(np.arange(len(df)), tf_per_term)
             run_first = np.zeros(n_occ, dtype=bool)
             run_first[cumfreq_excl] = True
@@ -381,20 +401,25 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             pdelta = np.where(run_first, positions, positions - prev_pos)
             if np.any(pdelta < 0):
                 raise ValueError("positions must be non-decreasing within a doc")
+            _mark("pos-deltas")
             np.maximum.at(pos_width, occ_term, _bits_for(pdelta))
+            _mark("pos-maxat")
             words_per_term = (tf_per_term * pos_width + 31) // 32
             pos_word_start_all = np.concatenate([[0], np.cumsum(words_per_term)])
-            pos_out = np.zeros(int(pos_word_start_all[-1]) + 1, dtype=np.uint64)
+            pos_out = np.zeros(int(pos_word_start_all[-1]) + 1, dtype=np.int64)
+            _mark("pos-layout")
             within_occ = np.arange(n_occ) - pos_start_per_term[occ_term]
             for wbits in np.unique(pos_width[np.unique(occ_term)]):
                 selo = np.flatnonzero(pos_width[occ_term] == wbits)
                 bitpos = within_occ[selo] * int(wbits)
                 widx = pos_word_start_all[occ_term[selo]] + (bitpos >> 5)
-                shift = (bitpos & 31).astype(np.uint64)
-                v = pdelta[selo].astype(np.uint64)
-                np.bitwise_or.at(pos_out, widx, (v << shift) & np.uint64(0xFFFFFFFF))
-                np.bitwise_or.at(pos_out, widx + 1, v >> (np.uint64(32) - shift))
+                shift = (bitpos & 31).astype(np.int64)
+                v = pdelta[selo].astype(np.int64)
+                np.bitwise_or.at(pos_out, widx, (v << shift) & 0xFFFFFFFF)
+                # shift==0 -> v >> 32 == 0 since v < 2^32
+                np.bitwise_or.at(pos_out, widx + 1, v >> (32 - shift))
             pos_data = pos_out.astype(np.uint32)
+            _mark("positions")
         else:
             pos_word_start_all = np.zeros(len(df) + 1, np.int64)
             pos_data = np.zeros(1, np.uint32)
@@ -416,6 +441,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         pos_word_start_all = np.zeros(1, np.int64)
         pos_data = np.zeros(1, np.uint32)
 
+    _mark("pre-tables")
     # --- per-field term tables ---
     gterm = 0
     for fid, (name, terms_sorted) in enumerate(term_field_order):
@@ -473,7 +499,9 @@ def _scatter_pack(
     word_off: np.ndarray,
     n_words: np.ndarray | None = None,
 ) -> None:
-    """Pack vals[NB,128] at per-row widths into ``out`` (uint64).
+    """Pack vals[NB,128] at per-row widths into ``out`` (int64 carrying
+    32-bit words; values nonnegative < 2^32 — int64 because numpy's uint64
+    shift/or inner loops are ~40x slower).
 
     Blocks are grouped by bit width; within a group the lane->word mapping
     is fixed, so each of the 4*bits output words is an OR over a small fixed
@@ -491,19 +519,19 @@ def _scatter_pack(
     for b in np.unique(bits):
         b = int(b)
         sel = np.flatnonzero(bits == b)
-        v = vals[sel]  # [G,128]
+        v = np.ascontiguousarray(vals[sel], dtype=np.int64)  # [G,128]
         nwords = 4 * b
-        packed = np.zeros((len(sel), nwords), dtype=np.uint64)
+        packed = np.zeros((len(sel), nwords), dtype=np.int64)
         bitpos = lane * b
         widx = bitpos >> 5
-        shift = (bitpos & 31).astype(np.uint64)
+        shift = bitpos & 31
         for w in range(nwords):
             lo_lanes = np.flatnonzero(widx == w)
             for i in lo_lanes:
-                packed[:, w] |= (v[:, i] << shift[i]) & np.uint64(0xFFFFFFFF)
+                packed[:, w] |= (v[:, i] << int(shift[i])) & 0xFFFFFFFF
             hi_lanes = np.flatnonzero((widx + 1 == w) & (shift > 0))
             for i in hi_lanes:
-                packed[:, w] |= v[:, i] >> (np.uint64(32) - shift[i])
+                packed[:, w] |= v[:, i] >> (32 - int(shift[i]))
         if n_words is None:
             dest = word_off[sel, None] + np.arange(nwords)[None, :]
             out[dest] = packed
