@@ -223,6 +223,39 @@ class SegmentSnapshot:
     def document(self, local_doc: int) -> dict[str, object]:
         return self.packed.stored[local_doc]
 
+    def exists_mask(self, field: str) -> np.ndarray:
+        """bool[max_doc]: docs that HAVE the field via norms, any DV
+        family, points, or postings (reference exists_query.rs:30)."""
+        md = self.max_doc
+        m = np.zeros(md, dtype=bool)
+        norms = self.packed.norms.get(field)
+        if norms is not None:
+            m |= norms[:md] > 0
+        dv = self.numeric_doc_values(field)
+        if dv is not None:
+            m |= dv[1][:md]
+        bdv = self.binary_doc_values(field)
+        if bdv is not None:
+            m |= np.array([v is not None for v in bdv[:md]], bool)
+        sdv = self.sorted_doc_values(field)
+        if sdv is not None:
+            m |= sdv[1][:md] >= 0
+        sndv = self.sorted_numeric_doc_values(field)
+        if sndv is not None:
+            m |= np.diff(sndv[1][: md + 1]) > 0
+        ssdv = self.sorted_set_doc_values(field)
+        if ssdv is not None:
+            m |= np.diff(ssdv[2][: md + 1]) > 0
+        pt = self.packed.points.get(field)
+        if pt is not None:
+            m[pt[1]] = True
+        pf = self.packed.fields.get(field)
+        if pf is not None and field not in self.packed.norms:
+            # untokenized/omit-norms indexed fields: walk postings
+            for t in pf.terms:
+                m[self.read_postings(field, t)[0]] = True
+        return m
+
     def point_range_docs(self, field: str, lower: int | None, upper: int | None) -> np.ndarray:
         """Docs whose 1-D point value lies in [lower, upper] (inclusive,
         None = open end). The sorted point column makes this two binary

@@ -452,6 +452,7 @@ def execute_flat_sorted(
     use_pallas: bool = False,
     reverse: bool = False,
     has_ef: bool = False,
+    filters: FilterPlanes | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-by-field search on the device (reference sort_field machinery,
     field_comparator.rs:367): dense boolean match + top-k by
@@ -459,7 +460,7 @@ def execute_flat_sorted(
     order-preserving RANKS (exact in f32 for <2^24 distinct values); the
     caller maps ranks back to field values. Returns
     (top_keys f32[B,k], scores f32[B,k], docs i32[B,k], total_hits i32[B])."""
-    match, acc_score = _dense_match(dev, q, use_pallas, has_ef)
+    match, acc_score = _dense_match(dev, q, use_pallas, has_ef, filters)
     sortval = jnp.where(match, keycol[None, :] * (1.0 if reverse else -1.0), -jnp.inf)
     top_negkeys, top_docs = topk_score_doc(sortval, k)
     got = top_negkeys > -jnp.inf
@@ -478,12 +479,13 @@ def execute_collapse(
     n_keys: int,
     use_pallas: bool = False,
     has_ef: bool = False,
+    filters: FilterPlanes | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Field collapse on the device (reference collapse_top_docs.rs:239):
     best (score desc, doc asc) hit per collapse key. Returns per-key tables
     (best_score f32[B,K] — -inf for absent keys, best_doc i32[B,K],
     total_hits i32[B]); the host merges leaves and takes the final top-k."""
-    match, acc_score = _dense_match(dev, q, use_pallas, has_ef)
+    match, acc_score = _dense_match(dev, q, use_pallas, has_ef, filters)
     md = dev.max_doc_padded
     b = match.shape[0]
     key_b = jnp.broadcast_to(keycol[None, :], (b, md))

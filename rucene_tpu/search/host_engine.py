@@ -274,9 +274,7 @@ def evaluate_rewritten(
         from rucene_tpu.search.cache import DEFAULT_QUERY_CACHE
 
         docs = DEFAULT_QUERY_CACHE.get_or_compute(
-            leaf,
-            ("range", r.field, r.lower, r.upper),
-            lambda r=r: leaf.point_range_docs(r.field, r.lower, r.upper),
+            leaf, r.cache_key, lambda r=r: r.doc_set(leaf)
         )
         if r.occur in (Occur.SHOULD, Occur.MUST):
             acc[docs] += np.float32(r.boost)  # constant-score semantics

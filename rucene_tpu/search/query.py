@@ -31,14 +31,29 @@ class TermClause:
 
 @dataclass(frozen=True)
 class RangeClause:
-    """1-D point range, encoded to sortable int64 space
-    (reference point_range_query.rs:366; constant-score semantics)."""
+    """Constant-score doc-set clause: a 1-D point range encoded to sortable
+    int64 space (reference point_range_query.rs:366) or, with
+    kind="exists", a field-presence filter (exists_query.rs:30) — both
+    evaluate to a per-leaf doc set with constant score `boost`."""
 
     occur: Occur
     field: str
     lower: int | None  # inclusive, None = open
     upper: int | None  # inclusive, None = open
     boost: float = 1.0
+    kind: str = "range"  # "range" | "exists"
+
+    def doc_set(self, leaf):
+        """Matching local doc ids on one leaf (uncached)."""
+        import numpy as np
+
+        if self.kind == "exists":
+            return np.flatnonzero(leaf.exists_mask(self.field)).astype(np.int64)
+        return leaf.point_range_docs(self.field, self.lower, self.upper)
+
+    @property
+    def cache_key(self) -> tuple:
+        return (self.kind, self.field, self.lower, self.upper)
 
 
 @dataclass
@@ -131,7 +146,7 @@ class BoostQuery(Query):
         ]
         rq.phrases = [(f, ts, b * self.boost, sl) for (f, ts, b, sl) in rq.phrases]
         rq.ranges = [
-            RangeClause(r.occur, r.field, r.lower, r.upper, r.boost * self.boost)
+            RangeClause(r.occur, r.field, r.lower, r.upper, r.boost * self.boost, r.kind)
             for r in rq.ranges
         ]
         rq.boost *= self.boost
@@ -190,8 +205,10 @@ class FilterQuery(ConstantScoreQuery):
 
 
 class ExistsQuery(Query):
-    """Matches docs that HAVE the field — via norms, doc values or points
-    (reference exists_query.rs:30)."""
+    """Matches docs that HAVE the field — via norms, doc values, points or
+    postings (reference exists_query.rs:30; mask built by
+    SegmentSnapshot.exists_mask). Rewrites to an exists-kind RangeClause,
+    so it rides the device filter-plane path like point ranges."""
 
     def __init__(self, field: str, boost: float = 1.0):
         self.field = field
@@ -200,38 +217,15 @@ class ExistsQuery(Query):
     def extract_terms(self):
         return []
 
-    def host_eval(self, leaf, sim, stats, doc_freqs):
-        import numpy as np
-
-        md = leaf.max_doc
-        m = np.zeros(md, dtype=bool)
-        norms = leaf.packed.norms.get(self.field)
-        if norms is not None:
-            m |= norms[:md] > 0
-        dv = leaf.numeric_doc_values(self.field)
-        if dv is not None:
-            m |= dv[1][:md]
-        bdv = leaf.binary_doc_values(self.field)
-        if bdv is not None:
-            m |= np.array([v is not None for v in bdv[:md]], bool)
-        sdv = leaf.sorted_doc_values(self.field)
-        if sdv is not None:
-            m |= sdv[1][:md] >= 0
-        sndv = leaf.sorted_numeric_doc_values(self.field)
-        if sndv is not None:
-            m |= np.diff(sndv[1][: md + 1]) > 0
-        ssdv = leaf.sorted_set_doc_values(self.field)
-        if ssdv is not None:
-            m |= np.diff(ssdv[2][: md + 1]) > 0
-        pt = leaf.packed.points.get(self.field)
-        if pt is not None:
-            m[pt[1]] = True
-        pf = leaf.packed.fields.get(self.field)
-        if pf is not None and self.field not in leaf.packed.norms:
-            # untokenized/omit-norms indexed fields: walk postings
-            for t in pf.terms:
-                m[leaf.read_postings(self.field, t)[0]] = True
-        return m, np.where(m, np.float32(self.boost), np.float32(0.0)).astype(np.float32)
+    def rewrite(self) -> RewrittenQuery:
+        return RewrittenQuery(
+            ranges=[
+                RangeClause(
+                    Occur.SHOULD, self.field, None, None, self.boost,
+                    kind="exists",
+                )
+            ]
+        )
 
 
 class BoostingQuery(Query):
@@ -392,7 +386,7 @@ class BooleanQuery(Query):
                 raise NotImplementedError("MUST_NOT MatchAllDocsQuery matches nothing")
             if sq.ranges and len(sq.ranges) == 1 and not sq.clauses and not sq.phrases:
                 r = sq.ranges[0]
-                out.ranges.append(RangeClause(occur, r.field, r.lower, r.upper, r.boost * self.boost))
+                out.ranges.append(RangeClause(occur, r.field, r.lower, r.upper, r.boost * self.boost, r.kind))
                 continue
             if sq.phrases:
                 if occur != Occur.MUST_NOT:

@@ -415,19 +415,20 @@ class IndexSearcher:
         score). Rows without ranges carry idx == -1 (inert)."""
         from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
 
-        keys: list[tuple] = []
+        keys: list = []  # representative RangeClause per distinct filter
+        key_pos: dict[tuple, int] = {}
         for rq in rqs:
             for r in rq.ranges:
-                key = (r.field, r.lower, r.upper)
-                if key not in keys:
-                    keys.append(key)
+                if r.cache_key not in key_pos:
+                    key_pos[r.cache_key] = len(keys)
+                    keys.append(r)
         r_slots = next_pow2(max((len(rq.ranges) for rq in rqs), default=1), 1)
         idx = np.full((b_pad, r_slots), -1, np.int32)
         enc = np.zeros((b_pad, r_slots), np.int32)
         boost = np.zeros((b_pad, r_slots), np.float32)
         for i, rq in enumerate(rqs):
             for j, r in enumerate(rq.ranges):
-                idx[i, j] = keys.index((r.field, r.lower, r.upper))
+                idx[i, j] = key_pos[r.cache_key]
                 if r.occur in (Occur.MUST, Occur.FILTER):
                     enc[i, j] = ENC_REQUIRED
                 elif r.occur == Occur.SHOULD:
@@ -438,8 +439,8 @@ class IndexSearcher:
                     boost[i, j] = np.float32(r.boost)  # constant-score
         return keys, idx, enc, boost
 
-    def _leaf_plane(self, leaf, key):
-        """Device bool[mdp] plane for one (field, lower, upper) filter on
+    def _leaf_plane(self, leaf, rcl):
+        """Device bool[mdp] plane for one range/exists filter clause on
         one leaf; cached across batches (VERDICT: the device executor must
         not recompute identical filter work every batch)."""
         from rucene_tpu.search.cache import DEFAULT_QUERY_CACHE, DEVICE_PLANE_CACHE
@@ -448,15 +449,15 @@ class IndexSearcher:
 
         def compute():
             docs = DEFAULT_QUERY_CACHE.get_or_compute(
-                leaf,
-                ("range",) + key,
-                lambda: leaf.point_range_docs(key[0], key[1], key[2]),
+                leaf, rcl.cache_key, lambda: rcl.doc_set(leaf)
             )
             m = np.zeros(mdp, bool)
             m[np.asarray(docs, np.int64)] = True
             return jax.device_put(m)
 
-        return DEVICE_PLANE_CACHE.get_or_compute(leaf, ("plane",) + key, compute)
+        return DEVICE_PLANE_CACHE.get_or_compute(
+            leaf, ("plane",) + rcl.cache_key, compute
+        )
 
     def _leaf_filters(self, leaf, keys, idx, enc, boost):
         from rucene_tpu.search.cache import DEVICE_PLANE_CACHE
@@ -471,7 +472,9 @@ class IndexSearcher:
                 planes.append(jnp.zeros(mdp, bool))
             return jnp.stack(planes)
 
-        st = DEVICE_PLANE_CACHE.get_or_compute(leaf, ("stack", tuple(keys)), stack)
+        st = DEVICE_PLANE_CACHE.get_or_compute(
+            leaf, ("stack", tuple(r.cache_key for r in keys)), stack
+        )
         return FilterPlanes(
             planes=st, idx=jnp.asarray(idx), enc=jnp.asarray(enc),
             boost=jnp.asarray(boost),
@@ -487,22 +490,18 @@ class IndexSearcher:
         mdp = int(view.device.live.shape[0])
         holder = id(view.device.data)  # stable across live-plane swaps
 
-        def plane_of(key):
+        def plane_of(rcl):
             def compute():
                 m = np.zeros(mdp, bool)
                 for li, leaf in enumerate(leaves):
                     docs = DEFAULT_QUERY_CACHE.get_or_compute(
-                        leaf,
-                        ("range",) + key,
-                        lambda leaf=leaf: leaf.point_range_docs(
-                            key[0], key[1], key[2]
-                        ),
+                        leaf, rcl.cache_key, lambda leaf=leaf: rcl.doc_set(leaf)
                     )
                     m[int(view.doc_bases[li]) + np.asarray(docs, np.int64)] = True
                 return jax.device_put(m)
 
             return DEVICE_PLANE_CACHE.get_or_compute_keyed(
-                (holder, "plane", key), compute
+                (holder, "plane", rcl.cache_key), compute
             )
 
         def stack():
@@ -512,7 +511,7 @@ class IndexSearcher:
             return jnp.stack(planes)
 
         st = DEVICE_PLANE_CACHE.get_or_compute_keyed(
-            (holder, "stack", tuple(keys)), stack
+            (holder, "stack", tuple(r.cache_key for r in keys)), stack
         )
         return FilterPlanes(
             planes=st, idx=jnp.asarray(idx), enc=jnp.asarray(enc),
@@ -973,7 +972,9 @@ class IndexSearcher:
             rq = query.rewrite()
         except Exception:
             return False
-        if rq.phrases or rq.ranges or rq.groups or (rq.match_all and rq.clauses):
+        if rq.phrases or rq.groups or (rq.match_all and (rq.clauses or rq.ranges)):
+            return False
+        if len(rq.ranges) > 8:
             return False
         uniq, _ = self._dv_rank_tables(sf.field)
         return len(uniq) < 2**24  # ranks must stay f32-exact
@@ -995,6 +996,7 @@ class IndexSearcher:
         weight, occur, n_required, min_should, _, _ = build_clause_tables(
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
+        filter_tables = self._range_filter_tables(rqs, b_pad) if rq.ranges else None
         total = 0
         all_docs, all_keys, all_scores = [], [], []
         for li, leaf in enumerate(self.reader.leaves):
@@ -1017,6 +1019,11 @@ class IndexSearcher:
                     leaf.device, fq, jnp.asarray(keycol), k,
                     use_pallas=self._use_pallas, reverse=sf.reverse,
                     has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                    filters=(
+                        self._leaf_filters(leaf, *filter_tables)
+                        if filter_tables
+                        else None
+                    ),
                 )
             )
             got = scores[0] > -np.inf
@@ -1196,6 +1203,7 @@ class IndexSearcher:
         weight, occur, n_required, min_should, _, _ = build_clause_tables(
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
+        filter_tables = self._range_filter_tables(rqs, b_pad) if rq.ranges else None
         total = 0
         best_scores = np.full(len(uniq), -np.inf, np.float32)
         best_docs = np.full(len(uniq), np.int64(2**62), np.int64)
@@ -1219,6 +1227,11 @@ class IndexSearcher:
                     leaf.device, fq, jnp.asarray(keycol), n_keys,
                     use_pallas=self._use_pallas,
                     has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                    filters=(
+                        self._leaf_filters(leaf, *filter_tables)
+                        if filter_tables
+                        else None
+                    ),
                 )
             )
             total += int(hits[0])
@@ -1371,18 +1384,17 @@ class IndexSearcher:
         for rcl in rq.ranges:
             if rcl.occur == Occur.MUST_NOT:
                 continue
-            docs_in = leaf.point_range_docs(rcl.field, rcl.lower, rcl.upper)
+            docs_in = rcl.doc_set(leaf)
             if local in set(int(x) for x in docs_in) and rcl.occur in (
                 Occur.SHOULD,
                 Occur.MUST,
             ):
-                details.append(
-                    Explanation(
-                        True,
-                        float(rcl.boost),
-                        f"ConstantScore({rcl.field}:[{rcl.lower} TO {rcl.upper}])",
-                    )
+                label = (
+                    f"ConstantScore(_exists_:{rcl.field})"
+                    if rcl.kind == "exists"
+                    else f"ConstantScore({rcl.field}:[{rcl.lower} TO {rcl.upper}])"
                 )
+                details.append(Explanation(True, float(rcl.boost), label))
 
         # phrases: weight = boost * sum(idf) with tf = phrase freq
         # (phrase_query.rs explain)

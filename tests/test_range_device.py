@@ -183,7 +183,7 @@ def test_range_strategy_override_parity():
     res_d = s._search_device([rq], 20)
     # dense vs auto must agree; run twice with forced strategies via the
     # completeness switch: monkeypatch _ranges_complete
-    orig = IndexSearcher._ranges_complete
+    orig = IndexSearcher.__dict__["_ranges_complete"]
     try:
         IndexSearcher._ranges_complete = staticmethod(lambda rqs: False)
         res_f = s._search_device([q.rewrite()], 20)
@@ -192,3 +192,65 @@ def test_range_strategy_override_parity():
     a, b = res_d[0], res_f[0]
     assert a.total_hits == b.total_hits
     assert [sd.doc for sd in a.score_docs] == [sd.doc for sd in b.score_docs]
+
+
+def test_exists_device():
+    """ExistsQuery rewrites to an exists-kind filter plane and runs on the
+    device path (reference exists_query.rs:30)."""
+    from rucene_tpu import ExistsQuery, NumericDocValuesField
+
+    rng = np.random.default_rng(5)
+    buf = SegmentBuffer()
+    for i in range(300):
+        d = Document()
+        d.add(TextField("body", " ".join(f"w{rng.integers(0, 20)}" for _ in range(8))))
+        if i % 3 == 0:
+            d.add(NumericDocValuesField("rank", int(i)))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    s = IndexSearcher(reader)
+    qs = [ExistsQuery("rank"), ExistsQuery("rank", boost=3.0)]
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w2")))
+    from rucene_tpu import ExistsQuery as EQ
+
+    q.add(EQ("rank"), Occur.FILTER)
+    qs.append(q)
+    calls = []
+    orig = s._search_host
+    s._search_host = lambda query, k: calls.append(query) or orig(query, k)
+    _assert_device_matches_oracle(s, qs)
+    assert not calls, "exists fell back to host"
+    # standalone exists total = ceil(300/3)
+    assert s.search(ExistsQuery("rank"), 5).total_hits == 100
+
+
+def test_sorted_and_collapse_with_range():
+    """Sorted search and collapse with a range filter stay on device and
+    match the host oracle."""
+    from rucene_tpu import NumericDocValuesField
+    from rucene_tpu.search.sort_field import Sort, SortField, SortFieldType
+
+    rng = np.random.default_rng(9)
+    buf = SegmentBuffer()
+    for i in range(400):
+        d = Document()
+        d.add(TextField("body", " ".join(f"w{rng.integers(0, 20)}" for _ in range(8))))
+        d.add(NumericDocValuesField("rank", int(rng.integers(0, 50))))
+        d.add(IntPoint("price", int(rng.integers(0, 100))))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    s = IndexSearcher(reader)
+    q = BooleanQuery()
+    q.must(TermQuery(Term("body", "w1")))
+    q.add(PointRangeQuery("price", 20, 80), Occur.FILTER)
+    sort = Sort([SortField("rank", SortFieldType.LONG)])
+    assert s._sorted_device_eligible(q, sort)
+    dev = s.search_sorted(q, 15, sort)
+    host = s._search_sorted_host(q, 15, sort)
+    assert dev.total_hits == host.total_hits
+    assert [fd.doc for fd in dev.field_docs] == [fd.doc for fd in host.field_docs]
+    cd = s._search_collapse_device(q, 10, "rank")
+    ch = s._search_collapse_host(q, 10, "rank")
+    assert cd.total_hits == ch.total_hits
+    assert [sd.doc for sd in cd.score_docs] == [sd.doc for sd in ch.score_docs]
