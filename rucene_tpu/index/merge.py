@@ -386,10 +386,10 @@ class TieredMergePolicy:
     segments whenever at least `segs_per_tier + merge_factor - 1` segments
     exist; force_merge collapses everything.
 
-    max_merged_segment_docs caps merge output size (the analog of Lucene's
-    max_merged_segment_mb, merge_policy.rs:455): segments over half the cap
-    are never merge inputs, and a candidate is trimmed so its combined live
-    doc count stays under the cap. deletes_pct_allowed triggers reclaim
+    max_merged_segment_docs / max_merged_segment_mb cap merge output size
+    (merge_policy.rs:455): segments over half a cap are never merge
+    inputs, and a candidate is trimmed so its combined live doc count and
+    byte size stay under the caps. deletes_pct_allowed triggers reclaim
     rewrites of segments whose delete ratio exceeds it, independent of the
     tier threshold (reference find_forced_deletes_merges)."""
 
@@ -399,14 +399,19 @@ class TieredMergePolicy:
         segs_per_tier: int = 10,
         max_merged_segment_docs: int | None = None,
         deletes_pct_allowed: float = 50.0,
+        max_merged_segment_mb: float | None = None,
     ):
         self.merge_factor = merge_factor
         self.segs_per_tier = segs_per_tier
         self.max_merged_segment_docs = max_merged_segment_docs
         self.deletes_pct_allowed = deletes_pct_allowed
+        self.max_merged_segment_mb = max_merged_segment_mb
 
     def find_merges(
-        self, sizes: dict[str, int], deletes: dict[str, int] | None = None
+        self,
+        sizes: dict[str, int],
+        deletes: dict[str, int] | None = None,
+        byte_sizes: dict[str, int] | None = None,
     ) -> list[MergeCandidate]:
         out: list[MergeCandidate] = []
         claimed: set[str] = set()
@@ -423,19 +428,34 @@ class TieredMergePolicy:
                     claimed.add(name)
 
         cap = self.max_merged_segment_docs
+        bcap = (
+            int(self.max_merged_segment_mb * 1024 * 1024)
+            if self.max_merged_segment_mb is not None and byte_sizes is not None
+            else None
+        )
+        bsz = byte_sizes or {}
         pool = {
             n: s
             for n, s in sizes.items()
-            if n not in claimed and (cap is None or s <= cap // 2)
+            if n not in claimed
+            and (cap is None or s <= cap // 2)
+            and (bcap is None or bsz.get(n, 0) <= bcap // 2)
         }
         if len(pool) >= self.segs_per_tier + self.merge_factor - 1:
             by_size = sorted(pool, key=lambda n: pool[n])
             cand = by_size[: self.merge_factor]
-            if cap is not None:
-                # trim the biggest inputs until the output fits the cap
-                while len(cand) > 2 and sum(pool[n] for n in cand) > cap:
-                    cand.pop()
-            if len(cand) >= 2 and (cap is None or sum(pool[n] for n in cand) <= cap):
+
+            def fits(names):
+                if cap is not None and sum(pool[n] for n in names) > cap:
+                    return False
+                if bcap is not None and sum(bsz.get(n, 0) for n in names) > bcap:
+                    return False
+                return True
+
+            # trim the biggest inputs until the output fits both caps
+            while len(cand) > 2 and not fits(cand):
+                cand.pop()
+            if len(cand) >= 2 and fits(cand):
                 out.append(MergeCandidate(cand))
         return out
 

@@ -503,7 +503,19 @@ class IndexWriter:
             eligible = [i for i in self._infos.segments if i.name not in self._merging]
             sizes = {i.name: (i.max_doc - i.del_count) for i in eligible}
             deletes = {i.name: i.del_count for i in eligible}
-            for cand in self.config.merge_policy.find_merges(sizes, deletes):
+            byte_sizes = None
+            if getattr(self.config.merge_policy, "max_merged_segment_mb", None):
+                byte_sizes = {}
+                for i in eligible:
+                    try:
+                        byte_sizes[i.name] = self.directory.file_size(
+                            segfiles.segment_file(i.name)
+                        )
+                    except OSError:
+                        byte_sizes[i.name] = 0
+            for cand in self.config.merge_policy.find_merges(
+                sizes, deletes, byte_sizes=byte_sizes
+            ):
                 reg = self._register_merge(cand.segments)
                 if reg is not None:
                     regs.append(reg)

@@ -90,6 +90,7 @@ class Directory(Protocol):
     def list_all(self) -> list[str]: ...
     def file_exists(self, name: str) -> bool: ...
     def read_file(self, name: str) -> bytes: ...
+    def file_size(self, name: str) -> int: ...
     def create_output(self, name: str) -> ChecksumOutput: ...
     def delete_file(self, name: str) -> None: ...
     def rename(self, src: str, dst: str) -> None: ...
@@ -116,6 +117,9 @@ class FSDirectory:
     def read_file(self, name: str) -> bytes:
         with open(self._p(name), "rb") as f:
             return f.read()
+
+    def file_size(self, name: str) -> int:
+        return os.path.getsize(self._p(name))
 
     def create_output(self, name: str) -> ChecksumOutput:
         return ChecksumOutput(open(self._p(name), "wb"))
@@ -211,6 +215,9 @@ class RAMDirectory:
 
     def read_file(self, name: str) -> bytes:
         return self.files[name]
+
+    def file_size(self, name: str) -> int:
+        return len(self.files[name])
 
     def create_output(self, name: str) -> ChecksumOutput:
         directory = self

@@ -343,3 +343,26 @@ def test_crashed_writer_does_not_wedge_lock(tmp_path):
         if holder.poll() is None:
             holder.kill()
             holder.wait()
+
+
+def test_max_merged_segment_mb_cap(tmp_path):
+    """Byte-size merge cap (reference merge_policy.rs:455): oversized
+    segments are never merge inputs; candidates trim to fit."""
+    from rucene_tpu.index.merge import TieredMergePolicy
+
+    mp = TieredMergePolicy(
+        merge_factor=4, segs_per_tier=1, max_merged_segment_mb=1.0
+    )
+    kb = 1024
+    sizes = {f"s{i}": 100 for i in range(5)}
+    # s4 alone exceeds half the 1MB cap -> excluded from the pool
+    byte_sizes = {"s0": 100 * kb, "s1": 200 * kb, "s2": 300 * kb,
+                  "s3": 300 * kb, "s4": 600 * kb}
+    out = mp.find_merges(sizes, byte_sizes=byte_sizes)
+    assert out, "expected a merge candidate"
+    cand = out[0].segments
+    assert "s4" not in cand
+    assert sum(byte_sizes[n] for n in cand) <= 1024 * kb
+    # no byte_sizes provided -> cap is inert, doc-count logic unchanged
+    out2 = mp.find_merges(sizes)
+    assert out2 and len(out2[0].segments) == 4
