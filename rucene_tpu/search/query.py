@@ -376,6 +376,10 @@ class BooleanQuery(Query):
     def rewrite(self) -> RewrittenQuery:
         out = RewrittenQuery(min_should_match=self.min_should_match, boost=self.boost)
         for occur, sub in self.clauses:
+            de = getattr(sub, "device_equivalent", None)
+            if de is not None:
+                eq = de()  # span children with exact flat equivalents
+                sub = eq if eq is not None else sub
             if hasattr(sub, "host_eval"):
                 raise _NeedsHostEval(self)
             sq = sub.rewrite()

@@ -308,6 +308,11 @@ class IndexSearcher:
         from rucene_tpu.search.query import _NeedsHostEval
 
         def _safe_rewrite(q):
+            de = getattr(q, "device_equivalent", None)
+            if de is not None:
+                eq = de()  # span-term -> term, ordered span-near -> phrase
+                if eq is not None:
+                    return eq.rewrite()
             if hasattr(q, "host_eval"):
                 return None
             try:

@@ -80,6 +80,13 @@ class SpanTermQuery(SpanQuery):
         self.field = term.field
         self.boost = boost
 
+    def device_equivalent(self):
+        """All spans have width 1, so freq == tf and the SpanScorer formula
+        reduces to exactly the TermQuery BM25 score -> device term path."""
+        from rucene_tpu.search.query import TermQuery
+
+        return TermQuery(self.term, boost=self.boost)
+
     def extract_terms(self) -> list[Term]:
         return [self.term]
 
@@ -156,6 +163,26 @@ class SpanNearQuery(SpanQuery):
             raise ValueError("SpanNearQuery clauses must share a field")
         self.boost = boost
 
+    def device_equivalent(self):
+        """Ordered near over plain term children IS this engine's sloppy
+        phrase (greedy chain, total gap <= slop, freq = sum 1/(gap+1) —
+        phrase_scorer.rs:442 analog), so it rides the device phrase
+        pipeline. Unordered or nested spans stay on the host."""
+        if not self.in_order:
+            return None
+        if not all(
+            type(c) is SpanTermQuery and c.boost == 1.0 for c in self.clauses
+        ):
+            return None
+        from rucene_tpu.search.query import PhraseQuery
+
+        return PhraseQuery(
+            self.field,
+            [c.term.text for c in self.clauses],
+            boost=self.boost,
+            slop=self.slop,
+        )
+
     def extract_terms(self) -> list[Term]:
         return [t for c in self.clauses for t in c.extract_terms()]
 
@@ -215,6 +242,14 @@ class SpanBoostQuery(SpanQuery):
         self.query = query
         self.field = query.field
         self.boost = boost * getattr(query, "boost", 1.0)
+
+    def device_equivalent(self):
+        de = getattr(self.query, "device_equivalent", None)
+        eq = de() if de is not None else None
+        if eq is None:
+            return None
+        eq.boost = self.boost  # total boost (already includes the inner one)
+        return eq
 
     def extract_terms(self):
         return self.query.extract_terms()

@@ -254,3 +254,74 @@ def test_sorted_and_collapse_with_range():
     ch = s._search_collapse_host(q, 10, "rank")
     assert cd.total_hits == ch.total_hits
     assert [sd.doc for sd in cd.score_docs] == [sd.doc for sd in ch.score_docs]
+
+
+def test_span_device_equivalents():
+    """SpanTermQuery and ordered SpanNearQuery over term children route to
+    the device term/phrase paths and match the span host path exactly."""
+    from rucene_tpu.search.spans import (
+        SpanBoostQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    rng = np.random.default_rng(3)
+    buf = SegmentBuffer()
+    for _ in range(400):
+        d = Document()
+        d.add(TextField("body", " ".join(f"w{rng.integers(0, 12)}" for _ in range(14))))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    s = IndexSearcher(reader)
+
+    t = lambda w: SpanTermQuery(Term("body", w))
+    queries = [
+        t("w3"),
+        SpanBoostQuery(t("w5"), 2.5),
+        SpanNearQuery([t("w1"), t("w2")], slop=0, in_order=True),
+        SpanNearQuery([t("w1"), t("w4")], slop=3, in_order=True),
+        SpanBoostQuery(SpanNearQuery([t("w2"), t("w6")], slop=2, in_order=True), 1.7),
+    ]
+    from rucene_tpu.search import host_engine
+
+    for q in queries:
+        # span host oracle (host_eval path, the reference Spans protocol)
+        doc_freqs = {
+            (tm.field, tm.text): s.reader.doc_freq(tm.field, tm.text)
+            for tm in q.extract_terms()
+        }
+        stats = {"body": s.collection_stats("body")}
+        leaf = reader.leaves[0]
+        m, acc = q.host_eval(leaf, s.similarity, stats, doc_freqs)
+        hh = host_engine.hits_from_dense(leaf, m, acc, 20)
+        td = s.search(q, k=20)
+        assert td.total_hits == hh.total_hits, f"{q}: {td.total_hits} != {hh.total_hits}"
+        got = [(sd.doc, sd.score) for sd in td.score_docs]
+        want = list(zip(hh.docs.tolist(), hh.scores.tolist()))
+        assert_hits_equal(got, want, rtol=2e-6)
+
+    # unordered near still evaluates (host path)
+    un = SpanNearQuery([t("w1"), t("w2")], slop=4, in_order=False)
+    assert s.search(un, k=5).total_hits >= 0
+
+    # spans nested under a boolean rewrite to flat form (no _NeedsHostEval):
+    # a pure span-near clause becomes the phrase device path; span-term
+    # clauses become term clauses on the plain device path
+    bq = BooleanQuery()
+    bq.must(SpanNearQuery([t("w1"), t("w2")], slop=2, in_order=True))
+    rq = bq.rewrite()
+    assert rq.phrases and not rq.clauses
+    bq2 = BooleanQuery()
+    bq2.must(t("w1"))
+    bq2.should(t("w7"))
+    calls = []
+    orig = s._search_host
+
+    def spy(q2, k):
+        calls.append(q2)
+        return orig(q2, k)
+
+    s._search_host = spy
+    s.search(bq, k=10)
+    s.search(bq2, k=10)
+    assert not calls, "span boolean fell back to host"
