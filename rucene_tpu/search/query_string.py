@@ -156,6 +156,10 @@ class QueryStringParser:
             if self.lowercase:
                 text = text.lower()
             boost = float(tok.group("tboost") or 1.0)  # term^2 (query_string.rs:199)
+            if field == "_exists_":  # ES syntax (query_string.rs field_or_exists)
+                from rucene_tpu.search.query import ExistsQuery
+
+                return ExistsQuery(tok.group("ttext"), boost=boost)
             return TermQuery(Term(field, text), boost=boost)
         raise ValueError(f"unexpected token {tok.group()!r}")
 

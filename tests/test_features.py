@@ -235,3 +235,17 @@ def test_multi_dim_points():
     s2 = IndexSearcher(IndexReader([SegmentSnapshot("md2", pack_segment(buf2.finish()))]))
     assert s2.search(PointRangeQuery("loc", (99, 99), (101, 101)), k=5).total_hits == 1
     assert s2.search(PointRangeQuery("loc", (40, 40), (60, 60)), k=5).total_hits == 0
+
+
+def test_query_string_exists_syntax():
+    """_exists_:field parses to ExistsQuery (ES syntax the reference's
+    query_string.rs builder accepts)."""
+    from rucene_tpu.search.query import BooleanQuery, ExistsQuery
+    from rucene_tpu.search.query_string import parse_query_string
+
+    q = parse_query_string("_exists_:rank")
+    assert isinstance(q, ExistsQuery) and q.field == "rank"
+    q2 = parse_query_string("+fox +_exists_:rank")
+    assert isinstance(q2, BooleanQuery)
+    kinds = {type(sub).__name__ for _, sub in q2.clauses}
+    assert kinds == {"TermQuery", "ExistsQuery"}
