@@ -15,7 +15,11 @@ optimistic stand-in for a scalar CPU engine; the rucene comparison has to be
 run outside this sandbox.
 
 Env knobs: BENCH_DOCS (default 50000), BENCH_QUERIES (512), BENCH_BATCH
-(256), BENCH_K (100).
+(256), BENCH_K (100), BENCH_CORPUS ("zipf" | "pytext" — real English text
+harvested from installed-package docstrings/comments), BENCH_CACHE (dir:
+reuse the packed index across runs — the sandbox charges ~0.5ms per fresh
+memory page, so rebuilding a 1M+-doc index costs tens of minutes of page
+faults, dwarfing the actual pack compute).
 """
 
 from __future__ import annotations
@@ -41,6 +45,67 @@ def build_corpus(n_docs: int, vocab_size: int = 20000, seed: int = 7):
     for n in lengths:
         texts.append(" ".join(vocab[token_ids[off : off + n]]))
         off += n
+    return texts, vocab, probs
+
+
+def build_corpus_pytext(n_docs: int, seed: int = 7):
+    """Real-text corpus: docstring/comment/identifier passages harvested
+    from installed Python packages (the largest natural-text source in the
+    sandbox — no network egress). Passages of 15-60 tokens, lowercased
+    alphanumeric terms; vocabulary and unigram stats measured from the
+    harvested text so query sampling works like the Zipf path."""
+    import re
+    import sys
+
+    rng = np.random.default_rng(seed)
+    word_re = re.compile(r"[a-zA-Z][a-zA-Z0-9_]{1,30}")
+    texts: list[str] = []
+    cur: list[str] = []
+    roots = [
+        p
+        for p in sys.path
+        if p.endswith("site-packages") or p.endswith("dist-packages")
+    ] or ["/opt/venv/lib/python3.12/site-packages"]
+
+    def py_files():  # lazy walk: stop as soon as enough text is harvested
+        for r in roots:
+            for dirpath, dirnames, filenames in os.walk(r):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    if fn.endswith(".py"):
+                        yield os.path.join(dirpath, fn)
+
+    target_len = int(rng.integers(15, 60))
+    for path in py_files():
+        try:
+            with open(path, errors="ignore") as f:
+                data = f.read()
+        except OSError:
+            continue
+        for w in word_re.findall(data):
+            cur.append(w.lower())
+            if len(cur) >= target_len:
+                texts.append(" ".join(cur))
+                cur = []
+                target_len = int(rng.integers(15, 60))
+                if len(texts) >= n_docs:
+                    break
+        if len(texts) >= n_docs:
+            break
+    if len(texts) < n_docs:  # wrap around for very large corpora
+        base = list(texts)
+        while len(texts) < n_docs and base:
+            texts.append(base[len(texts) % len(base)])
+    # measured unigram stats over a sample for query construction
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts[:: max(1, len(texts) // 200_000)]:
+        counts.update(t.split())
+    vocab_counts = counts.most_common()
+    vocab = np.array([w for w, _ in vocab_counts])
+    freqs = np.array([c for _, c in vocab_counts], np.float64)
+    probs = freqs / freqs.sum()
     return texts, vocab, probs
 
 
@@ -99,19 +164,57 @@ def main():
     from rucene_tpu.index.memory import SegmentBuffer
     from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 
-    t0 = time.time()
-    texts, vocab, probs = build_corpus(n_docs)
-    queries = build_queries(n_queries, vocab, probs)
+    corpus_kind = os.environ.get("BENCH_CORPUS", "zipf")
+    cache_dir = os.environ.get("BENCH_CACHE", "")
 
-    buf = SegmentBuffer()
-    for t in texts:
-        d = Document()
-        d.add(TextField("body", t))
-        buf.add_document(d)
-    packed = pack_segment(buf.finish())
+    def log(msg):
+        print(f"# {msg}", flush=True, file=__import__("sys").stderr)
+
+    t0 = time.time()
+    packed = None
+    seg_name = f"bench-{corpus_kind}-{n_docs}"
+    if cache_dir:
+        from rucene_tpu.codec import files as segfiles
+        from rucene_tpu.store.directory import FSDirectory
+
+        os.makedirs(cache_dir, exist_ok=True)
+        cdir = FSDirectory(cache_dir)
+        if cdir.file_exists(segfiles.segment_file(seg_name)):
+            log(f"loading cached index {seg_name} from {cache_dir}")
+            packed = segfiles.read_segment(cdir, seg_name)
+    if corpus_kind == "pytext":
+        texts, vocab, probs = (None, None, None)
+        if packed is None:
+            texts, vocab, probs = build_corpus_pytext(n_docs)
+        else:  # vocab stats only (cheap) for query construction
+            texts, vocab, probs = build_corpus_pytext(min(n_docs, 200_000))
+    else:
+        texts, vocab, probs = build_corpus(n_docs)
+    queries = build_queries(n_queries, vocab, probs)
+    log(f"corpus ready ({time.time()-t0:.0f}s)")
+
+    if packed is None:
+        buf = SegmentBuffer()
+        docs = []
+        for t in texts:
+            d = Document()
+            d.add(TextField("body", t))
+            docs.append(d)
+        buf.add_documents_bulk(docs)  # C++ inverter, one GIL release
+        del docs
+        log(f"inverted ({time.time()-t0:.0f}s)")
+        packed = pack_segment(buf.finish())
+        log(f"packed ({time.time()-t0:.0f}s)")
+        if cache_dir:
+            from rucene_tpu.codec import files as segfiles
+            from rucene_tpu.store.directory import FSDirectory
+
+            segfiles.write_segment(FSDirectory(cache_dir), seg_name, packed)
+            log(f"cached to {cache_dir}")
     reader = IndexReader([SegmentSnapshot("bench", packed)])
     searcher = IndexSearcher(reader)
     build_s = time.time() - t0
+    log(f"index ready ({build_s:.0f}s), searching")
 
     # warmup (compile every batch's shape bucket) then timed batched runs
     for i in range(0, n_queries, batch):

@@ -36,13 +36,10 @@ from rucene_tpu.util.packing import (
 
 
 def _bits_for(values: np.ndarray) -> np.ndarray:
-    """Per-element minimal bit width (>=1) for uint values (vectorized)."""
-    v = values.astype(np.uint64)
-    bits = np.zeros_like(v, dtype=np.int64)
-    nz = v > 0
-    # exact for v < 2^53; doc deltas and freqs are < 2^31
-    bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    return np.maximum(bits, 1).astype(np.int32)
+    """Per-element minimal bit width (>=1) for uint values (vectorized).
+    float64 log2 is exact for v < 2^53; inputs here are < 2^31."""
+    v = np.maximum(np.asarray(values), 1).astype(np.float64)
+    return np.floor(np.log2(v)).astype(np.int32) + np.int32(1)
 
 
 @dataclass
@@ -236,11 +233,18 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
 
     _mark("flatten")
     if df_list:
-        docs = np.concatenate(docs_parts).astype(np.int64)
-        freqs = np.concatenate(freqs_parts).astype(np.int64)
+        # per-posting arrays are int32: doc ids, freqs and positions are
+        # < 2^31 and the fresh-page cost of this pipeline dominates cold
+        # indexing (CLAUDE.md memory gotcha) — halving bytes halves it
+        docs = np.concatenate(docs_parts)
+        docs = docs.astype(np.int32) if docs.dtype != np.int32 else docs
+        freqs = np.concatenate(freqs_parts)
+        freqs = freqs.astype(np.int32) if freqs.dtype != np.int32 else freqs
         positions = (
-            np.concatenate(pos_parts).astype(np.int64) if pos_parts else np.zeros(0, np.int64)
+            np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int32)
         )
+        if positions.dtype != np.int32:
+            positions = positions.astype(np.int32)
         df = np.asarray(df_list, dtype=np.int64)
     else:
         docs = np.zeros(0, np.int64)
@@ -249,6 +253,8 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         df = np.zeros(0, np.int64)
 
     n_post = len(docs)
+    if n_post >= 2**31 or (len(freqs) and int(freqs.sum(dtype=np.int64)) >= 2**31):
+        raise ValueError("segment exceeds 2^31 postings/occurrences")
     term_start = np.concatenate([[0], np.cumsum(df)])  # [T+1]
     tf_per_term = np.add.reduceat(freqs, term_start[:-1].astype(np.int64)) if n_post else np.zeros(0, np.int64)
     tf_per_term = np.where(df > 0, tf_per_term, 0) if len(df) else tf_per_term
@@ -257,18 +263,21 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
     # --- per-posting indexing: which term, which block, which lane ---
     if n_post:
         _mark("concat+stats")
-        term_of_post = np.repeat(np.arange(len(df)), df)
-        idx_in_term = np.arange(n_post) - term_start[term_of_post]
+        term_of_post = np.repeat(np.arange(len(df), dtype=np.int32), df)
+        idx_in_term = (
+            np.arange(n_post, dtype=np.int32)
+            - term_start[term_of_post].astype(np.int32)
+        )
         blk_in_term = idx_in_term // BLOCK_SIZE
-        lane = (idx_in_term % BLOCK_SIZE).astype(np.int64)
+        lane = idx_in_term % BLOCK_SIZE
         blocks_per_term = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
         term_blk_start = np.concatenate([[0], np.cumsum(blocks_per_term)])
-        gblk = term_blk_start[term_of_post] + blk_in_term  # global block id per posting
+        gblk = term_blk_start[term_of_post].astype(np.int32) + blk_in_term
         nb_total = int(term_blk_start[-1])
 
         # deltas: doc[i] - doc[i-1] within a term; first of term = doc + 1
         _mark("post-index")
-        prev = np.empty(n_post, dtype=np.int64)
+        prev = np.empty(n_post, dtype=np.int32)
         prev[1:] = docs[:-1]
         prev[0] = -1
         at_term_start = idx_in_term == 0
@@ -282,8 +291,8 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         # ~40x-slower non-SIMD path for broadcast shifts/ors; every packed
         # value is < 2^32 so signed arithmetic is exact and >> == logical
         _mark("deltas")
-        dvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
-        fvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
+        dvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int32)
+        fvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int32)
         dvals[gblk, lane] = deltas
         fvals[gblk, lane] = freqs
 
@@ -308,7 +317,9 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         blk_last_doc[gblk] = docs
 
         # within-term occurrence offset of each block's first posting
-        cumfreq_excl = np.concatenate([[0], np.cumsum(freqs)])[:-1]
+        cumfreq_excl = np.concatenate(
+            [[0], np.cumsum(freqs, dtype=np.int32)]
+        )[:-1]
         blk_pos_base = np.zeros(nb_total, dtype=np.int64)
         blk_pos_base[gblk[first_lane]] = (
             cumfreq_excl[first_lane] - pos_start_per_term[term_of_post[first_lane]]
@@ -317,7 +328,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         # norm byte per posting, inlined into the block so scoring never
         # random-gathers the [F, max_doc] norms plane (the gather was ~15%
         # of device time at the 50K/256q shape — docs/ROADMAP.md budget)
-        nvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int64)
+        nvals = np.zeros((nb_total, BLOCK_SIZE), dtype=np.int32)
         gt = 0
         for name, terms_sorted in term_field_order:
             t0, t1 = gt, gt + len(terms_sorted)
@@ -327,7 +338,7 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
                 continue
             s0, e0 = int(term_start[t0]), int(term_start[t1])
             if e0 > s0:
-                nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]].astype(np.int64)
+                nvals[gblk[s0:e0], lane[s0:e0]] = narr[docs[s0:e0]]
 
         # --- adaptive doc-plane encoding (reference PF/EF/BITSET choice,
         # posting_reader.rs:336-341): full blocks whose Elias-Fano size
@@ -392,10 +403,10 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
         pos_width = np.ones(len(df), np.int32)
         if n_occ:
             _mark("pos-setup0")
-            occ_term = np.repeat(np.arange(len(df)), tf_per_term)
+            occ_term = np.repeat(np.arange(len(df), dtype=np.int32), tf_per_term)
             run_first = np.zeros(n_occ, dtype=bool)
             run_first[cumfreq_excl] = True
-            prev_pos = np.empty(n_occ, dtype=np.int64)
+            prev_pos = np.empty(n_occ, dtype=np.int32)
             prev_pos[1:] = positions[:-1]
             prev_pos[0] = 0
             pdelta = np.where(run_first, positions, positions - prev_pos)
@@ -408,7 +419,10 @@ def pack_segment(seg: SegmentData) -> PackedSegment:
             pos_word_start_all = np.concatenate([[0], np.cumsum(words_per_term)])
             pos_out = np.zeros(int(pos_word_start_all[-1]) + 1, dtype=np.int64)
             _mark("pos-layout")
-            within_occ = np.arange(n_occ) - pos_start_per_term[occ_term]
+            within_occ = (
+                np.arange(n_occ, dtype=np.int32)
+                - pos_start_per_term[occ_term].astype(np.int32)
+            )
             for wbits in np.unique(pos_width[np.unique(occ_term)]):
                 selo = np.flatnonzero(pos_width[occ_term] == wbits)
                 bitpos = within_occ[selo] * int(wbits)
