@@ -506,6 +506,24 @@ def execute_collapse(
     return best_score, best_doc, total_hits
 
 
+@partial(jax.jit, static_argnames=("use_pallas", "has_ef"))
+def execute_probe(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,  # B == 1
+    probe_docs: jax.Array,  # i32[P] local doc ids (may repeat / pad with -1)
+    use_pallas: bool = False,
+    has_ef: bool = False,
+    filters: FilterPlanes | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Evaluate one query densely and read (match, score) at specific docs
+    — the device form of the rescorer's per-hit second-pass lookup
+    (reference rescorer.rs:130 QueryRescorer::combine inputs)."""
+    match, acc_score = _dense_match(dev, q, use_pallas, has_ef, filters)
+    safe = jnp.clip(probe_docs, 0, dev.max_doc_padded - 1)
+    ok = (probe_docs >= 0) & match[0, safe]
+    return ok, jnp.where(ok, acc_score[0, safe], 0.0)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def execute_match_all(
     dev: DeviceSegment, boost: jax.Array, k: int

@@ -25,7 +25,43 @@ class QueryRescorer:
         if not first.score_docs:
             return first
         doc_freqs, stats = searcher._gather_stats_query(self.query)
-        # per-leaf dense evaluation of the rescore query
+
+        # device probe path: one dense executor dispatch + gather per leaf
+        # (executor.execute_probe) when the rescore query rewrites to the
+        # flat device form; host dense eval remains the general fallback
+        rq = None
+        if not hasattr(self.query, "host_eval"):
+            try:
+                cand = self.query.rewrite()
+                if not cand.phrases and not cand.groups and not cand.match_all:
+                    rq = cand
+            except Exception:
+                rq = None
+
+        heads = list(first.score_docs[:top_n])
+        if rq is not None:
+            by_leaf: dict[int, list[int]] = {}
+            leaves = {leaf.doc_base: leaf for leaf in searcher.reader.leaves}
+            bases = sorted(leaves)
+            for i, sd in enumerate(heads):
+                base = max(b for b in bases if b <= sd.doc)
+                by_leaf.setdefault(base, []).append(i)
+            combined = np.asarray([sd.score for sd in heads], np.float32)
+            for base, idxs in by_leaf.items():
+                locs = np.asarray([heads[i].doc - base for i in idxs], np.int64)
+                ok, sc = searcher._probe_device(
+                    rq, leaves[base], locs, stats, doc_freqs
+                )
+                for j, i in enumerate(idxs):
+                    if ok[j]:
+                        combined[i] = np.float32(
+                            combined[i] + self.weight * np.float32(sc[j])
+                        )
+            out = [ScoreDoc(sd.doc, float(combined[i])) for i, sd in enumerate(heads)]
+            out.sort(key=lambda s: (-s.score, s.doc))
+            return TopDocs(first.total_hits, out + list(first.score_docs[top_n:]))
+
+        # per-leaf dense evaluation of the rescore query (host fallback)
         leaf_eval = {}
         for leaf in searcher.reader.leaves:
             leaf_eval[leaf.doc_base] = (
@@ -36,7 +72,7 @@ class QueryRescorer:
             )
         bases = sorted(leaf_eval)
         out = []
-        for sd in first.score_docs[:top_n]:
+        for sd in heads:
             base = max(b for b in bases if b <= sd.doc)
             leaf, (match, acc) = leaf_eval[base]
             local = sd.doc - base

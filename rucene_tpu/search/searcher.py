@@ -535,6 +535,47 @@ class IndexSearcher:
             for rq in rqs
         )
 
+    def _probe_device(self, rq, leaf, locs, stats, doc_freqs):
+        """(match, score) of one rewritten query at specific local docs on
+        one leaf — a single dense executor dispatch + gather
+        (executor.execute_probe); serves the rescorer's second pass."""
+        from rucene_tpu.search.executor import execute_probe
+
+        sim = self.similarity
+        b_pad = 1
+        t_pad = next_pow2(max(len(rq.clauses), 1), 1)
+        weight, occur, n_required, min_should, _, _ = build_clause_tables(
+            [rq], sim, doc_freqs, stats, b_pad, t_pad
+        )
+        cache = build_leaf_cache(leaf, sim, stats)
+        bs, bc, fid = build_leaf_tables(leaf, [rq], b_pad, t_pad)
+        work = build_flat_work(bs, bc, weight, fid, occur)
+        filters = (
+            self._leaf_filters(leaf, *self._range_filter_tables([rq], b_pad))
+            if rq.ranges
+            else None
+        )
+        wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+        fq = jax.device_put(
+            FlatQueryBatch(
+                wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
+                wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
+                n_required=n_required, min_should=min_should, cache=cache,
+            )
+        )
+        p_pad = next_pow2(max(len(locs), 1), 1)
+        probe = np.full(p_pad, -1, np.int32)
+        probe[: len(locs)] = np.asarray(locs, np.int32)
+        ok, sc = jax.device_get(
+            execute_probe(
+                leaf.device, fq, jnp.asarray(probe),
+                use_pallas=self._use_pallas,
+                has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                filters=filters,
+            )
+        )
+        return np.asarray(ok)[: len(locs)], np.asarray(sc)[: len(locs)]
+
     # --- device path ---
     def _search_device(
         self, rqs: list[RewrittenQuery], k: int, prune: bool = False

@@ -325,3 +325,41 @@ def test_span_device_equivalents():
     s.search(bq, k=10)
     s.search(bq2, k=10)
     assert not calls, "span boolean fell back to host"
+
+
+def test_rescorer_device_probe_parity():
+    """QueryRescorer's device probe path equals the host dense fallback
+    (reference rescorer.rs:130)."""
+    from rucene_tpu.search.rescorer import QueryRescorer
+
+    reader = _build(n_docs=400, seed=21)
+    s = IndexSearcher(reader)
+    first = s.search(TermQuery(Term("body", "w2")), k=30)
+    bq = BooleanQuery()
+    bq.should(TermQuery(Term("body", "w3")))
+    bq.add(PointRangeQuery("price", 100, 700), Occur.SHOULD)
+    r = QueryRescorer(bq, rescore_weight=2.0)
+    dev = r.rescore(s, first, top_n=20)
+
+    # force the host fallback by making the query look host-only
+    class HostWrap:
+        host_eval = True  # attribute presence triggers the fallback
+
+        def __init__(self, q):
+            self._q = q
+
+        def rewrite(self):
+            return self._q.rewrite()
+
+        def extract_terms(self):
+            return self._q.extract_terms()
+
+    hw = HostWrap(bq)
+    hw.host_eval = lambda leaf, sim, stats, dfs: __import__(
+        "rucene_tpu.search.host_engine", fromlist=["x"]
+    ).evaluate_rewritten(leaf, bq.rewrite(), sim, stats, dfs)
+    r2 = QueryRescorer(hw, rescore_weight=2.0)
+    host = r2.rescore(s, first, top_n=20)
+    assert [sd.doc for sd in dev.score_docs] == [sd.doc for sd in host.score_docs]
+    for a, b in zip(dev.score_docs, host.score_docs):
+        assert abs(a.score - b.score) <= 4e-6 * max(1.0, abs(b.score))
