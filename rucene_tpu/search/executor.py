@@ -137,7 +137,7 @@ def decode_score_lanes(
     touch Elias-Fano-encoded blocks — the XLA path specializes on it; the
     Mosaic kernel branches per item (lax.cond) so it takes every list.
     Returns (target i32[W,128] — doc id or md+1 for invalid lanes,
-    rows i32[W,1], sc f32[W,128], valid bool[W,128])."""
+    rows i32[W,1], sc f32[W,128], valid bool[W,128], freqs i32[W,128])."""
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
 
@@ -177,7 +177,7 @@ def decode_score_lanes(
 
     target = jnp.where(valid, docs, md + 1)  # out of range -> dropped
     rows = q.wi_row[:, None].astype(jnp.int32)
-    return target, rows, sc, valid
+    return target, rows, sc, valid, freqs
 
 
 def execute_flat_impl(
@@ -201,7 +201,7 @@ def execute_flat_impl(
     shape heuristic ("auto" | "dense" | "candidate")."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
+    target, rows, sc, valid, _ = decode_score_lanes(dev, q, use_pallas, has_ef)
 
     # --- match + top-k: shape-adaptive strategy ---
     # Dense: scatter-add into [B, md] accumulators and run vectorized top-k
@@ -377,7 +377,7 @@ def execute_flat_single(
     Caller guarantees: one scoring clause per row with positive weight, no
     MUST_NOT/FILTER, dev.live all-true over real docs, and every row's
     work items contiguous in the flat list."""
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
+    target, rows, sc, valid, _ = decode_score_lanes(dev, q, use_pallas, has_ef)
     # trailing pad so the last row's dynamic_slice never clamps (a clamped
     # start would silently shift that row's lanes)
     sc_flat = jnp.concatenate(
@@ -425,7 +425,7 @@ def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
     """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""
     b = q.n_required.shape[0]
     md = dev.max_doc_padded
-    target, rows, sc, valid = decode_score_lanes(dev, q, use_pallas, has_ef)
+    target, rows, sc, valid, _ = decode_score_lanes(dev, q, use_pallas, has_ef)
     acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
     inc = jnp.where(valid, q.wi_enc[:, None], 0)
     acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
@@ -522,6 +522,38 @@ def execute_probe(
     safe = jnp.clip(probe_docs, 0, dev.max_doc_padded - 1)
     ok = (probe_docs >= 0) & match[0, safe]
     return ok, jnp.where(ok, acc_score[0, safe], 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "use_pallas", "has_ef"))
+def execute_synonym(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,  # one row per SpanOr query; clauses = member terms
+    fid_row: jax.Array,  # i32[B] norms/cache row per query
+    w_row: jax.Array,  # f32[B] boost * sum(member idf) * (k1+1)
+    k: int,
+    use_pallas: bool = False,
+    has_ef: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Synonym scoring for SpanOrQuery over term clauses (span_or.rs via
+    SpanScorer): every span has width 1, so freq(doc) = SUM of member
+    tfs and the score is ONE BM25 application with the summed-idf weight
+    — unlike the boolean executor, which scores each clause separately.
+    Dense tf accumulation + per-doc norm-plane lookup + exact top-k."""
+    b = q.n_required.shape[0]
+    md = dev.max_doc_padded
+    target, rows, _sc, valid, freqs = decode_score_lanes(dev, q, use_pallas, has_ef)
+    tf = jnp.zeros((b, md), jnp.float32).at[rows, target].add(
+        jnp.where(valid, freqs, 0).astype(jnp.float32), mode="drop"
+    )
+    norm_rows = dev.norms[fid_row]  # u8[B, md]
+    cache_rows = q.cache[fid_row]  # f32[B, 256]
+    cval = jnp.take_along_axis(cache_rows, norm_rows.astype(jnp.int32), axis=1)
+    match = (tf > 0.0) & dev.live[None, :]
+    score = w_row[:, None] * tf / (tf + cval)
+    scores = jnp.where(match, score, -jnp.inf)
+    top_scores, top_docs = topk_score_doc(scores, k)
+    total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+    return top_scores, top_docs, total_hits
 
 
 @partial(jax.jit, static_argnames=("k",))

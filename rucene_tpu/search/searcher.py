@@ -337,8 +337,16 @@ class IndexSearcher:
             for i, rq in enumerate(rewritten)
             if i not in set(device_idx) and self._phrase_device_eligible(rq)
         ]
+        taken = set(device_idx) | set(phrase_idx)
+        syn_idx = [
+            i
+            for i, q in enumerate(queries)
+            if i not in taken
+            and getattr(q, "synonym_terms", None) is not None
+            and q.synonym_terms() is not None
+        ]
         host_idx = [
-            i for i in range(len(queries)) if i not in set(device_idx) | set(phrase_idx)
+            i for i in range(len(queries)) if i not in taken | set(syn_idx)
         ]
 
         from rucene_tpu.util.metrics import trace
@@ -356,6 +364,13 @@ class IndexSearcher:
                     [queries[i] for i in phrase_idx], [rewritten[i] for i in phrase_idx], k
                 )
             for i, td in zip(phrase_idx, ph_res):
+                results[i] = td
+        if syn_idx:
+            with trace("search.synonyms"):
+                sy_res = self._search_synonym_device(
+                    [queries[i] for i in syn_idx], k
+                )
+            for i, td in zip(syn_idx, sy_res):
                 results[i] = td
         for i in host_idx:
             results[i] = self._search_host(queries[i], k)
@@ -534,6 +549,82 @@ class IndexSearcher:
             or any(c.occur in (Occur.MUST, Occur.FILTER) for c in rq.clauses)
             for rq in rqs
         )
+
+    def _search_synonym_device(self, queries, k: int) -> list[TopDocs]:
+        """SpanOrQuery over plain term children: freq(doc) = sum of member
+        tfs, ONE BM25 application with the summed-idf weight
+        (span_or.rs + SpanScorer width-1 spans). One executor dispatch per
+        leaf for the whole batch (executor.execute_synonym)."""
+        from rucene_tpu.search.executor import execute_synonym
+
+        sim = self.similarity
+        infos = [q.synonym_terms() for q in queries]
+        b_actual = len(infos)
+        b_pad = next_pow2(b_actual, 1)
+        t_pad = next_pow2(max(len(ts) for _f, ts, _b in infos), 1)
+
+        doc_freqs: dict[tuple[str, str], int] = {}
+        fields = set()
+        for field, texts, _b in infos:
+            fields.add(field)
+            for t in texts:
+                if (field, t) not in doc_freqs:
+                    doc_freqs[(field, t)] = self.reader.doc_freq(field, t)
+        stats = {f: self.collection_stats(f) for f in fields}
+
+        w_row = np.zeros(b_pad, np.float32)
+        for i, (field, texts, boost) in enumerate(infos):
+            st = stats[field]
+            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
+            idf_sum = np.float32(0.0)
+            for t in texts:
+                idf_sum = np.float32(
+                    idf_sum + sim.idf(doc_freqs[(field, t)], doc_count)
+                )
+            w = np.float32(idf_sum * np.float32(boost))
+            w_row[i] = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))
+
+        n_required = np.zeros(b_pad, np.int32)
+        min_should = np.ones(b_pad, np.int32)
+        weight = np.ones((b_pad, t_pad), np.float32)
+        occur = np.zeros((b_pad, t_pad), np.int32)  # SHOULD
+
+        per_query_leaf: list[list] = [[] for _ in range(b_actual)]
+        for leaf in self.reader.leaves:
+            cache = build_leaf_cache(leaf, sim, stats)
+            block_start = np.zeros((b_pad, t_pad), np.int32)
+            block_count = np.zeros((b_pad, t_pad), np.int32)
+            field_id = np.zeros((b_pad, t_pad), np.int32)
+            fid_row = np.zeros(b_pad, np.int32)
+            for i, (field, texts, _b) in enumerate(infos):
+                pf = leaf.packed.fields.get(field)
+                if pf is not None:
+                    fid_row[i] = pf.field_id
+                for j, t in enumerate(texts):
+                    rec = leaf.term_record(field, t)
+                    if rec is not None:
+                        block_start[i, j] = rec.block_start
+                        block_count[i, j] = rec.block_count
+                        field_id[i, j] = pf.field_id if pf is not None else 0
+            work = build_flat_work(block_start, block_count, weight, field_id, occur)
+            wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+            fq = jax.device_put(
+                FlatQueryBatch(
+                    wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
+                    wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
+                    n_required=n_required, min_should=min_should, cache=cache,
+                )
+            )
+            s, d, h = jax.device_get(
+                execute_synonym(
+                    leaf.device, fq, jnp.asarray(fid_row), jnp.asarray(w_row),
+                    k=k, use_pallas=self._use_pallas,
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                )
+            )
+            for i in range(b_actual):
+                per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
+        return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
 
     def _probe_device(self, rq, leaf, locs, stats, doc_freqs):
         """(match, score) of one rewritten query at specific local docs on

@@ -139,6 +139,16 @@ class SpanOrQuery(SpanQuery):
         parts = [c.candidate_docs(leaf) for c in self.clauses]
         return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
+    def synonym_terms(self):
+        """(field, member texts, boost) when every clause is a plain
+        SpanTermQuery: all spans have width 1, so freq(doc) = sum of
+        member tfs — the device synonym path (executor.execute_synonym)."""
+        if not all(
+            type(c) is SpanTermQuery and c.boost == 1.0 for c in self.clauses
+        ):
+            return None
+        return (self.field, [c.term.text for c in self.clauses], self.boost)
+
     def spans_for_doc(self, cache, leaf, local_doc):
         parts = [c.spans_for_doc(cache, leaf, local_doc) for c in self.clauses]
         parts = [p for p in parts if len(p)]
@@ -250,6 +260,14 @@ class SpanBoostQuery(SpanQuery):
             return None
         eq.boost = self.boost  # total boost (already includes the inner one)
         return eq
+
+    def synonym_terms(self):
+        st = getattr(self.query, "synonym_terms", None)
+        inner = st() if st is not None else None
+        if inner is None:
+            return None
+        field, texts, _b = inner
+        return (field, texts, self.boost)  # total boost
 
     def extract_terms(self):
         return self.query.extract_terms()

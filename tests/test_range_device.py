@@ -363,3 +363,43 @@ def test_rescorer_device_probe_parity():
     assert [sd.doc for sd in dev.score_docs] == [sd.doc for sd in host.score_docs]
     for a, b in zip(dev.score_docs, host.score_docs):
         assert abs(a.score - b.score) <= 4e-6 * max(1.0, abs(b.score))
+
+
+def test_span_or_synonym_device():
+    """SpanOrQuery over term children runs as the device synonym path and
+    matches the span host oracle (span_or.rs width-1 spans -> tf sum)."""
+    from rucene_tpu.search import host_engine
+    from rucene_tpu.search.spans import SpanBoostQuery, SpanOrQuery, SpanTermQuery
+
+    rng = np.random.default_rng(13)
+    buf = SegmentBuffer()
+    for _ in range(500):
+        d = Document()
+        d.add(TextField("body", " ".join(f"w{rng.integers(0, 15)}" for _ in range(10))))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    s = IndexSearcher(reader)
+    t = lambda w: SpanTermQuery(Term("body", w))
+    queries = [
+        SpanOrQuery([t("w1"), t("w2")]),
+        SpanOrQuery([t("w3"), t("w4"), t("w5")], boost=1.5),
+        SpanBoostQuery(SpanOrQuery([t("w6"), t("w7")]), 2.0),
+    ]
+    calls = []
+    orig = s._search_host
+    s._search_host = lambda q, k: calls.append(q) or orig(q, k)
+    res = s.search_batch(queries, k=25)
+    assert not calls, "SpanOr fell back to host"
+    for q, td in zip(queries, res):
+        doc_freqs = {
+            (tm.field, tm.text): s.reader.doc_freq(tm.field, tm.text)
+            for tm in q.extract_terms()
+        }
+        stats = {"body": s.collection_stats("body")}
+        leaf = reader.leaves[0]
+        m, acc = q.host_eval(leaf, s.similarity, stats, doc_freqs)
+        hh = host_engine.hits_from_dense(leaf, m, acc, 25)
+        assert td.total_hits == hh.total_hits
+        got = [(sd.doc, sd.score) for sd in td.score_docs]
+        want = list(zip(hh.docs.tolist(), hh.scores.tolist()))
+        assert_hits_equal(got, want, rtol=2e-6)
