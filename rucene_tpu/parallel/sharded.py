@@ -401,7 +401,10 @@ class ShardedIndex:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "mesh", "use_pallas", "pure", "with_match_all", "has_ef"),
+    static_argnames=(
+        "k", "mesh", "use_pallas", "pure", "with_match_all", "has_ef",
+        "strategy",
+    ),
 )
 def _sharded_search_step(
     mesh,
@@ -415,16 +418,27 @@ def _sharded_search_step(
     pure: bool = False,
     with_match_all: bool = False,
     has_ef: bool = False,
+    filters=None,  # (planes [S,P,mdp], idx/enc/boost [S,DP,B',R]) or None
+    strategy: str = "auto",
 ):
     """One fused device program: per-(shard,dp) flat execute (+ match-all
-    rows when present) + ICI all-gather merge over the shard axis."""
+    rows when present, + range/exists filter planes when present) + ICI
+    all-gather merge over the shard axis."""
+    from rucene_tpu.search.executor import FilterPlanes
 
-    def local(dev_s, fq_s, base_s, boosts_s, ma_s):
+    def local(dev_s, fq_s, base_s, boosts_s, ma_s, flt_s):
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
+        flt = None
+        if flt_s is not None:
+            planes_s, fidx_s, fenc_s, fboost_s = flt_s
+            flt = FilterPlanes(
+                planes=planes_s[0], idx=fidx_s[0, 0], enc=fenc_s[0, 0],
+                boost=fboost_s[0, 0],
+            )
         scores, docs, hits = execute_flat_impl(
             dev, q, k, use_pallas=use_pallas, pure_disjunction=pure,
-            has_ef=has_ef,
+            has_ef=has_ef, filters=flt, strategy=strategy,
         )
         if with_match_all:
             from rucene_tpu.search.executor import execute_match_all
@@ -456,14 +470,22 @@ def _sharded_search_step(
         cache=P("shard", "dp"),
     )
     dev_specs = jax.tree.map(lambda _: P("shard"), stacked)
+    flt_specs = (
+        None
+        if filters is None
+        else (P("shard"), P("shard", "dp"), P("shard", "dp"), P("shard", "dp"))
+    )
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(dev_specs, fq_specs, P("shard"), P("shard", "dp"), P("shard", "dp")),
+        in_specs=(
+            dev_specs, fq_specs, P("shard"), P("shard", "dp"),
+            P("shard", "dp"), flt_specs,
+        ),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
-    return fn(stacked, fq, doc_base, boosts, ma_rows)
+    return fn(stacked, fq, doc_base, boosts, ma_rows, filters)
 
 
 class ShardedSearcher:
@@ -535,9 +557,9 @@ class ShardedSearcher:
             for i, rq in enumerate(rqs)
             if rq is None
             or rq.phrases
-            or rq.ranges
+            or len(rq.ranges) > 8
             or rq.groups
-            or (rq.match_all and rq.clauses)
+            or (rq.match_all and (rq.clauses or rq.ranges))
         ]
         if fallback_idx:
             fb_list = self._fallback_searcher().search_batch(
@@ -566,6 +588,7 @@ class ShardedSearcher:
                     keys.append(key)
         doc_freqs = self._doc_freqs_global(keys)
         stats = {f: self.collection_stats(f) for f in fields}
+        any_ranges = any(rq.ranges for rq in rqs)
 
         b_actual = len(rqs)
         b_pad = max(next_pow2(b_actual, 1), dp)
@@ -666,7 +689,7 @@ class ShardedSearcher:
         from rucene_tpu.search.query import Occur
 
         with_match_all = bool(ma_rows.any())
-        pure = not with_match_all and all(
+        pure = not with_match_all and not any_ranges and all(
             rq.n_required == 0
             and rq.effective_min_should() <= 1
             and rq.clauses
@@ -682,6 +705,51 @@ class ShardedSearcher:
         else:
             boosts_d = jnp.asarray(boosts_x)
             ma_d = jnp.asarray(ma_x)
+
+        filters_d = None
+        strategy = "auto"
+        if any_ranges:
+            from rucene_tpu.search.searcher import (
+                IndexSearcher as _IS,
+                build_range_filter_tables,
+            )
+
+            rkeys, fidx, fenc, fboost = build_range_filter_tables(rqs, b_pad)
+            strategy = "auto" if _IS._ranges_complete(rqs) else "dense"
+            p_pad = next_pow2(max(len(rkeys), 1), 1)
+            mdp = self.index.stride
+
+            def shard_planes(si):
+                out = np.zeros((p_pad, mdp), bool)
+                if si < len(self.index.views) and self.index.views[si] is not None:
+                    view = self.index.views[si]
+                    leaves = self.index.groups[si]
+                    for pi, rcl in enumerate(rkeys):
+                        for li, lf in enumerate(leaves):
+                            docs_l = np.asarray(rcl.doc_set(lf), np.int64)
+                            out[pi, int(view.doc_bases[li]) + docs_l] = True
+                return out
+
+            def resh(a):
+                return np.broadcast_to(
+                    a.reshape(dp, b_local, -1), (s, dp, b_local, a.shape[-1])
+                ).copy()
+
+            if jax.process_count() > 1:
+                planes_d = _global_stack(
+                    mesh, s, (p_pad, mdp), lambda si: shard_planes(si)
+                )
+                fidx_d = _global_cells(mesh, resh(fidx))
+                fenc_d = _global_cells(mesh, resh(fenc))
+                fboost_d = _global_cells(mesh, resh(fboost))
+            else:
+                planes_d = jnp.asarray(
+                    np.stack([shard_planes(si) for si in range(s)])
+                )
+                fidx_d = jnp.asarray(resh(fidx))
+                fenc_d = jnp.asarray(resh(fenc))
+                fboost_d = jnp.asarray(resh(fboost))
+            filters_d = (planes_d, fidx_d, fenc_d, fboost_d)
         scores, docs, hits = _sharded_search_step(
             mesh,
             self.index.stacked,
@@ -694,6 +762,8 @@ class ShardedSearcher:
             pure,
             with_match_all,
             has_ef,
+            filters=filters_d,
+            strategy=strategy,
         )
         if jax.process_count() > 1:
             scores = _host_rows(scores)

@@ -225,6 +225,37 @@ def prune_conjunctions(work, n_required: np.ndarray, blk_ranges):
     return out + (m, tslot), dropped
 
 
+def build_range_filter_tables(rqs, b_pad: int):
+    """Dedup a batch's range/exists clauses into distinct filter keys and
+    per-row slot tables (plane index / occur encoding / constant score).
+    Rows without ranges carry idx == -1 (inert)."""
+    from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
+
+    keys: list = []  # representative RangeClause per distinct filter
+    key_pos: dict[tuple, int] = {}
+    for rq in rqs:
+        for r in rq.ranges:
+            if r.cache_key not in key_pos:
+                key_pos[r.cache_key] = len(keys)
+                keys.append(r)
+    r_slots = next_pow2(max((len(rq.ranges) for rq in rqs), default=1), 1)
+    idx = np.full((b_pad, r_slots), -1, np.int32)
+    enc = np.zeros((b_pad, r_slots), np.int32)
+    boost = np.zeros((b_pad, r_slots), np.float32)
+    for i, rq in enumerate(rqs):
+        for j, r in enumerate(rq.ranges):
+            idx[i, j] = key_pos[r.cache_key]
+            if r.occur in (Occur.MUST, Occur.FILTER):
+                enc[i, j] = ENC_REQUIRED
+            elif r.occur == Occur.SHOULD:
+                enc[i, j] = ENC_SHOULD
+            else:
+                enc[i, j] = ENC_NOT
+            if r.occur in (Occur.MUST, Occur.SHOULD):
+                boost[i, j] = np.float32(r.boost)  # constant-score
+    return keys, idx, enc, boost
+
+
 def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarray:
     """Per-segment [F,256] norm-byte -> BM25 denominator cache."""
     packed = leaf.packed
@@ -430,34 +461,7 @@ class IndexSearcher:
     # --- range filters on device (reference point_range_query.rs constant-
     # score weight + the query cache it would ride, query_cache.rs:229) ---
     def _range_filter_tables(self, rqs, b_pad: int):
-        """Dedup the batch's range clauses into distinct filter keys and
-        per-row slot tables (plane index / occur encoding / constant
-        score). Rows without ranges carry idx == -1 (inert)."""
-        from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
-
-        keys: list = []  # representative RangeClause per distinct filter
-        key_pos: dict[tuple, int] = {}
-        for rq in rqs:
-            for r in rq.ranges:
-                if r.cache_key not in key_pos:
-                    key_pos[r.cache_key] = len(keys)
-                    keys.append(r)
-        r_slots = next_pow2(max((len(rq.ranges) for rq in rqs), default=1), 1)
-        idx = np.full((b_pad, r_slots), -1, np.int32)
-        enc = np.zeros((b_pad, r_slots), np.int32)
-        boost = np.zeros((b_pad, r_slots), np.float32)
-        for i, rq in enumerate(rqs):
-            for j, r in enumerate(rq.ranges):
-                idx[i, j] = key_pos[r.cache_key]
-                if r.occur in (Occur.MUST, Occur.FILTER):
-                    enc[i, j] = ENC_REQUIRED
-                elif r.occur == Occur.SHOULD:
-                    enc[i, j] = ENC_SHOULD
-                else:
-                    enc[i, j] = ENC_NOT
-                if r.occur in (Occur.MUST, Occur.SHOULD):
-                    boost[i, j] = np.float32(r.boost)  # constant-score
-        return keys, idx, enc, boost
+        return build_range_filter_tables(rqs, b_pad)
 
     def _leaf_plane(self, leaf, rcl):
         """Device bool[mdp] plane for one range/exists filter clause on

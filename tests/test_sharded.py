@@ -161,3 +161,74 @@ def test_sharded_phrase_and_range_fallback_batched(sharded_setup):
     assert fb1 is not None
     sharded.search_batch([PhraseQuery("body", ["quick", "brown"])], k=5)
     assert sharded._fallback is fb1
+
+
+def test_sharded_ranges_in_program():
+    """Range/exists queries run INSIDE the shard_map program (filter
+    planes), matching the single-process searcher."""
+    import numpy as np
+
+    from rucene_tpu import (
+        BooleanQuery,
+        Document,
+        ExistsQuery,
+        IndexSearcher,
+        IntPoint,
+        NumericDocValuesField,
+        PointRangeQuery,
+        Term,
+        TermQuery,
+        TextField,
+    )
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
+    from rucene_tpu.parallel.sharded import ShardedIndex, ShardedSearcher
+    from rucene_tpu.search.query import Occur
+
+    rng = np.random.default_rng(31)
+    leaves = []
+    for si in range(4):
+        buf = SegmentBuffer()
+        for i in range(200):
+            d = Document()
+            d.add(TextField("body", " ".join(f"w{rng.integers(0, 20)}" for _ in range(10))))
+            d.add(IntPoint("price", int(rng.integers(0, 100))))
+            if i % 2 == 0:
+                d.add(NumericDocValuesField("rank", i))
+            buf.add_document(d)
+        leaves.append(SegmentSnapshot(f"s{si}", pack_segment(buf.finish())))
+    reader = IndexReader(leaves)
+    mesh = make_mesh(n_shards=4, n_dp=2)
+    sidx = ShardedIndex(mesh, reader)
+    ss = ShardedSearcher(sidx)
+    single = IndexSearcher(reader)
+
+    queries = [
+        PointRangeQuery("price", 10, 60),
+        BooleanQuery().must(TermQuery(Term("body", "w3"))).add(
+            PointRangeQuery("price", 0, 50), Occur.FILTER
+        ),
+        BooleanQuery().should(TermQuery(Term("body", "w5"))).add(
+            PointRangeQuery("price", 80, 99), Occur.SHOULD
+        ),
+        ExistsQuery("rank"),
+        BooleanQuery().must(TermQuery(Term("body", "w1"))).add(
+            PointRangeQuery("price", 20, 90), Occur.MUST_NOT
+        ),
+    ]
+    # ensure no fallback: partial-mode guard aside, the program must cover these
+    called = []
+    orig = ShardedSearcher._fallback_searcher
+    ShardedSearcher._fallback_searcher = lambda self: called.append(1) or orig(self)
+    try:
+        got = ss.search_batch(queries, k=15)
+    finally:
+        ShardedSearcher._fallback_searcher = orig
+    assert not called, "sharded range query used the fallback searcher"
+    want = single.search_batch(queries, k=15)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert [sd.doc for sd in g.score_docs] == [sd.doc for sd in w.score_docs]
+        for a, b in zip(g.score_docs, w.score_docs):
+            assert abs(a.score - b.score) <= 4e-6 * max(1.0, abs(b.score))
