@@ -78,6 +78,21 @@ class FlatQueryBatch(NamedTuple):
     cache: jax.Array  # f32[F,256]
 
 
+class CombineBatch(NamedTuple):
+    """Host-built entry tables for the hist-matmul combine kernel
+    (ops/pallas_combine.py): the dense branch's scatter-add replacement.
+    Built by ops/combine_tables.build_combine_tables from block doc-range
+    metadata; residue holds sparse work items that stay on the scatter
+    path (pad -1)."""
+
+    g_bucket: jax.Array  # i32[T] bucket per grid step (sorted)
+    g_first: jax.Array  # i32[T] 1 on a bucket's first step
+    e_item: jax.Array  # i32[T*G] work-item index per entry (-1 inert)
+    e_row: jax.Array  # i32[T*G]
+    e_enc: jax.Array  # f32[T*G]
+    residue: jax.Array  # i32[Rp] sparse items for the scatter path
+
+
 class FilterPlanes(NamedTuple):
     """Constant-score doc-set clauses (point ranges / exists) as dense
     per-doc bool planes, the device form of the reference's cached filter
@@ -180,6 +195,40 @@ def decode_score_lanes(
     return target, rows, sc, valid, freqs
 
 
+def _combine_dense(dev, q, target, sc, valid, b, md, combine, interpret,
+                   need_counts=True):
+    """Dense accumulators via the hist-matmul kernel + sparse residue
+    scatter. Returns (acc_score f32[b, md], acc_counts i32[b, md])."""
+    from rucene_tpu.ops.combine_tables import C_BUCKET
+    from rucene_tpu.ops.pallas_combine import combine_lanes_pallas
+
+    w = target.shape[0]
+    safe_e = jnp.clip(combine.e_item, 0, w - 1)
+    live_e = combine.e_item >= 0
+    docs_e = jnp.where(live_e[:, None], target[safe_e], md + 1)
+    sc_e = jnp.where(live_e[:, None], sc[safe_e], 0.0)
+    acc32, cnt32 = combine_lanes_pallas(
+        combine.g_bucket, combine.g_first, docs_e, sc_e,
+        combine.e_row, combine.e_enc,
+        n_buckets=md // C_BUCKET, interpret=interpret,
+    )
+    acc_score = acc32[:b]
+    acc_counts = cnt32[:b].astype(jnp.int32)
+    # sparse residue items: plain scatter of their lanes
+    rsafe = jnp.clip(combine.residue, 0, w - 1)
+    rlive = (combine.residue >= 0)[:, None]
+    rtarget = jnp.where(rlive, target[rsafe], md + 1)
+    rsc = jnp.where(rlive, sc[rsafe], 0.0)
+    rrows = q.wi_row[rsafe][:, None].astype(jnp.int32)
+    acc_score = acc_score.at[rrows, rtarget].add(rsc, mode="drop")
+    if need_counts:
+        # counts need the real per-lane valid mask (scores ride sc==0)
+        rvalid = jnp.where(rlive, valid[rsafe], False)
+        renc = jnp.where(rvalid, q.wi_enc[rsafe][:, None], 0)
+        acc_counts = acc_counts.at[rrows, rtarget].add(renc, mode="drop")
+    return acc_score, acc_counts
+
+
 def execute_flat_impl(
     dev: DeviceSegment,
     q: FlatQueryBatch,
@@ -189,6 +238,8 @@ def execute_flat_impl(
     strategy: str = "auto",
     has_ef: bool = False,
     filters: FilterPlanes | None = None,
+    combine: CombineBatch | None = None,
+    combine_interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
@@ -213,12 +264,25 @@ def execute_flat_impl(
     # sizes are static at trace time.
     l_lanes = target.size
     if strategy == "dense" or (strategy == "auto" and b * md <= 12 * l_lanes):
-        acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
-        if pure_disjunction:
+        if combine is not None and pure_disjunction:
+            acc_score, _ = _combine_dense(
+                dev, q, target, sc, valid, b, md, combine, combine_interpret,
+                need_counts=False,
+            )
+            match = (acc_score > 0.0) & dev.live[None, :]
+        elif pure_disjunction:
+            acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
             match = (acc_score > 0.0) & dev.live[None, :]
         else:
-            inc = jnp.where(valid, q.wi_enc[:, None], 0)
-            acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
+            if combine is not None:
+                acc_score, acc_counts = _combine_dense(
+                    dev, q, target, sc, valid, b, md, combine,
+                    combine_interpret,
+                )
+            else:
+                acc_score = jnp.zeros((b, md), jnp.float32).at[rows, target].add(sc, mode="drop")
+                inc = jnp.where(valid, q.wi_enc[:, None], 0)
+                acc_counts = jnp.zeros((b, md), jnp.int32).at[rows, target].add(inc, mode="drop")
             if filters is not None:
                 acc_score, acc_counts = _apply_planes_dense(
                     acc_score, acc_counts, filters
@@ -350,7 +414,10 @@ def execute_flat_impl(
 
 execute_flat = jax.jit(
     execute_flat_impl,
-    static_argnames=("k", "use_pallas", "pure_disjunction", "strategy", "has_ef"),
+    static_argnames=(
+        "k", "use_pallas", "pure_disjunction", "strategy", "has_ef",
+        "combine_interpret",
+    ),
 )
 
 

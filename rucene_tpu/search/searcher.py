@@ -225,6 +225,40 @@ def prune_conjunctions(work, n_required: np.ndarray, blk_ranges):
     return out + (m, tslot), dropped
 
 
+def build_combine_batch(arrays, b_pad, blk_first, blk_last, mdp, enabled):
+    """Host-side CombineBatch for the hist-matmul dense combine kernel —
+    built exactly when the executor's auto heuristic will take the dense
+    branch and the batch fits the kernel's 32-row capacity."""
+    import os
+
+    from rucene_tpu.ops.combine_tables import (
+        C_BUCKET,
+        MAX_ROWS,
+        build_combine_tables,
+    )
+    from rucene_tpu.search.executor import CombineBatch
+
+    if not enabled and os.environ.get("RUCENE_COMBINE_INTERPRET") != "1":
+        return None
+    wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
+    w = len(wi_block)
+    if b_pad > MAX_ROWS or mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
+        return None  # candidate strategy or row overflow
+    tbl = build_combine_tables(
+        wi_block, wi_row, wi_enc, wi_valid, w,
+        np.asarray(blk_first, np.int64), np.asarray(blk_last, np.int64),
+        mdp,
+    )
+    r_pad = next_pow2(max(len(tbl.residue_items), 1), 8)
+    residue = np.full(r_pad, -1, np.int32)
+    residue[: len(tbl.residue_items)] = tbl.residue_items
+    return CombineBatch(
+        g_bucket=tbl.g_bucket, g_first=tbl.g_first, e_item=tbl.e_item,
+        e_row=tbl.e_row, e_enc=tbl.e_enc.astype(np.float32),
+        residue=residue,
+    )
+
+
 def build_range_filter_tables(rqs, b_pad: int):
     """Dedup a batch's range/exists clauses into distinct filter keys and
     per-row slot tables (plane index / occur encoding / constant score).
@@ -869,6 +903,7 @@ class IndexSearcher:
                 view.device, work[:6], cache, n_required, min_should, k, pure=pure,
                 has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
                 filters=filters, strategy=strategy,
+                blk_ranges=(view.blk_first_host, view.blk_last_host),
             )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
@@ -927,7 +962,14 @@ class IndexSearcher:
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
-                       pure=False, has_ef=False, filters=None, strategy="auto"):
+                       pure=False, has_ef=False, filters=None, strategy="auto",
+                       blk_ranges=None):
+        combine = None
+        if blk_ranges is not None and strategy in ("auto", "dense"):
+            combine = build_combine_batch(
+                arrays, len(n_required), blk_ranges[0], blk_ranges[1],
+                int(device.live.shape[0]), enabled=self._use_pallas,
+            )
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
         fq = jax.device_put(
             FlatQueryBatch(
@@ -945,6 +987,8 @@ class IndexSearcher:
         res = execute_flat(
             device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure,
             has_ef=has_ef, strategy=strategy, filters=filters,
+            combine=None if combine is None else jax.tree.map(jnp.asarray, combine),
+            combine_interpret=not self._use_pallas,
         )
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
@@ -956,6 +1000,7 @@ class IndexSearcher:
             leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
             filters=filters, strategy=strategy,
+            blk_ranges=(leaf.packed.blk_first_doc, leaf.packed.blk_last_doc),
         )
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
