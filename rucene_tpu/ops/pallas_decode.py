@@ -55,29 +55,55 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
         start_dma(g).wait()
         words = scratch[g]  # int32[WIN_ROWS, 128]
         # 8-bit limbs: exact under the MXU's bf16 input rounding (<=255
-        # needs 8 mantissa bits; 16-bit halves would be corrupted)
-        limbs = [
-            ((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)
-        ]
+        # needs 8 mantissa bits; 16-bit halves would be corrupted).
+        # All four limbs ride ONE matmul per fetch pair (concatenated
+        # along columns); w0/w1 ride stacked rowsel rows — 1 MXU call
+        # per extract instead of 8 (the kernel was MXU-invocation-bound).
+        limbs_cat = jnp.concatenate(
+            [((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)],
+            axis=1,
+        )  # [WIN_ROWS, 512]
         local = off_ref[i] & 1023  # word offset inside the window
+
+        def _rows_to_int(parts):
+            return (
+                parts[:, 0:128].astype(jnp.int32)
+                | (parts[:, 128:256].astype(jnp.int32) << 8)
+                | (parts[:, 256:384].astype(jnp.int32) << 16)
+                | (parts[:, 384:512].astype(jnp.int32) << 24)
+            )
 
         def fetch(widx):
             """widx int32[128,1] window-absolute word index -> uint32[128,1]."""
             rowsel = (row_iota == (widx >> 7)).astype(jnp.float32)  # [128,16]
-            row_int = jnp.zeros((BLOCK, BLOCK), jnp.int32)
-            for j in range(4):
-                part = jnp.dot(rowsel, limbs[j], preferred_element_type=jnp.float32)
-                row_int = row_int | (part.astype(jnp.int32) << (8 * j))
+            parts = jnp.dot(rowsel, limbs_cat, preferred_element_type=jnp.float32)
+            row_int = _rows_to_int(parts)  # [128, 128]
             colsel = (col_iota == (widx & 127)).astype(jnp.int32)  # [128,128]
             w = jnp.sum(colsel * row_int, axis=1, keepdims=True)
             return w.astype(jnp.uint32)
+
+        def fetch2(widx0, widx1):
+            """Two window-absolute word columns in one MXU call."""
+            rowsel = jnp.concatenate(
+                [
+                    (row_iota == (widx0 >> 7)).astype(jnp.float32),
+                    (row_iota == (widx1 >> 7)).astype(jnp.float32),
+                ],
+                axis=0,
+            )  # [256, WIN_ROWS]
+            parts = jnp.dot(rowsel, limbs_cat, preferred_element_type=jnp.float32)
+            row_int = _rows_to_int(parts)  # [256, 128]
+            c0 = (col_iota == (widx0 & 127)).astype(jnp.int32)
+            c1 = (col_iota == (widx1 & 127)).astype(jnp.int32)
+            w0 = jnp.sum(c0 * row_int[0:BLOCK], axis=1, keepdims=True)
+            w1 = jnp.sum(c1 * row_int[BLOCK : 2 * BLOCK], axis=1, keepdims=True)
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
         def extract(bits, word_base):
             bitpos = lane * bits
             widx = local + word_base + (bitpos >> 5)
             shift = (bitpos & 31).astype(jnp.uint32)
-            w0 = fetch(widx)
-            w1 = fetch(widx + 1)
+            w0, w1 = fetch2(widx, widx + 1)
             lo = w0 >> shift
             hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
             mask = jnp.where(

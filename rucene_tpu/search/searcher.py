@@ -707,8 +707,13 @@ class IndexSearcher:
 
     # --- device path ---
     def _search_device(
-        self, rqs: list[RewrittenQuery], k: int, prune: bool = False
-    ) -> list[TopDocs]:
+        self, rqs: list[RewrittenQuery], k: int, prune: bool = False,
+        _defer: bool = False,
+    ):
+        """_defer=True returns a finish() closure instead of results, so
+        several sub-batches can be DISPATCHED before any device_get — the
+        row-class split's programs then overlap on device instead of
+        paying dispatch+RTT serially."""
         sim = self.similarity
         doc_freqs, stats = self._gather_stats(rqs)
         b_actual = len(rqs)
@@ -773,24 +778,34 @@ class IndexSearcher:
             ]
             groups = {c: [i for i, ci in enumerate(cls) if ci == c] for c in set(cls)}
             if len(groups) > 1:
+                # dispatch every group's program(s) first, then collect
+                starters = [
+                    (idxs, self._search_device(
+                        [rqs[i] for i in idxs], k, prune=prune, _defer=True
+                    ))
+                    for idxs in groups.values()
+                ]
                 out: list[TopDocs | None] = [None] * b_actual
-                for idxs in groups.values():
-                    res = self._search_device([rqs[i] for i in idxs], k, prune=prune)
-                    for i, r in zip(idxs, res):
+                for idxs, finish in starters:
+                    for i, r in zip(idxs, finish()):
                         out[i] = r
+                if _defer:
+                    done = [o for o in out]
+                    return lambda: done
                 return out  # type: ignore[return-value]
 
         if self.combine_segments and len(self.reader.leaves) > 1:
-            return self._search_device_combined(
+            res_combined = self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
                 single=single, filter_tables=filter_tables, strategy=strategy,
                 n_required_terms=n_required_terms,
             )
+            if _defer:
+                return lambda: res_combined
+            return res_combined
 
-        per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
-            [] for _ in range(b_actual)
-        ]
+        pending: list[tuple[int, object, object]] = []  # (doc_base, main, ma)
         for leaf in self.reader.leaves:
             if self._past_deadline():
                 break
@@ -811,28 +826,48 @@ class IndexSearcher:
                     rec = leaf.term_record(rq.clauses[0].term.field, rq.clauses[0].term.text)
                     if rec is not None:
                         lane_cnt[i] = rec.doc_freq
-                s, d, h = self._run_single_view(
+                fut = self._run_single_view(
                     leaf.device, work, lane_cnt, cache, n_required, min_should, k,
                     has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
+                    defer=True,
                 )
             elif prune:
-                s, d, h = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
+                fut = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
             else:
-                s, d, h = self._run_work(
+                fut = self._run_work(
                     leaf, work[:6], cache, n_required, min_should, k, pure=pure,
-                    filters=filters, strategy=strategy,
+                    filters=filters, strategy=strategy, defer=True,
                 )
-            if match_all_rows.any():
-                ms, mdoc, mh = jax.device_get(
-                    execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
-                )
-                s = np.where(match_all_rows[:, None], ms, s)
-                d = np.where(match_all_rows[:, None], mdoc, d)
-                h = np.where(match_all_rows, mh, h)
-            for i in range(b_actual):
-                per_query_leaf[i].append((leaf.doc_base, d[i], s[i], int(h[i])))
+            ma_fut = (
+                execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
+                if match_all_rows.any()
+                else None
+            )
+            pending.append((leaf.doc_base, fut, ma_fut))
 
-        return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
+        def finish() -> list[TopDocs]:
+            per_query_leaf: list[list[tuple[int, np.ndarray, np.ndarray, int]]] = [
+                [] for _ in range(b_actual)
+            ]
+            for doc_base, fut, ma_fut in pending:
+                if isinstance(fut, tuple) and isinstance(fut[0], np.ndarray):
+                    s, d, h = fut  # already host (prune path)
+                else:
+                    s, d, h = (np.asarray(x) for x in jax.device_get(fut))
+                if ma_fut is not None:
+                    ms, mdoc, mh = jax.device_get(ma_fut)
+                    s = np.where(match_all_rows[:, None], ms, s)
+                    d = np.where(match_all_rows[:, None], mdoc, d)
+                    h = np.where(match_all_rows, mh, h)
+                for i in range(b_actual):
+                    per_query_leaf[i].append((doc_base, d[i], s[i], int(h[i])))
+            return [
+                self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)
+            ]
+
+        if _defer:
+            return finish
+        return finish()
 
     def _search_device_combined(
         self, rqs, k, stats, weight, occur, n_required, min_should,
@@ -930,7 +965,7 @@ class IndexSearcher:
 
     def _run_single_view(
         self, device, work, lane_cnt, cache, n_required, min_should, k,
-        has_ef: bool = False,
+        has_ef: bool = False, defer: bool = False,
     ):
         """Combine-free single-term path: per-row top-k over the row's own
         lane range (executor.execute_flat_single)."""
@@ -950,20 +985,21 @@ class IndexSearcher:
                 n_required=n_required, min_should=min_should, cache=cache,
             )
         )
-        s, d, h = jax.device_get(
-            execute_flat_single(
-                device, fq, jnp.asarray(starts),
-                jnp.asarray((ends - starts).astype(np.int32)),
-                jnp.asarray(lane_cnt),
-                k=k, max_lanes=max_lanes, use_pallas=self._use_pallas,
-                has_ef=has_ef,
-            )
+        res = execute_flat_single(
+            device, fq, jnp.asarray(starts),
+            jnp.asarray((ends - starts).astype(np.int32)),
+            jnp.asarray(lane_cnt),
+            k=k, max_lanes=max_lanes, use_pallas=self._use_pallas,
+            has_ef=has_ef,
         )
+        if defer:
+            return res
+        s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
                        pure=False, has_ef=False, filters=None, strategy="auto",
-                       blk_ranges=None):
+                       blk_ranges=None, defer=False):
         combine = None
         if blk_ranges is not None and strategy in ("auto", "dense"):
             combine = build_combine_batch(
@@ -990,17 +1026,20 @@ class IndexSearcher:
             combine=None if combine is None else jax.tree.map(jnp.asarray, combine),
             combine_interpret=not self._use_pallas,
         )
+        if defer:
+            return res
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False,
-                  filters=None, strategy="auto"):
+                  filters=None, strategy="auto", defer=False):
         """One executor dispatch for a (possibly subset) work list."""
         return self._run_work_view(
             leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
             filters=filters, strategy=strategy,
             blk_ranges=(leaf.packed.blk_first_doc, leaf.packed.blk_last_doc),
+            defer=defer,
         )
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
