@@ -198,25 +198,41 @@ def decode_score_lanes(
 def _combine_dense(dev, q, target, sc, valid, b, md, combine, interpret,
                    need_counts=True):
     """Dense accumulators via the hist-matmul kernel + sparse residue
-    scatter. Returns (acc_score f32[b, md], acc_counts i32[b, md])."""
-    from rucene_tpu.ops.combine_tables import C_BUCKET
+    scatter. `combine` is a tuple of per-32-row-chunk CombineBatches
+    (entry rows are chunk-local). Returns (acc_score f32[b, md],
+    acc_counts i32[b, md])."""
+    from rucene_tpu.ops.combine_tables import C_BUCKET, MAX_ROWS
     from rucene_tpu.ops.pallas_combine import combine_lanes_pallas
 
     w = target.shape[0]
-    safe_e = jnp.clip(combine.e_item, 0, w - 1)
-    live_e = combine.e_item >= 0
-    docs_e = jnp.where(live_e[:, None], target[safe_e], md + 1)
-    sc_e = jnp.where(live_e[:, None], sc[safe_e], 0.0)
-    acc32, cnt32 = combine_lanes_pallas(
-        combine.g_bucket, combine.g_first, docs_e, sc_e,
-        combine.e_row, combine.e_enc,
-        n_buckets=md // C_BUCKET, interpret=interpret,
+    score_parts = []
+    count_parts = []
+    for ci, cb in enumerate(combine):
+        safe_e = jnp.clip(cb.e_item, 0, w - 1)
+        live_e = cb.e_item >= 0
+        docs_e = jnp.where(live_e[:, None], target[safe_e], md + 1)
+        sc_e = jnp.where(live_e[:, None], sc[safe_e], 0.0)
+        acc32, cnt32 = combine_lanes_pallas(
+            cb.g_bucket, cb.g_first, docs_e, sc_e, cb.e_row, cb.e_enc,
+            n_buckets=md // C_BUCKET, interpret=interpret,
+        )
+        rows_here = min(MAX_ROWS, b - ci * MAX_ROWS)
+        score_parts.append(acc32[:rows_here])
+        count_parts.append(cnt32[:rows_here])
+    acc_score = (
+        score_parts[0] if len(score_parts) == 1
+        else jnp.concatenate(score_parts, axis=0)
     )
-    acc_score = acc32[:b]
-    acc_counts = cnt32[:b].astype(jnp.int32)
-    # sparse residue items: plain scatter of their lanes
-    rsafe = jnp.clip(combine.residue, 0, w - 1)
-    rlive = (combine.residue >= 0)[:, None]
+    acc_counts = (
+        count_parts[0] if len(count_parts) == 1
+        else jnp.concatenate(count_parts, axis=0)
+    ).astype(jnp.int32)
+    # sparse residue items (global rows): plain scatter of their lanes
+    residue = combine[0].residue
+    if len(combine) > 1:
+        residue = jnp.concatenate([cb.residue for cb in combine])
+    rsafe = jnp.clip(residue, 0, w - 1)
+    rlive = (residue >= 0)[:, None]
     rtarget = jnp.where(rlive, target[rsafe], md + 1)
     rsc = jnp.where(rlive, sc[rsafe], 0.0)
     rrows = q.wi_row[rsafe][:, None].astype(jnp.int32)

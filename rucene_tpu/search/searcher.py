@@ -242,21 +242,32 @@ def build_combine_batch(arrays, b_pad, blk_first, blk_last, mdp, enabled):
         return None
     wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
     w = len(wi_block)
-    if b_pad > MAX_ROWS or mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
-        return None  # candidate strategy or row overflow
-    tbl = build_combine_tables(
-        wi_block, wi_row, wi_enc, wi_valid, w,
-        np.asarray(blk_first, np.int64), np.asarray(blk_last, np.int64),
-        mdp,
-    )
-    r_pad = next_pow2(max(len(tbl.residue_items), 1), 8)
-    residue = np.full(r_pad, -1, np.int32)
-    residue[: len(tbl.residue_items)] = tbl.residue_items
-    return CombineBatch(
-        g_bucket=tbl.g_bucket, g_first=tbl.g_first, e_item=tbl.e_item,
-        e_row=tbl.e_row, e_enc=tbl.e_enc.astype(np.float32),
-        residue=residue,
-    )
+    if mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
+        return None  # candidate strategy will be taken
+    if b_pad > 8 * MAX_ROWS:
+        return None  # too many kernel calls to win
+    blk_first = np.asarray(blk_first, np.int64)
+    blk_last = np.asarray(blk_last, np.int64)
+    out = []
+    n_chunks = (b_pad + MAX_ROWS - 1) // MAX_ROWS
+    for ci in range(n_chunks):
+        lo, hi = ci * MAX_ROWS, (ci + 1) * MAX_ROWS
+        in_chunk = (wi_row >= lo) & (wi_row < hi)
+        tbl = build_combine_tables(
+            wi_block, wi_row - lo, wi_enc, wi_valid & in_chunk, w,
+            blk_first, blk_last, mdp,
+        )
+        r_pad = next_pow2(max(len(tbl.residue_items), 1), 8)
+        residue = np.full(r_pad, -1, np.int32)
+        residue[: len(tbl.residue_items)] = tbl.residue_items
+        out.append(
+            CombineBatch(
+                g_bucket=tbl.g_bucket, g_first=tbl.g_first, e_item=tbl.e_item,
+                e_row=tbl.e_row, e_enc=tbl.e_enc.astype(np.float32),
+                residue=residue,
+            )
+        )
+    return tuple(out)
 
 
 def build_range_filter_tables(rqs, b_pad: int):
