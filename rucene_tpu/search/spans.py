@@ -229,15 +229,36 @@ class SpanNearQuery(SpanQuery):
                     if width - self.min_width() <= self.slop:
                         out.append((start, end))
         else:
-            # unordered: sliding window over the union until all present
-            import itertools
-
-            for combo in itertools.product(*[range(len(s)) for s in subs]):
-                ivs = [subs[j][c] for j, c in enumerate(combo)]
-                start = min(int(v[0]) for v in ivs)
-                end = max(int(v[1]) for v in ivs)
-                if (end - start) - self.min_width() <= self.slop:
-                    out.append((start, end))
+            # unordered: every distinct (min start, max end) over one-span-
+            # per-clause assignments with width <= cap. Enumerated over
+            # candidate (start, end) pairs instead of the combo product
+            # (which is exponential in clause count x frequency): (s, e)
+            # is achievable iff every clause has a span inside [s, e],
+            # some clause has an inside-span starting at s, some has one
+            # ending at e, and those two witnesses are distinct clauses
+            # (or one span realizes both ends).
+            cap = self.min_width() + self.slop
+            starts = np.unique(np.concatenate([s[:, 0] for s in subs]))
+            ends = np.unique(np.concatenate([s[:, 1] for s in subs]))
+            for s0 in starts:
+                for e0 in ends[(ends > s0) & (ends - s0 <= cap)]:
+                    inside = [
+                        sub[(sub[:, 0] >= s0) & (sub[:, 1] <= e0)]
+                        for sub in subs
+                    ]
+                    if any(len(iv) == 0 for iv in inside):
+                        continue
+                    c_start = [j for j, iv in enumerate(inside) if (iv[:, 0] == s0).any()]
+                    c_end = [j for j, iv in enumerate(inside) if (iv[:, 1] == e0).any()]
+                    if not c_start or not c_end:
+                        continue
+                    distinct = len(set(c_start) | set(c_end)) >= 2
+                    both = any(
+                        ((inside[j][:, 0] == s0) & (inside[j][:, 1] == e0)).any()
+                        for j in c_start
+                    )
+                    if distinct or both:
+                        out.append((int(s0), int(e0)))
             out = list(set(out))
         if not out:
             return np.zeros((0, 2), np.int64)

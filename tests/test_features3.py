@@ -159,3 +159,53 @@ def test_index_lookup_payloads():
     assert ps[0].payload_as_int() == 42
     assert abs(ps[1].payload_as_float() - 2.5) < 1e-6
     assert ps[2].payload is None and ps[2].payload_as_int(default=-7) == -7
+
+
+def test_unordered_span_near_matches_product_semantics():
+    """The pairwise window enumeration equals the (exponential) combo
+    product it replaced, without blowing up on high-frequency docs."""
+    import itertools
+
+    import numpy as np
+
+    from rucene_tpu.search.spans import SpanNearQuery, SpanTermQuery
+    from rucene_tpu.doc.term import Term
+
+    rng = np.random.default_rng(7)
+
+    def brute(subs, min_width, slop):
+        out = set()
+        for combo in itertools.product(*[range(len(s)) for s in subs]):
+            ivs = [subs[j][c] for j, c in enumerate(combo)]
+            start = min(int(v[0]) for v in ivs)
+            end = max(int(v[1]) for v in ivs)
+            if (end - start) - min_width <= slop:
+                out.add((start, end))
+        return out
+
+    q = SpanNearQuery(
+        [SpanTermQuery(Term("f", "a")), SpanTermQuery(Term("f", "b")),
+         SpanTermQuery(Term("f", "c"))],
+        slop=4, in_order=False,
+    )
+
+    class FakeSub:
+        def __init__(self, spans):
+            self._s = spans
+
+        def spans_for_doc(self, cache, leaf, d):
+            return self._s
+
+        def min_width(self):
+            return 1
+
+    for trial in range(30):
+        subs = []
+        for _ in range(3):
+            n = int(rng.integers(1, 7))
+            p = np.sort(rng.choice(30, n, replace=False))
+            subs.append(np.stack([p, p + 1], axis=1).astype(np.int64))
+        q.clauses = [FakeSub(s) for s in subs]
+        got = q.spans_for_doc({}, None, 0)
+        want = brute(subs, 3, 4)
+        assert set(map(tuple, got.tolist())) == want, f"trial {trial}"
