@@ -31,13 +31,19 @@ import time
 import numpy as np
 
 
-def build_corpus(n_docs: int, vocab_size: int = 20000, seed: int = 7):
-    rng = np.random.default_rng(seed)
-    # Zipf-ish unigram distribution over the vocabulary
+def zipf_vocab(vocab_size: int = 20000):
+    """The analytic Zipf unigram model the synthetic corpus draws from —
+    query construction needs only this, not the text."""
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = 1.0 / ranks**1.1
     probs /= probs.sum()
     vocab = np.array([f"w{i}" for i in range(vocab_size)])
+    return vocab, probs
+
+
+def build_corpus(n_docs: int, vocab_size: int = 20000, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    vocab, probs = zipf_vocab(vocab_size)
     lengths = rng.integers(8, 64, size=n_docs)
     token_ids = rng.choice(vocab_size, size=int(lengths.sum()), p=probs)
     texts = []
@@ -188,6 +194,9 @@ def main():
             texts, vocab, probs = build_corpus_pytext(n_docs)
         else:  # vocab stats only (cheap) for query construction
             texts, vocab, probs = build_corpus_pytext(min(n_docs, 200_000))
+    elif packed is not None:
+        texts = []  # cached index: queries need only the analytic vocab
+        vocab, probs = zipf_vocab()
     else:
         texts, vocab, probs = build_corpus(n_docs)
     queries = build_queries(n_queries, vocab, probs)
