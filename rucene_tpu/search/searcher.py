@@ -238,14 +238,19 @@ def build_combine_batch(arrays, b_pad, blk_first, blk_last, mdp, enabled):
     )
     from rucene_tpu.search.executor import CombineBatch
 
+    if os.environ.get("RUCENE_NO_COMBINE") == "1":  # A/B + debug
+        return None
     if not enabled and os.environ.get("RUCENE_COMBINE_INTERPRET") != "1":
         return None
     wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
     w = len(wi_block)
     if mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
         return None  # candidate strategy will be taken
-    if b_pad > 8 * MAX_ROWS:
-        return None  # too many kernel calls to win
+    # measured: one kernel call at [<=32 rows, >=256K docs] beats the
+    # scatter 2.6x, but 8 chunked calls at [256 rows, 50K docs] LOSE to
+    # it (1273 vs 1419 QPS) — per-call fixed costs dominate small tiles
+    if b_pad > MAX_ROWS or mdp < (1 << 18):
+        return None
     blk_first = np.asarray(blk_first, np.int64)
     blk_last = np.asarray(blk_last, np.int64)
     out = []
