@@ -35,122 +35,175 @@ DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
 def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
                    data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems, *, g_items):
     pid = pl.program_id(0)
+    slot = pid % 2
 
-    def start_dma(g):
-        i = pid * g_items + g
+    def dma(sl, step, g):
+        i = step * g_items + g
         row0 = (off_ref[i] >> 10) * 8  # 1024-word-aligned start row
         return pltpu.make_async_copy(
-            data_ref.at[pl.ds(row0, WIN_ROWS), :], scratch.at[g], sems.at[g]
+            data_ref.at[pl.ds(row0, WIN_ROWS), :], scratch.at[sl, g], sems.at[sl, g]
         )
 
-    for g in range(g_items):
-        start_dma(g).start()
+    # cross-step double buffering: this step's windows were started by the
+    # previous step; we start the NEXT step's into the other slot so DMA
+    # latency hides behind compute (manual DMAs get no BlockSpec pipeline)
+    @pl.when(pid == 0)
+    def _():
+        for g in range(g_items):
+            dma(0, 0, g).start()
 
+    @pl.when(pid + 1 < pl.num_programs(0))
+    def _():
+        for g in range(g_items):
+            dma((pid + 1) % 2, pid + 1, g).start()
+
+    gb = g_items * BLOCK
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WIN_ROWS), 1)
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % BLOCK
+    item_of = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) // BLOCK
+    row_iota_all = jax.lax.broadcasted_iota(jnp.int32, (gb, g_items * WIN_ROWS), 1)
+    col_iota_all = jax.lax.broadcasted_iota(jnp.int32, (gb, BLOCK), 1)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
 
     for g in range(g_items):
-        i = pid * g_items + g
-        start_dma(g).wait()
-        words = scratch[g]  # int32[WIN_ROWS, 128]
-        # 8-bit limbs: exact under the MXU's bf16 input rounding (<=255
-        # needs 8 mantissa bits; 16-bit halves would be corrupted).
-        # All four limbs ride ONE matmul per fetch pair (concatenated
-        # along columns); w0/w1 ride stacked rowsel rows — 1 MXU call
-        # per extract instead of 8 (the kernel was MXU-invocation-bound).
-        limbs_cat = jnp.concatenate(
-            [((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)],
-            axis=1,
-        )  # [WIN_ROWS, 512]
-        local = off_ref[i] & 1023  # word offset inside the window
+        dma(slot, pid, g).wait()
 
-        def _rows_to_int(parts):
-            return (
-                parts[:, 0:128].astype(jnp.int32)
-                | (parts[:, 128:256].astype(jnp.int32) << 8)
-                | (parts[:, 256:384].astype(jnp.int32) << 16)
-                | (parts[:, 384:512].astype(jnp.int32) << 24)
-            )
+    # stacked 8-bit limbs of every window: [G*WIN_ROWS, 4*128]. 8-bit
+    # limbs are exact under the MXU's bf16 input rounding.
+    words_all = scratch[slot].reshape(g_items * WIN_ROWS, BLOCK)
+    limbs_cat = jnp.concatenate(
+        [((words_all >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)],
+        axis=1,
+    )  # [G*WIN_ROWS, 512]
 
-        def fetch(widx):
-            """widx int32[128,1] window-absolute word index -> uint32[128,1]."""
-            rowsel = (row_iota == (widx >> 7)).astype(jnp.float32)  # [128,16]
-            parts = jnp.dot(rowsel, limbs_cat, preferred_element_type=jnp.float32)
-            row_int = _rows_to_int(parts)  # [128, 128]
-            colsel = (col_iota == (widx & 127)).astype(jnp.int32)  # [128,128]
-            w = jnp.sum(colsel * row_int, axis=1, keepdims=True)
-            return w.astype(jnp.uint32)
+    # per-item scalars (SMEM prefetch reads)
+    i0 = pid * g_items
+    off_s = [off_ref[i0 + g] & 1023 for g in range(g_items)]
+    db_s = [dbits_ref[i0 + g] for g in range(g_items)]
+    fb_s = [fbits_ref[i0 + g] for g in range(g_items)]
+    base_s = [base_ref[i0 + g] for g in range(g_items)]
+    is_ef_s = [db >= EF_TAG for db in db_s]
+    l_ef_s = [jnp.maximum(db - EF_TAG, 0) for db in db_s]
+    eff_db_s = [
+        jnp.where(e, l, db)
+        for e, l, db in zip(is_ef_s, l_ef_s, db_s)
+    ]
+    dwords_s = [
+        jnp.where(e, 4 * l + EF_UNARY_WORDS, 4 * db)
+        for e, l, db in zip(is_ef_s, l_ef_s, db_s)
+    ]
 
-        def fetch2(widx0, widx1):
-            """Two window-absolute word columns in one MXU call."""
-            rowsel = jnp.concatenate(
-                [
-                    (row_iota == (widx0 >> 7)).astype(jnp.float32),
-                    (row_iota == (widx1 >> 7)).astype(jnp.float32),
-                ],
-                axis=0,
-            )  # [256, WIN_ROWS]
-            parts = jnp.dot(rowsel, limbs_cat, preferred_element_type=jnp.float32)
-            row_int = _rows_to_int(parts)  # [256, 128]
-            c0 = (col_iota == (widx0 & 127)).astype(jnp.int32)
-            c1 = (col_iota == (widx1 & 127)).astype(jnp.int32)
-            w0 = jnp.sum(c0 * row_int[0:BLOCK], axis=1, keepdims=True)
-            w1 = jnp.sum(c1 * row_int[BLOCK : 2 * BLOCK], axis=1, keepdims=True)
-            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+    def per_item(vals):
+        """Python list of per-item scalars -> [G*BLOCK, 1] lane broadcast."""
+        out = jnp.zeros((gb, 1), jnp.int32)
+        for g in range(g_items):
+            out = jnp.where(item_of == g, vals[g], out)
+        return out
 
-        def extract(bits, word_base):
-            bitpos = lane * bits
-            widx = local + word_base + (bitpos >> 5)
-            shift = (bitpos & 31).astype(jnp.uint32)
-            w0, w1 = fetch2(widx, widx + 1)
-            lo = w0 >> shift
-            hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
-            mask = jnp.where(
-                bits >= 32,
-                jnp.uint32(0xFFFFFFFF),
-                (jnp.uint32(1) << jnp.uint32(bits)) - jnp.uint32(1),
-            )
-            return ((lo | hi) & mask).astype(jnp.int32)
+    band = item_of * WIN_ROWS  # each item's row band in the stacked limbs
 
-        def prefix_sum(col):
-            # inclusive prefix sum: 7 shift-add steps (no cumsum in Mosaic);
-            # rolled-in tail entries are masked off by lane index
-            acc = col
-            for s in (1, 2, 4, 8, 16, 32, 64):
-                rolled = pltpu.roll(acc, shift=s, axis=0)
-                acc = acc + jnp.where(lane >= s, rolled, 0)
-            return acc
+    def fetch_all(widx):
+        """widx i32[G*BLOCK, 1] per-lane WINDOW-LOCAL word indices; one
+        block-diagonal MXU matmul fetches every item's words at once."""
+        rowsel = (row_iota_all == (widx >> 7) + band).astype(jnp.float32)
+        parts = jnp.dot(rowsel, limbs_cat, preferred_element_type=jnp.float32)
+        row_int = (
+            parts[:, 0:128].astype(jnp.int32)
+            | (parts[:, 128:256].astype(jnp.int32) << 8)
+            | (parts[:, 256:384].astype(jnp.int32) << 16)
+            | (parts[:, 384:512].astype(jnp.int32) << 24)
+        )  # [G*BLOCK, 128]
+        colsel = (col_iota_all == (widx & 127)).astype(jnp.int32)
+        return jnp.sum(colsel * row_int, axis=1, keepdims=True).astype(jnp.uint32)
 
-        db = dbits_ref[i]
-        is_ef = db >= EF_TAG
-        l_ef = jnp.maximum(db - EF_TAG, 0)
-        dwords = jnp.where(is_ef, 4 * l_ef + EF_UNARY_WORDS, 4 * db)
+    def extract_all(bits_s, word_base_s):
+        """Per-item widths/word-bases (scalar lists) -> [G*BLOCK, 1]."""
+        bits_l = per_item(bits_s)
+        base_l = per_item([o + wb for o, wb in zip(off_s, word_base_s)])
+        bitpos = lane_all * bits_l
+        widx = base_l + (bitpos >> 5)
+        shift = (bitpos & 31).astype(jnp.uint32)
+        w0 = fetch_all(widx)
+        w1 = fetch_all(widx + 1)
+        lo = w0 >> shift
+        hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
+        mask = jnp.where(
+            bits_l >= 32,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << bits_l.astype(jnp.uint32)) - jnp.uint32(1),
+        )
+        return ((lo | hi) & mask).astype(jnp.int32)
 
+    def prefix_sum_all(col):
+        # inclusive per-item prefix sum over the stacked [G*BLOCK, 1]
+        # column: 7 shift-add steps; the lane_all mask stops carries at
+        # item boundaries (no cumsum in Mosaic)
+        acc = col
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            rolled = pltpu.roll(acc, shift=s, axis=0)
+            acc = acc + jnp.where(lane_all >= s, rolled, 0)
+        return acc
+
+    # doc plane (FOR deltas / EF low bits), freqs and inline norms for ALL
+    # items in three batched extracts (the kernel was MXU-invocation and
+    # per-item-chain bound; everything per-lane now runs G items wide)
+    low_all = extract_all(eff_db_s, [0] * g_items)
+    for_docs_all = prefix_sum_all(low_all)
+    freq_all = extract_all(fb_s, dwords_s)
+    norm_all = extract_all([jnp.int32(8)] * g_items, [d + 4 * f for d, f in zip(dwords_s, fb_s)])
+
+    for g in range(g_items):
         def docs_for(_):
-            deltas = extract(db, 0)
-            return prefix_sum(deltas)
+            return for_docs_all[g * BLOCK : (g + 1) * BLOCK]
 
         def docs_ef(_):
-            # Elias-Fano plane: low bits FOR-packed at width l, high bits a
+            # Elias-Fano plane: low bits already extracted; high bits a
             # 384-bit unary stream. select_i (position of the i-th one) is
             # recovered transpose-free: per 128-bit row r, compare the
             # running rank column against a target iota ([128,128], lanes =
             # targets), reduce over positions, then row->column via an
             # identity mask (Mosaic has no cheap vector transpose).
-            low = extract(l_ef, 0)  # [128,1]; l==0 -> zeros
+            l_ef = l_ef_s[g]
+            words = scratch[slot, g]
+            limbs_one = jnp.concatenate(
+                [((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)],
+                axis=1,
+            )
+
+            def fetch1(widx):
+                rowsel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WIN_ROWS), 1)
+                    == (widx >> 7)
+                ).astype(jnp.float32)
+                parts = jnp.dot(rowsel, limbs_one, preferred_element_type=jnp.float32)
+                row_int = (
+                    parts[:, 0:128].astype(jnp.int32)
+                    | (parts[:, 128:256].astype(jnp.int32) << 8)
+                    | (parts[:, 256:384].astype(jnp.int32) << 16)
+                    | (parts[:, 384:512].astype(jnp.int32) << 24)
+                )
+                colsel = (col_iota == (widx & 127)).astype(jnp.int32)
+                return jnp.sum(colsel * row_int, axis=1, keepdims=True).astype(jnp.uint32)
+
+            def prefix_sum(col):
+                acc = col
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    rolled = pltpu.roll(acc, shift=s, axis=0)
+                    acc = acc + jnp.where(lane >= s, rolled, 0)
+                return acc
+
+            low = low_all[g * BLOCK : (g + 1) * BLOCK]
             ubase = 4 * l_ef
             sel_row = jnp.zeros((1, BLOCK), jnp.int32)
             off_r = jnp.int32(0)
             for r in range(3):  # 3 rows x 128 bits = the 384-bit plane
-                widx = local + ubase + r * 4 + (lane >> 5)
-                w_r = fetch(widx)  # [128,1] uint32
+                widx = off_s[g] + ubase + r * 4 + (lane >> 5)
+                w_r = fetch1(widx)
                 bit_r = ((w_r >> (lane & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
-                cum_r = prefix_sum(bit_r) + off_r  # global rank at each position
-                m_r = (col_iota >= cum_r).astype(jnp.int32)  # [pos, target]
+                cum_r = prefix_sum(bit_r) + off_r
+                m_r = (col_iota >= cum_r).astype(jnp.int32)
                 sel_row = sel_row + jnp.sum(m_r, axis=0, keepdims=True)
-                off_r = jnp.max(cum_r)  # running total of ones so far
-            # row [1,128] -> column [128,1] via the identity mask
+                off_r = jnp.max(cum_r)
             ident = (col_iota == lane).astype(jnp.int32)
             sel_col = jnp.sum(
                 ident * jnp.broadcast_to(sel_row, (BLOCK, BLOCK)), axis=1, keepdims=True
@@ -158,12 +211,13 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
             hi = sel_col - lane
             return (hi << l_ef) + low
 
-        vcol = jax.lax.cond(is_ef, docs_ef, docs_for, None)
-        docs_ref[g, :] = (base_ref[i] + vcol)[:, 0]
-        fb = fbits_ref[i]
-        freqs_ref[g, :] = extract(fb, dwords)[:, 0]
-        # inline norm-byte plane: 32 fixed-width words after the freqs
-        norms_ref[g, :] = extract(jnp.int32(8), dwords + 4 * fb)[:, 0]
+        vcol = jax.lax.cond(is_ef_s[g], docs_ef, docs_for, None)
+        docs_ref[g, :] = (base_s[g] + vcol)[:, 0]
+    # freqs/norms: ONE sublane->lane relayout per plane per step instead
+    # of one per item (the column->row writes dominated the kernel)
+    freqs_ref[...] = freq_all.reshape(g_items, BLOCK)
+    norms_ref[...] = norm_all.reshape(g_items, BLOCK)
+
 
 
 from functools import partial
@@ -216,8 +270,8 @@ def decode_work_items_pallas(
             pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g_items, WIN_ROWS, BLOCK), jnp.int32),
-            pltpu.SemaphoreType.DMA((g_items,)),
+            pltpu.VMEM((2, g_items, WIN_ROWS, BLOCK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, g_items)),
         ],
     )
     docs, freqs, norms = pl.pallas_call(
