@@ -171,7 +171,9 @@ def main():
     from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 
     corpus_kind = os.environ.get("BENCH_CORPUS", "zipf")
-    cache_dir = os.environ.get("BENCH_CACHE", "")
+    # default cache: cold index builds cost minutes of page faults in this
+    # sandbox (CLAUDE.md); BENCH_CACHE= (empty) disables
+    cache_dir = os.environ.get("BENCH_CACHE", "/tmp/rtpu_bench_cache")
 
     def log(msg):
         print(f"# {msg}", flush=True, file=__import__("sys").stderr)
