@@ -103,3 +103,39 @@ def test_combine_kernel_matches_scatter(c_bucket):
     err = np.abs(acc_s - want_s)
     tol = 4e-7 * np.maximum(1.0, np.abs(want_s))
     assert (err <= tol).all(), f"max err {err.max()}"
+
+
+def test_combine_batch_gating():
+    """Engagement rules are measurement-derived — pin them."""
+    import os
+
+    import numpy as np
+
+    from rucene_tpu.search.searcher import build_combine_batch
+
+    w = 32768
+    arrays = (
+        np.zeros(w, np.int32), np.zeros(w, np.int32), np.zeros(w, np.float32),
+        np.zeros(w, np.int32), np.full(w, 256, np.int32), np.ones(w, bool),
+    )
+    bf = np.zeros(1, np.int64)
+    bl = np.full(1, 100, np.int64)
+    os.environ["RUCENE_COMBINE_INTERPRET"] = "1"
+    try:
+        # 32 rows on a 1M-doc space: engaged
+        assert build_combine_batch(arrays, 32, bf, bl, 1 << 20, enabled=False) is not None
+        # 256 rows: off (chunked calls lose to scatter)
+        assert build_combine_batch(arrays, 256, bf, bl, 1 << 20, enabled=False) is None
+        # small doc space: off
+        assert build_combine_batch(arrays, 32, bf, bl, 50176, enabled=False) is None
+        # candidate-strategy shapes (b*md > 12*l): off
+        small = tuple(a[:512] for a in arrays)
+        assert build_combine_batch(small, 32, bf, bl, 1 << 20, enabled=False) is None
+    finally:
+        del os.environ["RUCENE_COMBINE_INTERPRET"]
+    # kill switch
+    os.environ["RUCENE_NO_COMBINE"] = "1"
+    try:
+        assert build_combine_batch(arrays, 32, bf, bl, 1 << 20, enabled=True) is None
+    finally:
+        del os.environ["RUCENE_NO_COMBINE"]
