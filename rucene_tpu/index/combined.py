@@ -32,6 +32,10 @@ from rucene_tpu.codec.device import DeviceSegment
 from rucene_tpu.util import next_pow2, round_up
 
 
+_VIEW_UID = [0]  # monotonic id for DEVICE_PLANE_CACHE keys: id() of a
+# freed tensor can be recycled and serve a stale plane; a uid never repeats.
+
+
 @dataclass
 class CombinedView:
     device: DeviceSegment
@@ -41,6 +45,7 @@ class CombinedView:
     n_leaves: int
     blk_max_freq: np.ndarray  # i32[NB] host copy for WAND block-max bounds
     n_blocks: int
+    uid: int = 0  # survives dataclasses.replace live-plane swaps
     pos_word_bases: np.ndarray | None = None  # i64[L] positions word offset per leaf
     # host doc-range copies for conjunction pruning (padded-global doc space)
     blk_first_host: np.ndarray | None = None  # i64[NB]
@@ -197,7 +202,9 @@ def build_combined_view(
         blk_pos_base=conv(blk_pos_base),
     )
     bmf_host = cat_pad(bmf_p, nbp, 0, np.int32)
+    _VIEW_UID[0] += 1
     return CombinedView(
+        uid=_VIEW_UID[0],
         device=dev,
         doc_bases=doc_bases,
         blk_bases=blk_bases,

@@ -603,9 +603,15 @@ class IndexWriter:
                 snap = self._snapshot(info)
                 p = snap.read_postings(pu.term.field, pu.term.text)
                 if p is not None and len(p[0]):
-                    self._pool[info.name] = snap.with_dv_updates(
-                        pu.field, {int(d): pu.value for d in p[0]}
-                    )
+                    by_doc = {int(d): pu.value for d in p[0]}
+                    if pu.binary:
+                        self._pool[info.name] = snap.with_binary_dv_updates(
+                            pu.field, by_doc
+                        )
+                    else:
+                        self._pool[info.name] = snap.with_dv_updates(
+                            pu.field, by_doc
+                        )
             if hit_names:
                 pu.applies_to_segments = [
                     n for n in pu.applies_to_segments if n not in drop
@@ -624,6 +630,7 @@ class IndexWriter:
             # (merge.py _remap: new_id = cumsum(live)-1+base)
             carried_dead: list[np.ndarray] = []
             dv_carry: dict[str, dict[int, int]] = {}
+            bdv_carry: dict[str, dict[int, bytes]] = {}
             base = 0
             for snap0 in reg.snaps:
                 cur = self._pool.get(snap0.name, snap0)
@@ -647,6 +654,11 @@ class IndexWriter:
                         for d, v in m.items():
                             if oldm.get(d) != v and live0[d]:
                                 dv_carry.setdefault(f, {})[int(newid[d])] = v
+                    for f, m in cur.bdv_updates.items():
+                        oldm = snap0.bdv_updates.get(f, {})
+                        for d, v in m.items():
+                            if oldm.get(d) != v and live0[d]:
+                                bdv_carry.setdefault(f, {})[int(newid[d])] = v
                 base += int(live0.sum())
             if carried_dead:
                 live_new = np.ones(merged.max_doc, dtype=bool)
@@ -656,7 +668,9 @@ class IndexWriter:
                 self._live_dirty.add(reg.new_name)
             for f, m in dv_carry.items():
                 new_snap = new_snap.with_dv_updates(f, m)
-            if dv_carry:
+            for f, m in bdv_carry.items():
+                new_snap = new_snap.with_binary_dv_updates(f, m)
+            if dv_carry or bdv_carry:
                 self._dv_dirty.add(reg.new_name)
             self._pool[reg.new_name] = new_snap
 

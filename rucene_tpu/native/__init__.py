@@ -16,7 +16,10 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_HERE, "native", "rucene_native.cpp")
+_SRCS = [
+    os.path.join(_HERE, "native", "rucene_native.cpp"),
+    os.path.join(_HERE, "native", "scalar_engine.cpp"),
+]
 _BUILD_DIR = os.path.join(_HERE, "native", "build")
 
 _lib = None
@@ -25,10 +28,14 @@ available = False
 
 def _build_and_load():
     global _lib, available
-    if not os.path.exists(_SRC):
+    srcs = [s for s in _SRCS if os.path.exists(s)]
+    if not srcs:
         return
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     so_path = os.path.join(_BUILD_DIR, f"rucene_native_{digest}.so")
     if not os.path.exists(so_path):
         os.makedirs(_BUILD_DIR, exist_ok=True)
@@ -36,7 +43,7 @@ def _build_and_load():
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                 _SRC, "-o", tmp],
+                 *srcs, "-o", tmp],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -84,6 +91,39 @@ def _build_and_load():
         np.ctypeslib.ndpointer(np.uint8), ctypes.c_int64,
         np.ctypeslib.ndpointer(np.uint8), ctypes.c_int64,
     ]
+    if hasattr(lib, "rtpu_scalar_search"):
+        lib.rtpu_scalar_search.restype = ctypes.c_int32
+        lib.rtpu_scalar_search.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32),  # data
+            np.ctypeslib.ndpointer(np.int32),   # blk_off
+            np.ctypeslib.ndpointer(np.int32),   # blk_doc_bits
+            np.ctypeslib.ndpointer(np.int32),   # blk_freq_bits
+            np.ctypeslib.ndpointer(np.int32),   # blk_base
+            np.ctypeslib.ndpointer(np.int32),   # blk_count
+            np.ctypeslib.ndpointer(np.int32),   # blk_last
+            np.ctypeslib.ndpointer(np.int32),   # blk_pos_base
+            np.ctypeslib.ndpointer(np.uint32),  # positions
+            ctypes.POINTER(ctypes.c_uint8),     # live (nullable)
+            ctypes.c_int32,                     # max_doc
+            np.ctypeslib.ndpointer(np.float32),  # caches [R,256]
+            ctypes.c_int32,                     # n_queries
+            np.ctypeslib.ndpointer(np.int64),   # q_clause_start
+            np.ctypeslib.ndpointer(np.int32),   # q_min_should
+            np.ctypeslib.ndpointer(np.uint8),   # q_match_all
+            np.ctypeslib.ndpointer(np.float32),  # q_boost
+            np.ctypeslib.ndpointer(np.int32),   # c_block_start
+            np.ctypeslib.ndpointer(np.int32),   # c_block_count
+            np.ctypeslib.ndpointer(np.float32),  # c_weight
+            np.ctypeslib.ndpointer(np.uint8),   # c_occur
+            np.ctypeslib.ndpointer(np.int32),   # c_cache_idx
+            np.ctypeslib.ndpointer(np.int32),   # c_phrase_id
+            np.ctypeslib.ndpointer(np.int32),   # c_pos_width
+            np.ctypeslib.ndpointer(np.int64),   # c_pos_word_start
+            ctypes.c_int32,                     # k
+            np.ctypeslib.ndpointer(np.int32),   # out_docs
+            np.ctypeslib.ndpointer(np.float32),  # out_scores
+            np.ctypeslib.ndpointer(np.int64),   # out_totals
+        ]
     _lib = lib
     available = True
 

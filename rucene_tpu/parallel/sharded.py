@@ -637,6 +637,16 @@ class ShardedSearcher:
                 w_req = max(w_req, n_items)
                 row.append((bs[lo:hi], bc[lo:hi], wt_x[lo:hi], fid[lo:hi], occ_x[lo:hi]))
             cells.append(row)
+        if jax.process_count() > 1:
+            # partial mode: each process only sees its owned shards' work
+            # volumes, so w_req can differ per process — allgather-max it
+            # (like has_ef below) so every process traces identical shapes.
+            from jax.experimental import multihost_utils
+
+            reqs = multihost_utils.process_allgather(
+                np.asarray([w_req], np.int64)
+            )
+            w_req = int(np.asarray(reqs).max())
         w_pad = next_pow2(w_req, 1)
 
         def build_cell(args):

@@ -167,6 +167,56 @@ def test_pending_delete_queued_during_merge_survives_swap(monkeypatch):
     w.close()
 
 
+def test_binary_dv_updates_during_merge_are_carried(monkeypatch):
+    """Binary DV updates that land WHILE a merge runs — both applied (via
+    get_reader) and still-pending at swap time — must reach the merged
+    segment and survive commit (reference doc_values_update.rs handles
+    numeric and binary symmetrically; ADVICE r1 medium: binary landed in
+    the numeric overlay and broke commit)."""
+    from rucene_tpu import BinaryDocValuesField
+
+    started, release = threading.Event(), threading.Event()
+    _gated_merge(monkeypatch, started, release)
+    cfg = IndexWriterConfig(
+        max_buffered_docs=2,
+        merge_policy=TieredMergePolicy(merge_factor=2, segs_per_tier=2),
+        merge_scheduler=ConcurrentMergeScheduler(max_threads=2),
+        merge_on_commit=False,
+    )
+    w = IndexWriter(RAMDirectory(), cfg)
+    for i in range(8):
+        d = _doc(i, f"common word{i}")
+        d.add(BinaryDocValuesField("blob", f"orig{i}".encode()))
+        w.add_document(d)
+    w.commit()
+    w.maybe_merge()
+    assert started.wait(timeout=10)
+    # applied mid-merge (get_reader applies to the old input segments)
+    w.update_binary_doc_value(Term("id", "2"), "blob", b"MID-APPLIED")
+    w.get_reader()
+    # queued, still pending when the swap happens
+    w.update_binary_doc_value(Term("id", "6"), "blob", b"MID-PENDING")
+    release.set()
+    cfg.merge_scheduler.sync()
+    w.commit()  # ADVICE bug: int(bytes) TypeError here
+    r = w.get_reader()
+    s = IndexSearcher(r)
+
+    def blob_of(ident):
+        td = s.search(TermQuery(Term("id", ident)), 1)
+        assert td.total_hits == 1
+        sd = td.score_docs[0]
+        for leaf in r.leaves:
+            if leaf.doc_base <= sd.doc < leaf.doc_base + leaf.max_doc:
+                return leaf.binary_doc_values("blob")[sd.doc - leaf.doc_base]
+        raise AssertionError("doc not in any leaf")
+
+    assert blob_of("2") == b"MID-APPLIED"
+    assert blob_of("6") == b"MID-PENDING"
+    assert blob_of("3") == b"orig3"
+    w.close()
+
+
 def test_merge_result_persists_on_close(monkeypatch):
     """A merge finishing after the final commit still reaches disk."""
     started, release = threading.Event(), threading.Event()
