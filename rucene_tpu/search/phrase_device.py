@@ -51,8 +51,12 @@ class PhraseBatch(NamedTuple):
     weight: jax.Array  # f32[B] = boost * sum(idf) * (k1+1)
     fid: jax.Array  # i32[B] field row (cache/norms)
     cache: jax.Array  # f32[F,256]
-    pos_width: jax.Array  # i32[B,NMAX] packed position-delta width per slot
-    pos_word_start: jax.Array  # i32[B,NMAX] word offset of slot's stream
+    # position-stream coordinates are PER WORK ITEM (not per row/slot):
+    # in a combined/sharded view the same (row, slot) reads a different
+    # per-leaf stream, and a candidate doc lives in exactly one leaf, so
+    # the lane that contributed it carries the right offsets
+    wi_pos_width: jax.Array  # i32[W] packed position-delta width
+    wi_pos_start: jax.Array  # i32[W] word offset of the term's stream
     slop: jax.Array  # i32[B] per-row slop (0 = exact)
 
 
@@ -86,12 +90,15 @@ def execute_phrases_impl(
     f_doc = jnp.where(valid, docs, DOC_PAD).reshape(-1)
     f_pos = pos_off.reshape(-1)
     f_freq = freqs.reshape(-1)
+    f_pw = jnp.broadcast_to(pb.wi_pos_width[:, None], docs.shape).reshape(-1)
+    f_ws = jnp.broadcast_to(pb.wi_pos_start[:, None], docs.shape).reshape(-1)
     f_ok = valid.reshape(-1) & dev.live[jnp.clip(f_doc, 0, md - 1)] & (f_doc < md)
 
     key_row = jnp.where(f_ok, f_row, jnp.int32(b))
     key_doc = jnp.where(f_ok, f_doc, DOC_PAD)
-    s_row, s_doc, s_slot, s_pos, s_freq = jax.lax.sort(
-        (key_row, key_doc, f_slot, f_pos, f_freq), num_keys=3, dimension=-1
+    s_row, s_doc, s_slot, s_pos, s_freq, s_pw, s_ws = jax.lax.sort(
+        (key_row, key_doc, f_slot, f_pos, f_freq, f_pw, f_ws),
+        num_keys=3, dimension=-1,
     )
 
     # group extents: a candidate group has exactly n_terms lanes, slots 0..n-1
@@ -121,6 +128,12 @@ def execute_phrases_impl(
     tbl_freq = jnp.zeros((cand_cap + 2, NMAX), jnp.int32).at[
         jnp.clip(gid, 0, cand_cap + 1), jnp.clip(s_slot, 0, NMAX - 1)
     ].set(s_freq, mode="drop")
+    tbl_pw = jnp.ones((cand_cap + 2, NMAX), jnp.int32).at[
+        jnp.clip(gid, 0, cand_cap + 1), jnp.clip(s_slot, 0, NMAX - 1)
+    ].set(s_pw, mode="drop")
+    tbl_ws = jnp.zeros((cand_cap + 2, NMAX), jnp.int32).at[
+        jnp.clip(gid, 0, cand_cap + 1), jnp.clip(s_slot, 0, NMAX - 1)
+    ].set(s_ws, mode="drop")
 
     c_row = grp_row[:cand_cap]
     c_doc = grp_doc[:cand_cap]
@@ -139,8 +152,8 @@ def execute_phrases_impl(
     fidx = jnp.arange(fmax, dtype=jnp.int32)
     occ = tbl_pos[:cand_cap, :, None] + fidx[None, None, :]  # [C, NMAX, FMAX]
     pvalid = fidx[None, None, :] < tbl_freq[:cand_cap, :, None]
-    w_slot = pb.pos_width[safe_row_c := jnp.clip(grp_row[:cand_cap], 0, b - 1)]  # [C,NMAX]
-    ws_slot = pb.pos_word_start[safe_row_c]
+    w_slot = tbl_pw[:cand_cap]  # [C,NMAX] per-candidate per-slot stream coords
+    ws_slot = tbl_ws[:cand_cap]
     bitpos = occ * w_slot[:, :, None]
     widx = ws_slot[:, :, None] + (bitpos >> 5)
     shift = (bitpos & 31).astype(jnp.uint32)

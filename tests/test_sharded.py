@@ -138,17 +138,47 @@ def test_sharded_match_all_and_mixed(sharded_setup):
         )
 
 
-def test_sharded_phrase_and_range_fallback_batched(sharded_setup):
-    """Phrases/ranges still answer correctly (batched host fallback) and the
-    fallback searcher instance is cached across calls."""
+def test_sharded_phrases_in_program(sharded_setup):
+    """Pure phrase rows execute INSIDE the shard_map program (VERDICT r2
+    item 3) — no single-process fallback — with exact parity."""
     from rucene_tpu import PhraseQuery
+    from rucene_tpu.parallel.sharded import ShardedSearcher
 
     single, sharded = sharded_setup
     queries = [
         PhraseQuery("body", ["quick", "brown"]),
         TermQuery(Term("body", "fox")),
         PhraseQuery("body", ["lazy", "dog"]),
+        PhraseQuery("body", ["quick", "brown", "fox"]),
+        PhraseQuery("body", ["the", "quick"], slop=2),
     ]
+    called = []
+    orig = ShardedSearcher._fallback_searcher
+    ShardedSearcher._fallback_searcher = lambda self: called.append(1) or orig(self)
+    try:
+        got = sharded.search_batch(queries, k=10)
+    finally:
+        ShardedSearcher._fallback_searcher = orig
+    assert not called, "sharded phrase query used the single-process fallback"
+    want = single.search_batch(queries, k=10)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+        )
+
+
+def test_sharded_mixed_phrase_boolean_falls_back(sharded_setup):
+    """Mixed phrase+term booleans still answer correctly via the cached
+    fallback searcher."""
+    from rucene_tpu import PhraseQuery
+
+    single, sharded = sharded_setup
+    bq = BooleanQuery()
+    bq.must(PhraseQuery("body", ["quick", "brown"]))
+    bq.must(TermQuery(Term("body", "fox")))
+    queries = [bq, TermQuery(Term("body", "dog"))]
     got = sharded.search_batch(queries, k=10)
     want = single.search_batch(queries, k=10)
     for g, w in zip(got, want):
@@ -159,7 +189,7 @@ def test_sharded_phrase_and_range_fallback_batched(sharded_setup):
         )
     fb1 = sharded._fallback
     assert fb1 is not None
-    sharded.search_batch([PhraseQuery("body", ["quick", "brown"])], k=5)
+    sharded.search_batch([bq], k=5)
     assert sharded._fallback is fb1
 
 
