@@ -227,7 +227,7 @@ def build_combined_tables(view: CombinedView, leaves, rqs, b_pad: int, t_pad: in
     block_count = np.zeros((b_pad, t_pad * length), np.int32)
     field_id = np.zeros((b_pad, t_pad * length), np.int32)
     for i, rq in enumerate(rqs):
-        for j, c in enumerate(rq.clauses):
+        for j, (_occ, c) in enumerate(rq.all_slots()):
             gfid = view.field_gid.get(c.term.field, 0)
             for li, leaf in enumerate(leaves):
                 rec = leaf.term_record(c.term.field, c.term.text)

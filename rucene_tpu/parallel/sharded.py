@@ -640,6 +640,7 @@ class ShardedSearcher:
             or (rq.phrases and i not in phrase_idx)
             or len(rq.ranges) > 8
             or rq.groups
+            or not rq.plain  # dismax/const/demote: single-process path
             or (rq.match_all and (rq.clauses or rq.ranges))
         ]
         if phrase_idx or fallback_idx:

@@ -49,12 +49,15 @@ OCC_SHOULD = 0
 OCC_MUST = 1
 OCC_FILTER = 2
 OCC_MUST_NOT = 3
+OCC_DEMOTE = 4  # BoostingQuery negative member: weightless presence bit
 
 # clause-count encodings packed into one int32 accumulator:
 # bits 16+: required (MUST|FILTER) matches, bits 8-15: SHOULD matches,
-# bits 0-7: MUST_NOT matches
+# bits 4-7: demote (BoostingQuery negative) matches, bits 0-3: MUST_NOT
+# matches (so MUST_NOT and demote groups each cap at 15 members)
 ENC_REQUIRED = 1 << 16
 ENC_SHOULD = 1 << 8
+ENC_DEMOTE = 1 << 4
 ENC_NOT = 1
 
 
@@ -91,6 +94,25 @@ class CombineBatch(NamedTuple):
     e_row: jax.Array  # i32[T*G]
     e_enc: jax.Array  # f32[T*G]
     residue: jax.Array  # i32[Rp] sparse items for the scatter path
+
+
+class RowExtras(NamedTuple):
+    """Per-row score-combine overrides for the flat executor (VERDICT r2
+    item 4 — DisMax/ConstantScore/Boosting previously served from host
+    numpy). Rows without the feature carry inert sentinels.
+
+    Transforms apply to the accumulated (row, doc) score in order:
+    1. dismax (disjunction_max_query.rs:43): score = max(member scores)
+       + tie * (sum - max), computed as (1-tie)*max + tie*sum;
+    2. demote (boosting_query.rs:29): score *= factor where any demote
+       member matched (ENC_DEMOTE bits);
+    3. const (ConstantScoreQuery): score = const wherever matched.
+    """
+
+    dm_tie: jax.Array  # f32[B] tie breaker; < 0 = not a dismax row
+    const_on: jax.Array  # bool[B]
+    const_val: jax.Array  # f32[B]
+    demote: jax.Array  # f32[B] multiply factor (1.0 = inert)
 
 
 class FilterPlanes(NamedTuple):
@@ -256,6 +278,8 @@ def execute_flat_impl(
     filters: FilterPlanes | None = None,
     combine: CombineBatch | None = None,
     combine_interpret: bool = False,
+    extras: RowExtras | None = None,
+    with_dismax: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted executor body (also called inside shard_map by
     parallel.sharded). Returns (scores f32[B,k], docs i32[B,k],
@@ -303,9 +327,27 @@ def execute_flat_impl(
                 acc_score, acc_counts = _apply_planes_dense(
                     acc_score, acc_counts, filters
                 )
+            if extras is not None:
+                if with_dismax:
+                    acc_max = jnp.zeros((b, md), jnp.float32).at[
+                        rows, target
+                    ].max(sc, mode="drop")
+                    tie = extras.dm_tie[:, None]
+                    acc_score = jnp.where(
+                        tie >= 0.0,
+                        (1.0 - tie) * acc_max + tie * acc_score,
+                        acc_score,
+                    )
+                demote_hit = ((acc_counts >> 4) & 0xF) > 0
+                acc_score = jnp.where(
+                    demote_hit, acc_score * extras.demote[:, None], acc_score
+                )
+                acc_score = jnp.where(
+                    extras.const_on[:, None], extras.const_val[:, None], acc_score
+                )
             req_count = acc_counts >> 16
             should_count = (acc_counts >> 8) & 0xFF
-            has_not = (acc_counts & 0xFF) > 0
+            has_not = (acc_counts & 0xF) > 0
             match = (
                 (req_count == q.n_required[:, None])
                 & (should_count >= q.min_should[:, None])
@@ -382,9 +424,30 @@ def execute_flat_impl(
             sum_sc, sum_enc = _apply_planes_lanes(
                 sum_sc, sum_enc, o_row, safe_docs, b, filters
             )
+        if extras is not None:
+            row_safe2 = jnp.clip(o_row, 0, b - 1)
+            if with_dismax:
+                def combm(a, x):
+                    av, af = a
+                    xv, xf = x
+                    keep = jnp.logical_not(xf)
+                    return (jnp.maximum(xv, jnp.where(keep, av, 0.0)), af | xf)
+
+                max_sc, _ = jax.lax.associative_scan(combm, (o_sc, seg_start))
+                tie = extras.dm_tie[row_safe2]
+                sum_sc = jnp.where(
+                    tie >= 0.0, (1.0 - tie) * max_sc + tie * sum_sc, sum_sc
+                )
+            demote_hit = ((sum_enc >> 4) & 0xF) > 0
+            sum_sc = jnp.where(
+                demote_hit, sum_sc * extras.demote[row_safe2], sum_sc
+            )
+            sum_sc = jnp.where(
+                extras.const_on[row_safe2], extras.const_val[row_safe2], sum_sc
+            )
         req_count = sum_enc >> 16
         should_count = (sum_enc >> 8) & 0xFF
-        has_not = (sum_enc & 0xFF) > 0
+        has_not = (sum_enc & 0xF) > 0
         g_match = (
             seg_end
             & (o_row < b)
@@ -432,7 +495,7 @@ execute_flat = jax.jit(
     execute_flat_impl,
     static_argnames=(
         "k", "use_pallas", "pure_disjunction", "strategy", "has_ef",
-        "combine_interpret",
+        "combine_interpret", "with_dismax",
     ),
 )
 
@@ -516,7 +579,7 @@ def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
         acc_score, acc_counts = _apply_planes_dense(acc_score, acc_counts, filters)
     req_count = acc_counts >> 16
     should_count = (acc_counts >> 8) & 0xFF
-    has_not = (acc_counts & 0xFF) > 0
+    has_not = (acc_counts & 0xF) > 0
     match = (
         (req_count == q.n_required[:, None])
         & (should_count >= q.min_should[:, None])

@@ -70,6 +70,33 @@ class RewrittenQuery:
     # nested pure-disjunction sub-clauses: (occur, [terms]) — a group matches
     # if ANY member matches; scoring sums matching members' BM25
     groups: list[tuple[Occur, list[TermClause]]] = dc_field(default_factory=list)
+    # DisjunctionMaxQuery combine (disjunction_max_query.rs:43): when set,
+    # row score = max(member scores) + tie * (sum - max) over the SHOULD
+    # term clauses instead of the boolean sum
+    dismax_tie: float | None = None
+    # ConstantScoreQuery (match_all_query.rs ConstantScoreQuery): matched
+    # docs score this constant instead of the accumulated BM25
+    const_score: float | None = None
+    # BoostingQuery (boosting_query.rs:29): docs matching ANY demote term
+    # have their final score multiplied by the factor (at most one group)
+    demotes: list[tuple[float, list[TermClause]]] = dc_field(default_factory=list)
+
+    @property
+    def plain(self) -> bool:
+        """No score-combine extras (dismax/const/demote)."""
+        return (
+            self.dismax_tie is None
+            and self.const_score is None
+            and not self.demotes
+        )
+
+    def all_slots(self) -> list[tuple[int, TermClause]]:
+        """Every term slot in table order: clauses (own occur) then demote
+        members (OCC_DEMOTE = 4, weightless presence-only)."""
+        out = [(int(c.occur), c) for c in self.clauses]
+        for _factor, members in self.demotes:
+            out.extend((4, c) for c in members)
+        return out
 
     @property
     def n_required(self) -> int:
@@ -188,6 +215,20 @@ class ConstantScoreQuery(Query):
 
         return extract_terms_of(self.query)
 
+    def rewrite(self) -> RewrittenQuery:
+        """Device form: the wrapped query's match logic with the final
+        score overridden to `boost` (executor const_score row). Shapes the
+        flat executor can't match exactly fall back to host_eval."""
+        try:
+            rq = self.query.rewrite()
+        except NotImplementedError:
+            raise _NeedsHostEval(self)
+        if rq.phrases or not rq.plain:
+            raise _NeedsHostEval(self)  # phrase verify / nested combine
+        rq.const_score = float(self.boost)
+        rq.boost = self.boost  # match_all component scores the constant too
+        return rq
+
     def host_eval(self, leaf, sim, stats, doc_freqs):
         import numpy as np
 
@@ -244,6 +285,36 @@ class BoostingQuery(Query):
 
         return extract_terms_of(self.positive) + extract_terms_of(self.negative)
 
+    def rewrite(self) -> RewrittenQuery:
+        """Device form: positive's rewritten query plus a demote group —
+        weightless presence slots whose match multiplies the row score by
+        negative_boost (executor ENC_DEMOTE bits)."""
+        try:
+            pos = self.positive.rewrite()
+            neg = self.negative.rewrite()
+        except NotImplementedError:
+            raise _NeedsHostEval(self)
+        if pos.phrases or not pos.plain:
+            raise _NeedsHostEval(self)
+        neg_ok = (
+            neg.plain
+            and not neg.phrases
+            and not neg.ranges
+            and not neg.groups
+            and not neg.match_all
+            and neg.clauses
+            and all(c.occur == Occur.SHOULD for c in neg.clauses)
+        )
+        if not neg_ok:
+            raise _NeedsHostEval(self)
+        pos.demotes = [
+            (
+                float(self.negative_boost),
+                [TermClause(Occur.SHOULD, c.term, c.boost) for c in neg.clauses],
+            )
+        ]
+        return pos
+
     def host_eval(self, leaf, sim, stats, doc_freqs):
         import numpy as np
 
@@ -266,6 +337,32 @@ class DisjunctionMaxQuery(Query):
         self.queries = queries
         self.tie_breaker = tie_breaker
         self.boost = boost
+
+    def rewrite(self) -> RewrittenQuery:
+        """Device form when every sub is a single scoring term (the
+        multi-field search shape): one SHOULD clause per sub with a
+        max + tie*(sum-max) combine (executor dismax path). Folding the
+        outer boost into member weights is exact: both max and sum scale
+        linearly. Multi-clause subs fall back to host_eval."""
+        members = []
+        for q in self.queries:
+            try:
+                sq = q.rewrite()
+            except NotImplementedError:
+                raise _NeedsHostEval(self)
+            if (
+                len(sq.clauses) != 1
+                or sq.clauses[0].occur != Occur.SHOULD
+                or sq.phrases
+                or sq.ranges
+                or sq.groups
+                or sq.match_all
+                or not sq.plain
+            ):
+                raise _NeedsHostEval(self)
+            c = sq.clauses[0]
+            members.append(TermClause(Occur.SHOULD, c.term, c.boost * self.boost))
+        return RewrittenQuery(clauses=members, dismax_tie=float(self.tie_breaker))
 
     def extract_terms(self):
         out = []
@@ -380,9 +477,25 @@ class BooleanQuery(Query):
             if de is not None:
                 eq = de()  # span children with exact flat equivalents
                 sub = eq if eq is not None else sub
-            if hasattr(sub, "host_eval"):
+            try:
+                sq = sub.rewrite()
+            except (_NeedsHostEval, NotImplementedError):
                 raise _NeedsHostEval(self)
-            sq = sub.rewrite()
+            if not sq.plain:
+                # a 1-member dismax is exactly its term; other nested
+                # combines (dismax/const/boosting children) stay host-side
+                if (
+                    sq.dismax_tie is not None
+                    and len(sq.clauses) == 1
+                    and sq.const_score is None
+                    and not sq.demotes
+                    and not sq.phrases
+                    and not sq.ranges
+                    and not sq.groups
+                ):
+                    sq.dismax_tie = None
+                else:
+                    raise _NeedsHostEval(self)
             if sq.match_all:
                 if occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER):
                     out.match_all = True  # matches everything; contributes no count

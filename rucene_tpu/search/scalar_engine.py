@@ -85,8 +85,10 @@ class ScalarSearcher:
         dead = np.zeros(nq, bool)  # required clause missing -> no hits
         next_pid = 0
         for qi, rq in enumerate(rqs):
-            if rq.groups or rq.ranges:
-                raise ValueError("scalar engine: groups/ranges unsupported")
+            if rq.groups or rq.ranges or not rq.plain:
+                raise ValueError(
+                    "scalar engine: groups/ranges/dismax/const/demote unsupported"
+                )
             q_minsh[qi] = rq.effective_min_should()
             q_mall[qi] = 1 if rq.match_all else 0
             q_boost[qi] = np.float32(rq.boost)

@@ -65,9 +65,9 @@ def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int):
         min_should[i] = rq.effective_min_should()
         match_all_rows[i] = rq.match_all
         boosts[i] = rq.boost
-        for j, c in enumerate(rq.clauses):
-            occur[i, j] = int(c.occur)
-            if c.occur in (Occur.SHOULD, Occur.MUST):
+        for j, (occ, c) in enumerate(rq.all_slots()):
+            occur[i, j] = occ
+            if occ in (int(Occur.SHOULD), int(Occur.MUST)):
                 weight[i, j] = sim.term_weight(
                     doc_freqs[(c.term.field, c.term.text)], stats[c.term.field], c.boost
                 )
@@ -80,7 +80,7 @@ def build_leaf_tables(leaf, rqs, b_pad: int, t_pad: int):
     block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
     field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
     for i, rq in enumerate(rqs):
-        for j, c in enumerate(rq.clauses):
+        for j, (_occ, c) in enumerate(rq.all_slots()):
             rec = leaf.term_record(c.term.field, c.term.text)
             if rec is not None:
                 block_start[i, j] = rec.block_start
@@ -99,13 +99,20 @@ def build_flat_work(
 ):
     """Flatten [B,T] slot tables into the executor's block work list:
     one entry per (query, clause, block). Fully vectorized numpy."""
-    from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
+    from rucene_tpu.search.executor import (
+        ENC_DEMOTE,
+        ENC_NOT,
+        ENC_REQUIRED,
+        ENC_SHOULD,
+        OCC_DEMOTE,
+    )
 
     b, t = block_start.shape
     enc_slot = (
         np.where((occur == int(Occur.MUST)) | (occur == int(Occur.FILTER)), ENC_REQUIRED, 0)
         + np.where(occur == int(Occur.SHOULD), ENC_SHOULD, 0)
         + np.where(occur == int(Occur.MUST_NOT), ENC_NOT, 0)
+        + np.where(occur == OCC_DEMOTE, ENC_DEMOTE, 0)
     ).astype(np.int32)
 
     bs = block_start.ravel()
@@ -395,12 +402,13 @@ class IndexSearcher:
                 eq = de()  # span-term -> term, ordered span-near -> phrase
                 if eq is not None:
                     return eq.rewrite()
-            if hasattr(q, "host_eval"):
-                return None
+            # try the flat form first: dismax/const-score/boosting now
+            # rewrite to executor rows (VERDICT r2 item 4); host_eval
+            # remains the fallback for inexpressible shapes
             try:
                 return q.rewrite()
-            except _NeedsHostEval:
-                return None  # generic host boolean path
+            except (_NeedsHostEval, NotImplementedError):
+                return None  # generic host boolean path / host_eval
 
         rewritten = [_safe_rewrite(q) for q in queries]
         results: list[TopDocs | None] = [None] * len(queries)
@@ -737,11 +745,35 @@ class IndexSearcher:
         doc_freqs, stats = self._gather_stats(rqs)
         b_actual = len(rqs)
         b_pad = next_pow2(b_actual, 1)
-        t_pad = next_pow2(max((len(rq.clauses) for rq in rqs), default=1), 1)
+        t_pad = next_pow2(max((len(rq.all_slots()) for rq in rqs), default=1), 1)
 
         weight, occur, n_required, min_should, match_all_rows, boosts = build_clause_tables(
             rqs, sim, doc_freqs, stats, b_pad, t_pad
         )
+        # per-row score-combine overrides (dismax / const-score / demote)
+        extras = None
+        with_dismax = False
+        if any(not rq.plain for rq in rqs):
+            from rucene_tpu.search.executor import RowExtras
+
+            dm_tie = np.full(b_pad, -1.0, np.float32)
+            const_on = np.zeros(b_pad, bool)
+            const_val = np.zeros(b_pad, np.float32)
+            demote = np.ones(b_pad, np.float32)
+            for i, rq in enumerate(rqs):
+                if rq.dismax_tie is not None:
+                    dm_tie[i] = rq.dismax_tie
+                    with_dismax = True
+                if rq.const_score is not None:
+                    const_on[i] = True
+                    const_val[i] = rq.const_score
+                if rq.demotes:
+                    demote[i] = rq.demotes[0][0]
+            extras = RowExtras(
+                dm_tie=dm_tie, const_on=const_on, const_val=const_val,
+                demote=demote,
+            )
+            prune = False  # WAND bounds don't model the combine overrides
         # STATIC whole-batch property: all rows pure positive disjunctions
         # => the executor can skip the clause-count accumulator (a BM25 hit
         # always scores > 0, so match == score > 0)
@@ -750,6 +782,7 @@ class IndexSearcher:
             and rq.effective_min_should() <= 1
             and not rq.match_all
             and not rq.ranges
+            and rq.plain
             and bool(rq.clauses)
             and all(c.occur == Occur.SHOULD for c in rq.clauses)
             and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
@@ -818,7 +851,8 @@ class IndexSearcher:
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
                 single=single, filter_tables=filter_tables, strategy=strategy,
-                n_required_terms=n_required_terms,
+                n_required_terms=n_required_terms, extras=extras,
+                with_dismax=with_dismax,
             )
             if _defer:
                 return lambda: res_combined
@@ -856,6 +890,7 @@ class IndexSearcher:
                 fut = self._run_work(
                     leaf, work[:6], cache, n_required, min_should, k, pure=pure,
                     filters=filters, strategy=strategy, defer=True,
+                    extras=extras, with_dismax=with_dismax,
                 )
             ma_fut = (
                 execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
@@ -892,7 +927,8 @@ class IndexSearcher:
         self, rqs, k, stats, weight, occur, n_required, min_should,
         match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
         pure: bool = False, single: bool = False, filter_tables=None,
-        strategy: str = "auto", n_required_terms=None,
+        strategy: str = "auto", n_required_terms=None, extras=None,
+        with_dismax: bool = False,
     ) -> list[TopDocs]:
         """All leaves in ONE executor dispatch over the concatenated view."""
         from rucene_tpu.index.combined import build_combined_tables
@@ -958,6 +994,7 @@ class IndexSearcher:
                 has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
                 filters=filters, strategy=strategy,
                 blk_ranges=(view.blk_first_host, view.blk_last_host),
+                extras=extras, with_dismax=with_dismax,
             )
         if match_all_rows.any():
             ms, mdoc, mh = jax.device_get(
@@ -1018,7 +1055,8 @@ class IndexSearcher:
 
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
                        pure=False, has_ef=False, filters=None, strategy="auto",
-                       blk_ranges=None, defer=False):
+                       blk_ranges=None, defer=False, extras=None,
+                       with_dismax=False):
         combine = None
         if blk_ranges is not None and strategy in ("auto", "dense"):
             combine = build_combine_batch(
@@ -1044,6 +1082,8 @@ class IndexSearcher:
             has_ef=has_ef, strategy=strategy, filters=filters,
             combine=None if combine is None else jax.tree.map(jnp.asarray, combine),
             combine_interpret=not self._use_pallas,
+            extras=None if extras is None else jax.tree.map(jnp.asarray, extras),
+            with_dismax=with_dismax,
         )
         if defer:
             return res
@@ -1051,14 +1091,15 @@ class IndexSearcher:
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_work(self, leaf, arrays, cache, n_required, min_should, k, pure=False,
-                  filters=None, strategy="auto", defer=False):
+                  filters=None, strategy="auto", defer=False, extras=None,
+                  with_dismax=False):
         """One executor dispatch for a (possibly subset) work list."""
         return self._run_work_view(
             leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
             filters=filters, strategy=strategy,
             blk_ranges=(leaf.packed.blk_first_doc, leaf.packed.blk_last_doc),
-            defer=defer,
+            defer=defer, extras=extras, with_dismax=with_dismax,
         )
 
     def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
@@ -1218,7 +1259,7 @@ class IndexSearcher:
             return False
         if rq.phrases or rq.groups or (rq.match_all and (rq.clauses or rq.ranges)):
             return False
-        if len(rq.ranges) > 8:
+        if len(rq.ranges) > 8 or not rq.plain:
             return False
         uniq, _ = self._dv_rank_tables(sf.field)
         return len(uniq) < 2**24  # ranks must stay f32-exact
@@ -1799,7 +1840,7 @@ class IndexSearcher:
     def _scalar_fallback(self, leaf, rq, query, sim, stats, doc_freqs, k):
         """One query on one leaf via the scalar C++ engine; dense numpy when
         the shape is unsupported or the native library is absent."""
-        if rq is not None and not rq.groups and not rq.ranges and all(
+        if rq is not None and not rq.groups and not rq.ranges and rq.plain and all(
             sl == 0 for (_f, _t, _b, sl) in rq.phrases
         ):
             try:
