@@ -296,6 +296,22 @@ def main():
             break
     qps = (reps * n_queries) / (time.time() - t1)
 
+    # routing summary (VERDICT r2 item 10): rows per execution path +
+    # fallback/pruning counters accumulated over the timed runs
+    from rucene_tpu.util.metrics import METRICS
+
+    snap = METRICS.snapshot()["counters"]
+    log(
+        "routes: "
+        + " ".join(
+            f"{key.split('.', 1)[1]}={snap.get(key, 0)}"
+            for key in (
+                "route.device", "route.phrase", "route.synonym", "route.host",
+                "search.phrase_host_fallback", "search.conj_pruned_blocks",
+            )
+        )
+    )
+
     # single-core scalar baseline: the faithful rucene-shaped C++ engine on
     # the identical workload (warm once — page-fault discipline — then time)
     leaf = reader.leaves[0]

@@ -80,6 +80,27 @@ def check_footer(data: bytes, expect_name: str | None = None) -> bytes:
     return data[10 + name_len : payload_end]
 
 
+def check_footer_lazy(data, expect_name: str | None = None):
+    """Framing validation WITHOUT the whole-file CRC pass: header magic/
+    version/name + footer magic only, touching just the head and tail
+    pages. For memory-mapped opens (reference mmap_index_input.rs:126 —
+    Lucene never checksums on open either; full CRC verification lives in
+    CheckIndex/merge). Returns a zero-copy payload view."""
+    if len(data) < 26 or bytes(data[:4]) != MAGIC:
+        raise CorruptIndexError("bad header magic")
+    version, name_len = struct.unpack_from("<IH", data, 4)
+    if not (MIN_READ_VERSION <= version <= VERSION):
+        raise CorruptIndexError(f"unsupported version {version}")
+    name = bytes(data[10 : 10 + name_len]).decode("utf-8")
+    if expect_name is not None and name != expect_name:
+        raise CorruptIndexError(f"file name mismatch: {name!r} != {expect_name!r}")
+    if bytes(data[len(data) - 8 : len(data) - 4]) != MAGIC:
+        raise CorruptIndexError("bad footer magic")
+    (payload_end,) = struct.unpack_from("<Q", data, len(data) - 16)
+    view = data if isinstance(data, memoryview) else memoryview(data)
+    return view[10 + name_len : payload_end]
+
+
 class LockObtainFailedError(Exception):
     """Another IndexWriter holds the directory's write lock
     (reference: LockValidatingDirectoryWrapper, directory.rs:105 — the
@@ -117,6 +138,17 @@ class FSDirectory:
     def read_file(self, name: str) -> bytes:
         with open(self._p(name), "rb") as f:
             return f.read()
+
+    def mmap_file(self, name: str) -> memoryview:
+        """Zero-copy read-only mapping (reference mmap_index_input.rs:126):
+        pages fault in on first touch instead of at open. The mapping
+        outlives the returned view's slices; deleting the file under an
+        active map is safe on POSIX."""
+        import mmap
+
+        with open(self._p(name), "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        return memoryview(mm)
 
     def file_size(self, name: str) -> int:
         return os.path.getsize(self._p(name))

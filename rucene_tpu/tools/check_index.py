@@ -70,7 +70,9 @@ def check_index(directory: Directory, sample_terms_per_field: int | None = None)
         seg = SegmentStatus(name=info.name)
         status.segments.append(seg)
         try:
-            packed = segfiles.read_segment(directory, info.name)
+            # CheckIndex is where whole-file CRC verification lives now
+            # that serving opens are lazy/mmap (no CRC pass on open)
+            packed = segfiles.read_segment(directory, info.name, lazy=False)
         except Exception as e:  # CRC/framing/parse failures
             seg.errors.append(f"segment unreadable: {e}")
             status.clean = False

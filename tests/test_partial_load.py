@@ -24,6 +24,10 @@ class CountingDirectory(FSDirectory):
         self.reads.append(name)
         return super().read_file(name)
 
+    def mmap_file(self, name: str):  # lazy .seg opens route through here
+        self.reads.append(name)
+        return super().mmap_file(name)
+
 
 @pytest.fixture(scope="module")
 def committed_dir(tmp_path_factory):
