@@ -1,0 +1,181 @@
+"""Dense position-plane phrase matching — the TPU shape of heavy exact
+phrases (common x common terms), where the candidate-table pipeline
+(phrase_device.py) cannot fit its static tables.
+
+The reference's ExactPhraseScorer walks two huge postings lists with a
+skip-list leapfrog and per-doc position merges (phrase_scorer.rs:122) —
+pointer-chasing a vector machine cannot express. Here each term becomes a
+dense bit-packed POSITION PLANE over the whole doc space:
+
+    plane[doc] = 128-bit mask, bit p set iff the term occurs at position p
+
+built once per (leaf, field, term) with one decode + one scatter and
+CACHED on device (u32[md,4] = 16 MB at 1M docs) — common terms ("the",
+"new", "york") are reused across phrase rows and batches. An n-term exact
+phrase is then a shifted AND:
+
+    pf[doc] = popcount( plane_0 & (plane_1 >> 1) & ... & (plane_n >> n-1) )
+
+pure elementwise VPU work, followed by the standard BM25 + dense top-k.
+Work is O(md) per row regardless of how common the terms are — at 1M docs
+a row verifies in ~1 ms where the scalar leapfrog needs tens of ms on one
+core.
+
+Exactness: docs with > FMAX occurrences of a term or any position >= PMAX
+are flagged in the term's overflow column; the searcher re-verifies just
+those docs on the host (rare — PMAX=128 covers docs shorter than 128
+tokens), so results stay exact for every input.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rucene_tpu.codec.device import DeviceSegment
+from rucene_tpu.ops.decode import decode_doc_blocks, decode_freq_blocks
+
+PMAX = 128  # positions per doc covered by the plane (4 u32 words)
+WORDS = PMAX // 32
+# occurrences decoded per (term, doc). Too small and every top-frequency
+# term overflows SOMEWHERE in a large corpus (a tf > FMAX doc), spilling
+# whole rows; 64 covers any doc up to 64 tokens outright, and longer docs
+# only overflow when a term really occurs > 64 times (then the searcher
+# host-fixes those docs individually).
+FMAX = 64
+BUILD_CHUNK = 1024  # work items per scatter pass (bounds transients)
+
+
+@partial(jax.jit, static_argnames=("has_ef",))
+def build_position_plane(
+    dev: DeviceSegment,
+    wi_block: jax.Array,  # i32[W] the term's global block ids (padded)
+    wi_valid: jax.Array,  # bool[W]
+    pos_width: jax.Array,  # i32[] packed position-delta width
+    pos_word_start: jax.Array,  # i32[] word offset of the term's stream
+    has_ef: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (plane u32[md, WORDS], overflow bool[md])."""
+    md = dev.max_doc_padded
+    blk = wi_block
+    off = dev.blk_off[blk]
+    dbits = dev.blk_doc_bits[blk]
+    fbits = dev.blk_freq_bits[blk]
+    base = dev.blk_base[blk]
+    cnt = jnp.where(wi_valid, dev.blk_count[blk], 0)
+
+    docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt, has_ef=has_ef)
+    freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+    pos_off = dev.blk_pos_base[blk][:, None] + (jnp.cumsum(freqs, axis=1) - freqs)
+
+    fidx = jnp.arange(FMAX, dtype=jnp.int32)
+    occ = pos_off[:, :, None] + fidx[None, None, :]  # [W,128,FMAX]
+    pvalid = valid[:, :, None] & (fidx[None, None, :] < freqs[:, :, None])
+    w = pos_width.astype(jnp.int32)
+    bitpos = occ * w
+    widx = pos_word_start.astype(jnp.int32) + (bitpos >> 5)
+    shift = (bitpos & 31).astype(jnp.uint32)
+    limit = dev.positions.shape[0] - 1
+    w0 = dev.positions[jnp.clip(widx, 0, limit)]
+    w1 = dev.positions[jnp.clip(widx + 1, 0, limit)]
+    lo = w0 >> shift
+    hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
+    mask = jnp.where(
+        w >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << w.astype(jnp.uint32)) - 1
+    )
+    deltas = ((lo | hi) & mask).astype(jnp.int32)
+    deltas = jnp.where(pvalid, deltas, 0)
+    pwin = jnp.cumsum(deltas, axis=-1)  # absolute positions per doc run
+
+    # overflow: more occurrences than FMAX, or a position beyond the plane
+    over_lane = valid & (
+        (freqs > FMAX) | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= PMAX)
+    )
+    safe_docs = jnp.where(valid, docs, md)  # md row is the drop bucket
+    overflow = (
+        jnp.zeros((md + 1,), jnp.bool_)
+        .at[safe_docs]
+        .max(over_lane, mode="drop")[:md]
+    )
+
+    # transient bool plane -> packed u32 words (set bits can repeat across
+    # occurrences, so OR-semantics come from the bool scatter + weighted
+    # reduce, never from an additive scatter)
+    flat_idx = (
+        jnp.where(pvalid, docs[:, :, None], md).astype(jnp.int32) * PMAX
+        + jnp.clip(pwin, 0, PMAX - 1)
+    )
+    bits = (
+        jnp.zeros((md * PMAX + PMAX,), jnp.bool_)
+        .at[jnp.where(pvalid & (pwin < PMAX), flat_idx, md * PMAX)]
+        .max(True, mode="drop")[: md * PMAX]
+        .reshape(md, WORDS, 32)
+    )
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    plane = jnp.sum(
+        jnp.where(bits, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
+    )  # [md, WORDS]
+    return plane, overflow
+
+
+def _shift_right(plane: jax.Array, j: int) -> jax.Array:
+    """Logical right shift of each doc's 128-bit mask by j (< 32) bits."""
+    if j == 0:
+        return plane
+    nxt = jnp.concatenate(
+        [plane[:, 1:], jnp.zeros((plane.shape[0], 1), plane.dtype)], axis=1
+    )
+    return (plane >> jnp.uint32(j)) | (nxt << jnp.uint32(32 - j))
+
+
+@partial(jax.jit, static_argnames=("k", "n_terms", "ov_cap"))
+def phrase_plane_search(
+    planes: tuple,  # n_terms x u32[md, WORDS]
+    overflows: tuple,  # n_terms x bool[md]
+    live: jax.Array,  # bool[md]
+    norms_row: jax.Array,  # u8[md] the field's norm bytes
+    cache_row: jax.Array,  # f32[256]
+    weight: jax.Array,  # f32[] boost * sum(idf) * (k1+1)
+    k: int,
+    n_terms: int,
+    ov_cap: int = 1024,
+) -> tuple:
+    """Exact-phrase scoring from cached planes: shifted AND + popcount.
+
+    Returns (scores f32[k], docs i32[k], hits i32, ov_docs i32[ov_cap],
+    ov_count i32): ov_docs lists candidate docs needing host verification
+    (some term overflowed FMAX/PMAX there, ascending, -pad 2^31-1);
+    ov_count > ov_cap means the caller must re-verify the whole row."""
+    md = planes[0].shape[0]
+    acc = planes[0]
+    for j in range(1, n_terms):
+        acc = acc & _shift_right(planes[j], j)
+    pf = jnp.sum(
+        jax.lax.population_count(acc), axis=1
+    ).astype(jnp.float32)  # [md]
+
+    ov_any = overflows[0]
+    present_all = jnp.any(planes[0] != 0, axis=1) | overflows[0]
+    for j in range(1, n_terms):
+        ov_any = ov_any | overflows[j]
+        present_all = present_all & (
+            jnp.any(planes[j] != 0, axis=1) | overflows[j]
+        )
+    needs_host = present_all & ov_any & live
+
+    match = (pf > 0) & live & jnp.logical_not(needs_host)
+    score = weight * pf / (pf + cache_row[norms_row.astype(jnp.int32)])
+    scores_dense = jnp.where(match, score, -jnp.inf)
+    from rucene_tpu.ops.topk import topk_score_doc
+
+    top_scores, top_docs = topk_score_doc(scores_dense[None, :], k)
+    hits = jnp.sum(match).astype(jnp.int32)
+
+    # compact the host-verify docs (ascending) into a fixed table
+    doc_ids = jnp.arange(md, dtype=jnp.int32)
+    ov_keys = jnp.where(needs_host, doc_ids, jnp.int32(2**31 - 1))
+    ov_docs = -jax.lax.top_k(-ov_keys, min(ov_cap, md))[0]
+    ov_count = jnp.sum(needs_host).astype(jnp.int32)
+    return top_scores[0], top_docs[0], hits, ov_docs, ov_count

@@ -160,3 +160,121 @@ def test_mixed_exact_and_sloppy_batch():
             [(sd.doc, sd.score) for sd in g.score_docs],
             [(sd.doc, sd.score) for sd in want.score_docs],
         )
+
+
+def test_phrase_pruning_and_heavy_row_admission():
+    """Common x rare phrases prune the common term's blocks (block-interval
+    leapfrog, skip_reader.rs:118 analog); common x common rows exceed the
+    device budget and batch into the scalar engine — both stay exact."""
+    rng = np.random.default_rng(77)
+    # 'hot' appears in every doc; 'cold' in few; docs are long enough that
+    # hot spans many blocks
+    texts = []
+    for i in range(3000):
+        words = ["hot"] + [f"w{int(rng.integers(0, 30))}" for _ in range(12)]
+        if i % 499 == 0:
+            words.insert(1, "cold")  # "hot cold" appears as a bigram
+        texts.append(" ".join(words))
+    s = _searcher(texts)
+    s.PHRASE_ROW_ITEM_BUDGET = 8  # force the hot x hot row onto the scalar path
+    before = METRICS.snapshot()["counters"]
+    queries = [
+        PhraseQuery("body", ["hot", "cold"]),  # prunable: rare second term
+        PhraseQuery("body", ["hot", "w3"]),  # heavy: both common
+    ]
+    got = s.search_batch(queries, k=10)
+    after = METRICS.snapshot()["counters"]
+    assert after.get("search.phrase_pruned_blocks", 0) > before.get(
+        "search.phrase_pruned_blocks", 0
+    ), "common x rare phrase did not prune the common term's blocks"
+    heavy_served = (
+        after.get("search.phrase_plane", 0) - before.get("search.phrase_plane", 0)
+    ) + (
+        after.get("search.phrase_host_fallback", 0)
+        - before.get("search.phrase_host_fallback", 0)
+    )
+    assert heavy_served > 0, "heavy row took neither the plane nor scalar path"
+    for q, g in zip(queries, got):
+        want = _host_result(s, q, 10)
+        assert g.total_hits == want.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
+
+
+def test_phrase_plane_path_parity():
+    """Heavy exact phrases via dense position planes (ops/phrase_plane):
+    parity with the host oracle, incl. term reuse across rows and 3-term
+    phrases. Budgets forced to 0 so every row takes the plane path."""
+    rng = np.random.default_rng(303)
+    texts = []
+    for i in range(2500):
+        words = [f"w{int(x) % 25}" for x in rng.zipf(1.3, size=int(rng.integers(6, 20)))]
+        texts.append(" ".join(words))
+    s = _searcher(texts)
+    s.PHRASE_ROW_DF_BUDGET = 0  # force heavy classification
+    before = METRICS.snapshot()["counters"]
+    queries = [
+        PhraseQuery("body", ["w1", "w2"]),
+        PhraseQuery("body", ["w0", "w1"]),
+        PhraseQuery("body", ["w1", "w2", "w3"]),
+        PhraseQuery("body", ["w2", "w2"]),  # repeated term
+    ]
+    got = s.search_batch(queries, k=15)
+    after = METRICS.snapshot()["counters"]
+    assert after.get("search.phrase_plane", 0) - before.get("search.phrase_plane", 0) >= 4
+    for q, g in zip(queries, got):
+        want = _host_result(s, q, 15)
+        assert g.total_hits == want.total_hits, q.terms
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
+    # plane cache reuse: same terms again should hit the device cache
+    from rucene_tpu.search.searcher import _PLANE_CACHE
+
+    n_planes = len(_PLANE_CACHE)
+    s.search_batch([PhraseQuery("body", ["w1", "w2"])], k=5)
+    assert len(_PLANE_CACHE) == n_planes
+
+
+def test_phrase_plane_overflow_doc_spills_exactly():
+    """A doc with positions beyond PMAX (>=128 tokens) forces the row off
+    the plane path; results stay exact via the scalar spill."""
+    rng = np.random.default_rng(304)
+    texts = [" ".join(f"w{int(rng.integers(0, 6))}" for _ in range(10)) for _ in range(400)]
+    # one LONG doc whose matching bigram sits past position 128
+    texts.append(" ".join(["filler"] * 150) + " w1 w2")
+    s = _searcher(texts)
+    s.PHRASE_ROW_DF_BUDGET = 0
+    q = PhraseQuery("body", ["w1", "w2"])
+    got = s.search_batch([q], k=10)[0]
+    want = _host_result(s, q, 10)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+    )
+
+
+def test_phrase_plane_with_deletes():
+    rng = np.random.default_rng(305)
+    texts = [" ".join(f"w{int(rng.integers(0, 8))}" for _ in range(12)) for _ in range(600)]
+    buf = SegmentBuffer()
+    for d in make_docs(texts):
+        buf.add_document(d)
+    packed = pack_segment(buf.finish())
+    live = np.ones(packed.max_doc, bool)
+    live[rng.integers(0, packed.max_doc, size=80)] = False
+    reader = IndexReader([SegmentSnapshot("s0", packed, live=live)])
+    s = IndexSearcher(reader)
+    s.PHRASE_ROW_DF_BUDGET = 0
+    q = PhraseQuery("body", ["w1", "w3"])
+    got = s.search_batch([q], k=10)[0]
+    want = _host_result(s, q, 10)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+    )
