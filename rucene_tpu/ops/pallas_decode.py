@@ -33,7 +33,8 @@ DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
 
 
 def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
-                   data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems, *, g_items):
+                   data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems,
+                   *, g_items, fid_ref=None, cache_ref=None):
     pid = pl.program_id(0)
     slot = pid % 2
 
@@ -216,7 +217,24 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
     # freqs/norms: ONE sublane->lane relayout per plane per step instead
     # of one per item (the column->row writes dominated the kernel)
     freqs_ref[...] = freq_all.reshape(g_items, BLOCK)
-    norms_ref[...] = norm_all.reshape(g_items, BLOCK)
+    if cache_ref is None:
+        norms_ref[...] = norm_all.reshape(g_items, BLOCK)
+    else:
+        # BM25 denominator select IN-KERNEL: cval = cache[fid, norm_byte]
+        # as a one-hot VPU select from the resident [F,256] table. The
+        # XLA-fusion equivalent is a per-lane gather that serializes
+        # (~300 ms/batch at 16M lanes on v5e); the select is exact — it
+        # copies the precomputed f32 table entry bit-for-bit.
+        fid_s = [fid_ref[i0 + g] for g in range(g_items)]
+        fid_l = per_item(fid_s)
+        iota256 = jax.lax.broadcasted_iota(jnp.int32, (gb, 256), 1)
+        onehot = (iota256 == norm_all).astype(jnp.float32)
+        tbl = jnp.zeros((gb, 256), jnp.float32)
+        for f in range(cache_ref.shape[0]):
+            row = cache_ref[f, :][None, :]
+            tbl = jnp.where(fid_l == f, jnp.broadcast_to(row, (gb, 256)), tbl)
+        cval_col = jnp.sum(onehot * tbl, axis=1, keepdims=True)
+        norms_ref[...] = cval_col.reshape(g_items, BLOCK)
 
 
 
@@ -285,3 +303,81 @@ def decode_work_items_pallas(
         interpret=interpret,
     )(off, dbits, fbits, base, data2d)
     return docs, freqs, norms
+
+
+def _scoring_kernel(off_ref, dbits_ref, fbits_ref, base_ref, fid_ref,
+                    data_ref, cache_ref, docs_ref, freqs_ref, cval_ref,
+                    scratch, sems, *, g_items):
+    _decode_kernel(
+        off_ref, dbits_ref, fbits_ref, base_ref, data_ref, docs_ref,
+        freqs_ref, cval_ref, scratch, sems, g_items=g_items,
+        fid_ref=fid_ref, cache_ref=cache_ref,
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_score_work_items_pallas(
+    data2d: jax.Array,
+    off: jax.Array,
+    dbits: jax.Array,
+    fbits: jax.Array,
+    base: jax.Array,
+    fid: jax.Array,  # i32[W] per-item norms/cache row
+    cache: jax.Array,  # f32[F, 256] norm-byte -> BM25 denominator
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Like decode_work_items_pallas, but the third output is the BM25
+    denominator cval = cache[fid, norm_byte] (f32[W,128]) selected
+    in-kernel instead of the raw norm byte."""
+    w_total = off.shape[0]
+    f_pad = -(-cache.shape[0] // 8) * 8  # f32 sublane tile
+    if cache.shape[0] != f_pad:
+        cache = jnp.pad(cache, ((0, f_pad - cache.shape[0]), (0, 0)))
+    if w_total > MAX_CHUNK:
+        outs = [
+            decode_score_work_items_pallas(
+                data2d,
+                off[s : s + MAX_CHUNK],
+                dbits[s : s + MAX_CHUNK],
+                fbits[s : s + MAX_CHUNK],
+                base[s : s + MAX_CHUNK],
+                fid[s : s + MAX_CHUNK],
+                cache,
+                interpret=interpret,
+            )
+            for s in range(0, w_total, MAX_CHUNK)
+        ]
+        return tuple(
+            jnp.concatenate([o[j] for o in outs], axis=0) for j in range(3)
+        )
+    w = w_total
+    g_items = min(G, w)
+    assert w % g_items == 0, f"work list {w} not a multiple of {g_items}"
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(w // g_items,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((f_pad, 256), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_items, BLOCK), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, g_items, WIN_ROWS, BLOCK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, g_items)),
+        ],
+    )
+    docs, freqs, cval = pl.pallas_call(
+        partial(_scoring_kernel, g_items=g_items),
+        out_shape=[
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((w, BLOCK), jnp.float32),
+        ],
+        grid_spec=spec,
+        interpret=interpret,
+    )(off, dbits, fbits, base, fid, data2d, cache)
+    return docs, freqs, cval

@@ -135,8 +135,7 @@ def phrase_plane_search(
     planes: tuple,  # n_terms x u32[md, WORDS]
     overflows: tuple,  # n_terms x bool[md]
     live: jax.Array,  # bool[md]
-    norms_row: jax.Array,  # u8[md] the field's norm bytes
-    cache_row: jax.Array,  # f32[256]
+    denom_row: jax.Array,  # f32[md] precomputed cache[norm_byte[doc]]
     weight: jax.Array,  # f32[] boost * sum(idf) * (k1+1)
     k: int,
     n_terms: int,
@@ -166,16 +165,30 @@ def phrase_plane_search(
     needs_host = present_all & ov_any & live
 
     match = (pf > 0) & live & jnp.logical_not(needs_host)
-    score = weight * pf / (pf + cache_row[norms_row.astype(jnp.int32)])
+    # denom_row is the per-doc BM25 denominator term (cache[norm byte]),
+    # precomputed once per (leaf, field) — scoring is pure elementwise
+    # (the per-doc cache[norm] gather was ~8 ms/row at 1M docs)
+    score = weight * pf / (pf + denom_row)
     scores_dense = jnp.where(match, score, -jnp.inf)
     from rucene_tpu.ops.topk import topk_score_doc
 
     top_scores, top_docs = topk_score_doc(scores_dense[None, :], k)
     hits = jnp.sum(match).astype(jnp.int32)
 
-    # compact the host-verify docs (ascending) into a fixed table
-    doc_ids = jnp.arange(md, dtype=jnp.int32)
-    ov_keys = jnp.where(needs_host, doc_ids, jnp.int32(2**31 - 1))
-    ov_docs = -jax.lax.top_k(-ov_keys, min(ov_cap, md))[0]
+    # compact the host-verify docs (ascending) into a fixed table — only
+    # when some doc actually overflowed (the common case skips the sort)
     ov_count = jnp.sum(needs_host).astype(jnp.int32)
+    cap = min(ov_cap, md)
+
+    def compact(_):
+        doc_ids = jnp.arange(md, dtype=jnp.int32)
+        ov_keys = jnp.where(needs_host, doc_ids, jnp.int32(2**31 - 1))
+        return -jax.lax.top_k(-ov_keys, cap)[0]
+
+    ov_docs = jax.lax.cond(
+        ov_count > 0,
+        compact,
+        lambda _: jnp.full((cap,), jnp.int32(2**31 - 1)),
+        None,
+    )
     return top_scores[0], top_docs[0], hits, ov_docs, ov_count

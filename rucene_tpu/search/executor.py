@@ -187,27 +187,29 @@ def decode_score_lanes(
 
     if use_pallas:
         from rucene_tpu.ops.decode import INVALID_DOC
-        from rucene_tpu.ops.pallas_decode import decode_work_items_pallas
+        from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
 
         data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
-        raw_docs, raw_freqs, raw_norms = decode_work_items_pallas(
-            data2d, off, dbits, fbits, base
+        # the BM25 denominator is selected IN-KERNEL from the [F,256]
+        # cache (one-hot VPU select, bit-exact) — an XLA per-lane gather
+        # over millions of lanes serializes (~300 ms/batch at 1M docs)
+        raw_docs, raw_freqs, cval = decode_score_work_items_pallas(
+            data2d, off, dbits, fbits, base, q.wi_fid, q.cache
         )
         valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
         docs = jnp.where(valid, raw_docs, INVALID_DOC)
         freqs = jnp.where(valid, raw_freqs, 0)
-        norm_byte = jnp.where(valid, raw_norms, 0)
     else:
         docs, valid = decode_doc_blocks(
             dev.data, off, dbits, base, cnt, has_ef=has_ef
         )  # [W,128]
         freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
         norm_byte = decode_norm_blocks(dev.data, off, dbits, fbits, valid)
+        # the norm byte rides inline in the block (postings.py pack
+        # layout), so scoring reads the tiny [F,256] cache instead of
+        # gathering a [F, max_doc] norms plane
+        cval = cache_flat[q.wi_fid[:, None] * 256 + norm_byte]
 
-    # the norm byte rides inline in the block (postings.py pack layout), so
-    # scoring reads the tiny [F,256] cache instead of gathering a
-    # [F, max_doc] norms plane
-    cval = cache_flat[q.wi_fid[:, None] * 256 + norm_byte]
     tf = freqs.astype(jnp.float32)
     sc = q.wi_weight[:, None] * tf / (tf + cval)
     sc = jnp.where(valid, sc, 0.0)

@@ -1895,6 +1895,11 @@ class IndexSearcher:
     # above it the scalar engine (skip-list leapfrog) is the exact tool
     PHRASE_ROW_DF_BUDGET = 60000
     PHRASE_ROW_ITEM_BUDGET = 4096
+    # exact phrases whose selected work exceeds this many blocks run the
+    # O(max_doc) position-plane path instead of the candidate tables (only
+    # on corpora big enough for planes to amortize their cache footprint)
+    PHRASE_PLANE_ITEM_MIN = 64
+    PHRASE_PLANE_MIN_DOCS = 200_000
 
     def _search_phrases_device(self, queries, rqs, k: int) -> list[TopDocs]:
         """Batch of pure PhraseQueries: block-interval pruning first, then
@@ -1915,6 +1920,7 @@ class IndexSearcher:
             fid_of = np.zeros(b_actual, np.int32)
             absent = np.zeros(b_actual, bool)
             sc_rows: list[int] = []
+            plane_pref: list[int] = []  # routed straight to position planes
             total_before = 0
             for i, rq in enumerate(rqs):
                 field, terms, _b, _s = rq.phrases[0]
@@ -1924,6 +1930,11 @@ class IndexSearcher:
                     absent[i] = True
                     continue
                 fid_of[i] = pf.field_id
+                plane_ok = (
+                    rq.phrases[0][3] == 0
+                    and 2 <= len(terms) <= 8
+                    and leaf.max_doc >= self.PHRASE_PLANE_MIN_DOCS
+                )
                 picked = self._phrase_blocks_for_row(
                     leaf, field, terms, recs, self.PHRASE_ROW_DF_BUDGET
                 )
@@ -1931,7 +1942,13 @@ class IndexSearcher:
                     picked is None
                     or len(picked[0]) > self.PHRASE_ROW_ITEM_BUDGET
                 ):
-                    sc_rows.append(i)  # truly heavy: scalar leapfrog
+                    sc_rows.append(i)  # truly heavy: planes or scalar
+                    continue
+                if plane_ok and len(picked[0]) >= self.PHRASE_PLANE_ITEM_MIN:
+                    # mid-weight: O(md) plane verify beats dragging this
+                    # row's blocks through the candidate tables (~tens of
+                    # ms/row at 1M docs vs ~1-2 ms elementwise)
+                    plane_pref.append(i)
                     continue
                 total_before += sum(r.block_count for r in recs)
                 blocks_i, slots_i = picked
@@ -1964,9 +1981,10 @@ class IndexSearcher:
             ]
             # rows with a missing term or fully-pruned work match nothing
             sc_set = set(sc_rows)
+            plane_set = set(plane_pref)
             for i in np.flatnonzero(absent | (cnt_r == 0)):
-                if int(i) in sc_set:
-                    continue  # heavy row: answered by the scalar batch
+                if int(i) in sc_set or int(i) in plane_set:
+                    continue  # answered by the plane/scalar paths
                 per_query_leaf[i].append(
                     (leaf.doc_base, np.zeros(0, np.int32), np.zeros(0, np.float32), 0)
                 )
@@ -2049,16 +2067,25 @@ class IndexSearcher:
                             (leaf.doc_base, d[li], s[li], int(h[li]))
                         )
 
-            # ---- heavy rows: dense position-plane path (ops/phrase_plane)
-            # — cached per-term bit planes + shifted-AND verify; rows a
-            # plane can't serve exactly (slop > 0, or overflow docs) join
-            # the batched scalar call ----
-            plane_rows = [
+            # ---- heavy/mid rows: dense position-plane path
+            # (ops/phrase_plane) — cached per-term bit planes + shifted-AND
+            # verify; rows a plane can't serve exactly (slop > 0, or
+            # overflow docs) join the batched scalar call. Rows that
+            # overflowed the candidate pipeline's tables retry here first —
+            # their term planes are the common ones already cached ----
+            plane_rows = plane_pref + [
                 i
                 for i in sc_rows
                 if rqs[i].phrases[0][3] == 0 and 2 <= len(rqs[i].phrases[0][1]) <= 8
             ]
-            scalar_rows = [i for i in sc_rows if i not in set(plane_rows)]
+            plane_rows += [
+                i
+                for i in overflow_rows
+                if rqs[i].phrases[0][3] == 0 and 2 <= len(rqs[i].phrases[0][1]) <= 8
+            ]
+            pset = set(plane_rows)
+            scalar_rows = [i for i in sc_rows if i not in pset]
+            overflow_rows = [i for i in overflow_rows if i not in pset]
             if plane_rows:
                 done, spill = self._search_phrase_planes(
                     leaf, plane_rows, rqs, sim, stats, doc_freqs, k
@@ -2117,6 +2144,19 @@ class IndexSearcher:
             _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         return plane, overflow
 
+    def _denom_plane_for(self, leaf, fid: int, cache_row: np.ndarray):
+        """Device-cached f32[mdp] BM25 denominator plane for one field:
+        cache_row[norm_byte[doc]] materialized ONCE per (leaf, field,
+        sim/stats) — plane scoring then never gathers per-doc."""
+        key = (id(leaf.packed), "denom", fid, cache_row.tobytes())
+        got = _PLANE_CACHE.pop(key, None)
+        if got is not None:
+            _PLANE_CACHE[key] = got
+            return got[0]
+        denom = jnp.asarray(cache_row)[leaf.device.norms[fid].astype(jnp.int32)]
+        _PLANE_CACHE[key] = (denom, None, leaf.packed)
+        return denom
+
     def _search_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
         """Heavy exact-phrase rows via dense position planes. Returns
         (done: gi -> (docs, scores, hits), spill: rows needing the scalar
@@ -2154,8 +2194,9 @@ class IndexSearcher:
             )
             fut = phrase_plane_search(
                 tuple(planes), tuple(overflows), leaf.device.live,
-                leaf.device.norms[pf_field.field_id],
-                jnp.asarray(cache[pf_field.field_id]),
+                self._denom_plane_for(
+                    leaf, pf_field.field_id, cache[pf_field.field_id]
+                ),
                 jnp.asarray(w2), k=k, n_terms=len(terms),
             )
             futures.append((gi, fut))

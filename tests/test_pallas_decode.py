@@ -78,3 +78,53 @@ def test_pallas_decode_matches_xla():
                 np.asarray(x_norms)[r][sel],
                 norms_plane[body.field_id][docs_np[r][sel]],
             )
+
+
+def test_pallas_scoring_decode_matches_gather():
+    """decode_score_work_items_pallas: the in-kernel one-hot cval select is
+    bit-identical to the XLA cache gather on every lane (FOR + EF)."""
+    from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
+
+    rng = np.random.default_rng(57)
+    texts = random_corpus(rng, 300)
+    texts = [
+        t + (" efhot" if (i < 60 or 220 <= i < 280) else "")
+        for i, t in enumerate(texts)
+    ]
+    buf = SegmentBuffer()
+    for d in make_docs(texts):
+        buf.add_document(d)
+    packed = pack_segment(buf.finish())
+    dev = build_device_segment(packed)
+
+    nb = packed.num_blocks
+    w = ((nb + G - 1) // G) * G
+    idx = np.arange(w) % nb
+    off = jnp.asarray(np.asarray(dev.blk_off)[idx])
+    dbits = jnp.asarray(np.asarray(dev.blk_doc_bits)[idx])
+    fbits = jnp.asarray(np.asarray(dev.blk_freq_bits)[idx])
+    base = jnp.asarray(np.asarray(dev.blk_base)[idx])
+    cnt = jnp.asarray(np.asarray(dev.blk_count)[idx])
+    # a non-trivial multi-row cache and a varying fid column
+    cache = np.abs(rng.standard_normal((3, 256))).astype(np.float32) + 0.25
+    fid = jnp.asarray((np.arange(w) % 3).astype(np.int32))
+
+    data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
+    p_docs, p_freqs, p_cval = decode_score_work_items_pallas(
+        data2d, off, dbits, fbits, base, fid, jnp.asarray(cache), interpret=True
+    )
+    x_docs, x_valid = xdec.decode_doc_blocks(dev.data, off, dbits, base, cnt, has_ef=True)
+    x_freqs = xdec.decode_freq_blocks(dev.data, off, dbits, fbits, x_valid)
+    x_norms = xdec.decode_norm_blocks(dev.data, off, dbits, fbits, x_valid)
+    x_cval = cache.reshape(-1)[np.asarray(fid)[:, None] * 256 + np.asarray(x_norms)]
+
+    valid = np.asarray(x_valid)
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(p_docs), 0), np.where(valid, np.asarray(x_docs), 0)
+    )
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(p_freqs), 0), np.asarray(x_freqs)
+    )
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(p_cval), 0.0), np.where(valid, x_cval, 0.0)
+    )

@@ -278,3 +278,33 @@ def test_phrase_plane_with_deletes():
         [(sd.doc, sd.score) for sd in got.score_docs],
         [(sd.doc, sd.score) for sd in want.score_docs],
     )
+
+
+def test_phrase_plane_mid_row_routing():
+    """Mid-weight exact phrases (fit the candidate budget but exceed
+    PHRASE_PLANE_ITEM_MIN blocks) route to the position-plane path when
+    the corpus is large enough — parity with the host oracle."""
+    rng = np.random.default_rng(306)
+    texts = []
+    for i in range(3000):
+        words = [f"w{int(x) % 30}" for x in rng.zipf(1.4, size=int(rng.integers(6, 24)))]
+        texts.append(" ".join(words))
+    s = _searcher(texts)
+    s.PHRASE_PLANE_MIN_DOCS = 0  # small test corpus qualifies
+    s.PHRASE_PLANE_ITEM_MIN = 1  # any selected work routes to planes
+    before = METRICS.snapshot()["counters"]
+    queries = [
+        PhraseQuery("body", ["w1", "w2"]),
+        PhraseQuery("body", ["w3", "w1", "w0"]),
+        PhraseQuery("body", ["w9", "w4"]),
+    ]
+    got = s.search_batch(queries, k=12)
+    after = METRICS.snapshot()["counters"]
+    assert after.get("search.phrase_plane", 0) - before.get("search.phrase_plane", 0) >= 3
+    for q, g in zip(queries, got):
+        want = _host_result(s, q, 12)
+        assert g.total_hits == want.total_hits, q.terms
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in want.score_docs],
+        )
