@@ -59,16 +59,56 @@ class FieldQuery:
         return fq
 
 
+class SimpleBoundaryScanner:
+    """Moves fragment edges to natural boundaries so snippets never cut
+    mid-word (reference highlight/mod.rs:1062 SimpleBoundaryScanner:
+    DEFAULT_MAX_SCAN=20, DEFAULT_BOUNDARY_CHARS)."""
+
+    BOUNDARY_CHARS = frozenset(".,!? \t\n")
+
+    def __init__(self, max_scan: int = 20, boundary_chars=None):
+        self.max_scan = max_scan
+        self.chars = (
+            frozenset(boundary_chars) if boundary_chars is not None
+            else self.BOUNDARY_CHARS
+        )
+
+    def find_start(self, text: str, start: int) -> int:
+        """Scan BACKWARD from start for a boundary char; the fragment
+        begins just after it. No boundary within max_scan -> start."""
+        if start <= 0:
+            return 0
+        lo = max(0, start - self.max_scan)
+        for i in range(start, lo - 1, -1):
+            if i > 0 and text[i - 1] in self.chars:
+                return i
+        return start
+
+    def find_end(self, text: str, end: int) -> int:
+        """Scan FORWARD from end for a boundary char; the fragment ends on
+        it. No boundary within max_scan -> end."""
+        n = len(text)
+        if end >= n:
+            return n
+        hi = min(n, end + self.max_scan)
+        for i in range(end, hi):
+            if text[i] in self.chars:
+                return i
+        return end
+
+
 class FastVectorHighlighter:
     def __init__(
         self,
         phrase_highlight: bool = True,
         field_match: bool = True,
         phrase_limit: int = 256,
+        boundary_scanner: SimpleBoundaryScanner | None = None,
     ):
         self.phrase_highlight = phrase_highlight
         self.field_match = field_match
         self.phrase_limit = phrase_limit
+        self.boundary_scanner = boundary_scanner or SimpleBoundaryScanner()
 
     def get_best_fragments(
         self,
@@ -96,6 +136,14 @@ class FastVectorHighlighter:
         if tv is None:
             return []
         text = leaf.document(local).get(stored_field)
+        if isinstance(text, list):
+            # multi-valued stored field: indexing accumulates offsets with
+            # a 1-char gap as if the values were space-joined
+            # (index/memory.py char_base) — join the same way so term
+            # vector offsets line up with the display text
+            if not all(isinstance(v, str) for v in text):
+                return []
+            text = " ".join(text)
         if not isinstance(text, str):
             return []
 
@@ -106,7 +154,11 @@ class FastVectorHighlighter:
         if score_order:
             frags.sort(key=lambda f: -f[2])
         out = []
+        bs = self.boundary_scanner
         for fstart, fend, _score, spans in frags[:max_num_fragments]:
+            # snap edges to boundaries without cutting into any span
+            fstart = min(bs.find_start(text, fstart), spans[0][0])
+            fend = max(bs.find_end(text, fend), spans[-1][1])
             out.append(self._build_fragment(text, fstart, fend, spans, pre_tag, post_tag))
         return out
 

@@ -288,3 +288,49 @@ def test_special_queries_inside_boolean(span_searcher):
     bq3.filter(TermQuery(Term("body", "beta")))
     td3 = s.search(bq3, k=10)
     assert sorted(sd.doc for sd in td3.score_docs) == [0, 1, 2, 3]
+
+
+def test_highlighter_boundary_scanner():
+    """Fragments snap to word/sentence boundaries instead of cutting
+    mid-word (reference SimpleBoundaryScanner, highlight/mod.rs:1062)."""
+    text = (
+        "the quick brown fox jumps over the lazy dog while the searching "
+        "machinery highlights interesting passages precisely and never "
+        "cuts a word in half anywhere"
+    )
+    buf = SegmentBuffer()
+    d = Document()
+    d.add(TextField("body", text, stored=True, term_vectors=True))
+    buf.add_document(d)
+    s = IndexSearcher(IndexReader([SegmentSnapshot("bs", pack_segment(buf.finish()))]))
+    fq = FieldQuery.build(TermQuery(Term("body", "highlights")))
+    h = FastVectorHighlighter()
+    frags = h.get_best_fragments(fq, s.reader, 0, "body", frag_char_size=40)
+    assert frags and "<b>highlights</b>" in frags[0]
+    # every fragment edge falls on a word boundary of the source text
+    plain = frags[0].replace("<b>", "").replace("</b>", "")
+    idx = text.find(plain)
+    assert idx >= 0, (plain, text)
+    assert idx == 0 or text[idx - 1] == " "
+    end = idx + len(plain)
+    assert end == len(text) or text[end] in ". ,!?\t\n"
+
+
+def test_highlighter_multivalued_field():
+    """Multi-valued stored fields highlight: offsets accumulate across
+    values with a 1-char gap, and the display text joins the same way."""
+    buf = SegmentBuffer()
+    d = Document()
+    d.add(TextField("body", "first value here", stored=True, term_vectors=True))
+    d.add(TextField("body", "second value with target word", stored=True, term_vectors=True))
+    buf.add_document(d)
+    s = IndexSearcher(IndexReader([SegmentSnapshot("mv", pack_segment(buf.finish()))]))
+    fq = FieldQuery.build(TermQuery(Term("body", "target")))
+    h = FastVectorHighlighter()
+    frags = h.get_best_fragments(fq, s.reader, 0, "body", frag_char_size=60)
+    assert frags, "multi-valued field produced no fragments"
+    assert "<b>target</b>" in frags[0]
+    # the second value's terms highlight at the right place in the join
+    fq2 = FieldQuery.build(PhraseQuery("body", ["target", "word"]))
+    frags2 = h.get_best_fragments(fq2, s.reader, 0, "body", frag_char_size=60)
+    assert frags2 and "<b>target word</b>" in frags2[0]
