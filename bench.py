@@ -286,6 +286,9 @@ def main():
     # warmup (compile every batch's shape bucket) then timed batched runs
     for i in range(0, n_queries, batch):
         searcher.search_batch(queries[i : i + batch], k=k, prune=prune)
+    from rucene_tpu.util.metrics import METRICS
+
+    warm_snap = METRICS.snapshot()  # subtract warmup compiles/plane builds
     t1 = time.time()
     reps = 0
     while time.time() - t1 < 5.0 or reps < 3:
@@ -297,19 +300,34 @@ def main():
     qps = (reps * n_queries) / (time.time() - t1)
 
     # routing summary (VERDICT r2 item 10): rows per execution path +
-    # fallback/pruning counters accumulated over the timed runs
-    from rucene_tpu.util.metrics import METRICS
-
-    snap = METRICS.snapshot()["counters"]
+    # fallback/pruning counters + per-path timers over the TIMED runs only
+    # (warmup's compiles and plane builds would otherwise dominate)
+    full = METRICS.snapshot()
+    snap = full["counters"]
+    warm_c = warm_snap["counters"]
     log(
         "routes: "
         + " ".join(
-            f"{key.split('.', 1)[1]}={snap.get(key, 0)}"
+            f"{key.split('.', 1)[1]}={snap.get(key, 0) - warm_c.get(key, 0)}"
             for key in (
                 "route.device", "route.phrase", "route.synonym", "route.host",
-                "search.phrase_host_fallback", "search.conj_pruned_blocks",
+                "search.phrase_host_fallback", "search.phrase_plane_build",
+                "search.conj_pruned_blocks",
             )
         )
+    )
+    warm_t = warm_snap["timers"]
+    timers = sorted(
+        (
+            (name, t["total_s"] - warm_t.get(name, {}).get("total_s", 0.0),
+             t["count"] - warm_t.get(name, {}).get("count", 0))
+            for name, t in full["timers"].items()
+        ),
+        key=lambda kv: -kv[1],
+    )[:8]
+    log(
+        "timers(timed-only): "
+        + " ".join(f"{name}={tot:.2f}s/{cnt}" for name, tot, cnt in timers if cnt)
     )
 
     # single-core scalar baseline: the faithful rucene-shaped C++ engine on

@@ -36,8 +36,18 @@ from rucene_tpu.util.metrics import METRICS
 _RANK_CACHE: dict = {}
 # device-resident position-plane cache for heavy phrase terms
 # (ops/phrase_plane.py): (id(packed), field, term) -> (plane, overflow,
-# packed-ref). ~17 MB per entry at 1M docs.
+# packed-ref). ~17 MB per entry at 1M docs; byte-budgeted LRU.
 _PLANE_CACHE: dict = {}
+
+
+def _plane_cache_bytes() -> int:
+    total = 0
+    for v in _PLANE_CACHE.values():
+        arr = v[0]
+        total += arr.size * arr.dtype.itemsize
+        if v[1] is not None:
+            total += v[1].size
+    return total
 
 
 def work_has_ef(host_dbits, wi_block, wi_valid) -> bool:
@@ -2136,11 +2146,14 @@ class IndexSearcher:
             jnp.asarray(np.int32(rec.pos_word_start)),
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
         )
+        METRICS.incr("search.phrase_plane_build")
         _PLANE_CACHE[key] = (plane, overflow, leaf.packed)
-        # 64 x ~17 MB at 1M docs ~= 1.1 GB HBM — sized for a serving
-        # working set of common phrase terms (RUCENE_PLANE_CACHE overrides)
-        cap = int(os.environ.get("RUCENE_PLANE_CACHE", 64))
-        while len(_PLANE_CACHE) > cap:
+        # byte-budgeted LRU (17 MB/plane at 1M docs, ~150 MB at 8.8M):
+        # a cap below the working set of distinct phrase terms rebuilds
+        # planes EVERY batch (measured 3.6x QPS loss). v5e has 16 GB HBM;
+        # default 6 GB leaves room for the index + accumulators.
+        budget = int(os.environ.get("RUCENE_PLANE_CACHE_MB", 6144)) << 20
+        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
             _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         return plane, overflow
 
