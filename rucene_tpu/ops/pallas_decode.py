@@ -34,7 +34,7 @@ DATA_ALIGN_PAD = WIN_ROWS * 128  # build_device_segment pads data by this
 
 def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
                    data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems,
-                   *, g_items, fid_ref=None, cache_ref=None):
+                   *, g_items, has_ef, fid_ref=None, cache_ref=None):
     pid = pl.program_id(0)
     slot = pid % 2
 
@@ -59,12 +59,10 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
             dma((pid + 1) % 2, pid + 1, g).start()
 
     gb = g_items * BLOCK
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     lane_all = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % BLOCK
     item_of = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) // BLOCK
     row_iota_all = jax.lax.broadcasted_iota(jnp.int32, (gb, g_items * WIN_ROWS), 1)
     col_iota_all = jax.lax.broadcasted_iota(jnp.int32, (gb, BLOCK), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
 
     for g in range(g_items):
         dma(slot, pid, g).wait()
@@ -83,16 +81,20 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
     db_s = [dbits_ref[i0 + g] for g in range(g_items)]
     fb_s = [fbits_ref[i0 + g] for g in range(g_items)]
     base_s = [base_ref[i0 + g] for g in range(g_items)]
-    is_ef_s = [db >= EF_TAG for db in db_s]
-    l_ef_s = [jnp.maximum(db - EF_TAG, 0) for db in db_s]
-    eff_db_s = [
-        jnp.where(e, l, db)
-        for e, l, db in zip(is_ef_s, l_ef_s, db_s)
-    ]
-    dwords_s = [
-        jnp.where(e, 4 * l + EF_UNARY_WORDS, 4 * db)
-        for e, l, db in zip(is_ef_s, l_ef_s, db_s)
-    ]
+    if has_ef:
+        is_ef_s = [db >= EF_TAG for db in db_s]
+        l_ef_s = [jnp.maximum(db - EF_TAG, 0) for db in db_s]
+        eff_db_s = [
+            jnp.where(e, l, db)
+            for e, l, db in zip(is_ef_s, l_ef_s, db_s)
+        ]
+        dwords_s = [
+            jnp.where(e, 4 * l + EF_UNARY_WORDS, 4 * db)
+            for e, l, db in zip(is_ef_s, l_ef_s, db_s)
+        ]
+    else:
+        eff_db_s = db_s
+        dwords_s = [4 * db for db in db_s]
 
     def per_item(vals):
         """Python list of per-item scalars -> [G*BLOCK, 1] lane broadcast."""
@@ -153,67 +155,66 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
     freq_all = extract_all(fb_s, dwords_s)
     norm_all = extract_all([jnp.int32(8)] * g_items, [d + 4 * f for d, f in zip(dwords_s, fb_s)])
 
-    for g in range(g_items):
-        def docs_for(_):
-            return for_docs_all[g * BLOCK : (g + 1) * BLOCK]
+    def per_item_row(vals):
+        """Per-item scalars -> [g_items, 1] sublane broadcast."""
+        out = jnp.zeros((g_items, 1), jnp.int32)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g_items, 1), 0)
+        for g in range(g_items):
+            out = jnp.where(gi == g, vals[g], out)
+        return out
 
-        def docs_ef(_):
-            # Elias-Fano plane: low bits already extracted; high bits a
-            # 384-bit unary stream. select_i (position of the i-th one) is
-            # recovered transpose-free: per 128-bit row r, compare the
-            # running rank column against a target iota ([128,128], lanes =
-            # targets), reduce over positions, then row->column via an
-            # identity mask (Mosaic has no cheap vector transpose).
-            l_ef = l_ef_s[g]
-            words = scratch[slot, g]
-            limbs_one = jnp.concatenate(
-                [((words >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(4)],
-                axis=1,
+    base_rows = per_item_row(base_s)
+    if not has_ef:
+        # FOR-only work list: ONE [G,128] store, no per-item writes/conds
+        docs_ref[...] = base_rows + for_docs_all.reshape(g_items, BLOCK)
+    else:
+        # Batched Elias-Fano decode (no per-item lax.cond — the per-item
+        # EF path's small matmuls plus one column->row relayout per item
+        # dominated EF-heavy 1M-doc work lists). The 384-bit unary plane
+        # is read lane-wise with the SAME batched fetch as the packed
+        # planes; select_i (position of the (i+1)-th one) = #positions
+        # whose running rank <= i, summed per item with one-hot MXU
+        # matmuls (a segment reduce without any vector transpose).
+        item_oh_T = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_items, gb), 1) // BLOCK
+            == jax.lax.broadcasted_iota(jnp.int32, (g_items, gb), 0)
+        ).astype(jnp.float32)  # [g, gb] item membership
+        item_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (gb, g_items), 1) == item_of
+        ).astype(jnp.float32)  # [gb, g]
+        ubase_s = [o + 4 * l for o, l in zip(off_s, l_ef_s)]
+        word_in_lane = lane_all >> 5  # 0..3
+        bitsel = (lane_all & 31).astype(jnp.uint32)
+        last_lane = lane_all == BLOCK - 1
+        sel_rows = jnp.zeros((g_items, BLOCK), jnp.float32)
+        off_prev = jnp.zeros((gb, 1), jnp.int32)
+        for r in range(3):  # 3 x 128 bits = the 384-bit unary plane
+            widx_r = per_item([ub + 4 * r for ub in ubase_s]) + word_in_lane
+            w_r = fetch_all(widx_r)  # [gb,1]
+            bit_r = ((w_r >> bitsel) & jnp.uint32(1)).astype(jnp.int32)
+            cum_r = prefix_sum_all(bit_r) + off_prev  # running rank [gb,1]
+            m_r = (col_iota_all >= cum_r).astype(jnp.float32)  # [gb,128]
+            sel_rows = sel_rows + jnp.dot(
+                item_oh_T, m_r, preferred_element_type=jnp.float32
             )
-
-            def fetch1(widx):
-                rowsel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WIN_ROWS), 1)
-                    == (widx >> 7)
-                ).astype(jnp.float32)
-                parts = jnp.dot(rowsel, limbs_one, preferred_element_type=jnp.float32)
-                row_int = (
-                    parts[:, 0:128].astype(jnp.int32)
-                    | (parts[:, 128:256].astype(jnp.int32) << 8)
-                    | (parts[:, 256:384].astype(jnp.int32) << 16)
-                    | (parts[:, 384:512].astype(jnp.int32) << 24)
-                )
-                colsel = (col_iota == (widx & 127)).astype(jnp.int32)
-                return jnp.sum(colsel * row_int, axis=1, keepdims=True).astype(jnp.uint32)
-
-            def prefix_sum(col):
-                acc = col
-                for s in (1, 2, 4, 8, 16, 32, 64):
-                    rolled = pltpu.roll(acc, shift=s, axis=0)
-                    acc = acc + jnp.where(lane >= s, rolled, 0)
-                return acc
-
-            low = low_all[g * BLOCK : (g + 1) * BLOCK]
-            ubase = 4 * l_ef
-            sel_row = jnp.zeros((1, BLOCK), jnp.int32)
-            off_r = jnp.int32(0)
-            for r in range(3):  # 3 rows x 128 bits = the 384-bit plane
-                widx = off_s[g] + ubase + r * 4 + (lane >> 5)
-                w_r = fetch1(widx)
-                bit_r = ((w_r >> (lane & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
-                cum_r = prefix_sum(bit_r) + off_r
-                m_r = (col_iota >= cum_r).astype(jnp.int32)
-                sel_row = sel_row + jnp.sum(m_r, axis=0, keepdims=True)
-                off_r = jnp.max(cum_r)
-            ident = (col_iota == lane).astype(jnp.int32)
-            sel_col = jnp.sum(
-                ident * jnp.broadcast_to(sel_row, (BLOCK, BLOCK)), axis=1, keepdims=True
-            )
-            hi = sel_col - lane
-            return (hi << l_ef) + low
-
-        vcol = jax.lax.cond(is_ef_s[g], docs_ef, docs_for, None)
-        docs_ref[g, :] = (base_s[g] + vcol)[:, 0]
+            tot_r = jnp.dot(  # per-item ones so far = rank at last lane
+                item_oh_T,
+                jnp.where(last_lane, cum_r, 0).astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # [g,1]
+            off_prev = jnp.dot(
+                item_oh, tot_r, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (g_items, BLOCK), 1)
+        hi_rows = sel_rows.astype(jnp.int32) - iota_row
+        l_rows = per_item_row(l_ef_s)
+        ef_docs_rows = (hi_rows << l_rows) + low_all.reshape(g_items, BLOCK)
+        is_ef_rows = per_item_row(
+            [e.astype(jnp.int32) for e in is_ef_s]
+        ) > 0
+        docs_ref[...] = base_rows + jnp.where(
+            is_ef_rows, ef_docs_rows, for_docs_all.reshape(g_items, BLOCK)
+        )
     # freqs/norms: ONE sublane->lane relayout per plane per step instead
     # of one per item (the column->row writes dominated the kernel)
     freqs_ref[...] = freq_all.reshape(g_items, BLOCK)
@@ -244,7 +245,7 @@ from functools import partial
 MAX_CHUNK = 8192  # scalar-prefetch arrays live in SMEM: 4 * 32KB per chunk
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "has_ef"))
 def decode_work_items_pallas(
     data2d: jax.Array,  # int32[N/128, 128]; N 1024-aligned with >=2048 pad
     off: jax.Array,  # int32[W] word offsets
@@ -252,12 +253,14 @@ def decode_work_items_pallas(
     fbits: jax.Array,
     base: jax.Array,
     interpret: bool = False,
+    has_ef: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Raw (docs, freqs, norm_bytes) int32[W,128]; caller applies
     count/validity masks.
     W must be a multiple of G (work lists are power-of-two padded). Large
     work lists are split into MAX_CHUNK slices so per-item metadata fits
-    in SMEM."""
+    in SMEM. has_ef=False (STATIC, caller checked blk_doc_bits) compiles
+    the FOR-only program with no EF machinery at all."""
     w_total = off.shape[0]
     if w_total > MAX_CHUNK:
         outs = [
@@ -268,6 +271,7 @@ def decode_work_items_pallas(
                 fbits[s : s + MAX_CHUNK],
                 base[s : s + MAX_CHUNK],
                 interpret=interpret,
+                has_ef=has_ef,
             )
             for s in range(0, w_total, MAX_CHUNK)
         ]
@@ -293,7 +297,7 @@ def decode_work_items_pallas(
         ],
     )
     docs, freqs, norms = pl.pallas_call(
-        partial(_decode_kernel, g_items=g_items),
+        partial(_decode_kernel, g_items=g_items, has_ef=has_ef),
         out_shape=[
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
@@ -307,15 +311,15 @@ def decode_work_items_pallas(
 
 def _scoring_kernel(off_ref, dbits_ref, fbits_ref, base_ref, fid_ref,
                     data_ref, cache_ref, docs_ref, freqs_ref, cval_ref,
-                    scratch, sems, *, g_items):
+                    scratch, sems, *, g_items, has_ef):
     _decode_kernel(
         off_ref, dbits_ref, fbits_ref, base_ref, data_ref, docs_ref,
-        freqs_ref, cval_ref, scratch, sems, g_items=g_items,
+        freqs_ref, cval_ref, scratch, sems, g_items=g_items, has_ef=has_ef,
         fid_ref=fid_ref, cache_ref=cache_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "has_ef"))
 def decode_score_work_items_pallas(
     data2d: jax.Array,
     off: jax.Array,
@@ -325,6 +329,7 @@ def decode_score_work_items_pallas(
     fid: jax.Array,  # i32[W] per-item norms/cache row
     cache: jax.Array,  # f32[F, 256] norm-byte -> BM25 denominator
     interpret: bool = False,
+    has_ef: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Like decode_work_items_pallas, but the third output is the BM25
     denominator cval = cache[fid, norm_byte] (f32[W,128]) selected
@@ -344,6 +349,7 @@ def decode_score_work_items_pallas(
                 fid[s : s + MAX_CHUNK],
                 cache,
                 interpret=interpret,
+                has_ef=has_ef,
             )
             for s in range(0, w_total, MAX_CHUNK)
         ]
@@ -371,7 +377,7 @@ def decode_score_work_items_pallas(
         ],
     )
     docs, freqs, cval = pl.pallas_call(
-        partial(_scoring_kernel, g_items=g_items),
+        partial(_scoring_kernel, g_items=g_items, has_ef=has_ef),
         out_shape=[
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),

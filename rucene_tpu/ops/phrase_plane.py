@@ -130,6 +130,60 @@ def _shift_right(plane: jax.Array, j: int) -> jax.Array:
     return (plane >> jnp.uint32(j)) | (nxt << jnp.uint32(32 - j))
 
 
+@partial(jax.jit, static_argnames=("k", "n_terms"))
+def phrase_plane_search_many(
+    planes: tuple,  # flat tuple, row-major: R rows x n_terms x u32[md, WORDS]
+    overflows: tuple,  # R x n_terms x bool[md]
+    live: jax.Array,  # bool[md]
+    denoms: tuple,  # R x f32[md] per-row denominator planes (device-cached)
+    weights: jax.Array,  # f32[R]
+    k: int,
+    n_terms: int,
+) -> tuple:
+    """Batched phrase_plane_search: R same-arity rows in ONE dispatch.
+
+    Per-row dispatches cost ~35 ms each over the axon tunnel (62 phrase
+    rows = 2.2 s/batch, 90% of mixed-batch time at 1M docs); the planes
+    are already device-resident, so one dispatch taking them as a flat
+    pytree does the same work in one launch. Rows with ov_count > 0 are
+    re-verified whole by the caller's scalar path, so no ov_docs table is
+    produced. Returns per-row stacked (scores f32[R,k], docs i32[R,k],
+    hits i32[R], ov_count i32[R])."""
+    md = planes[0].shape[0]
+    r_rows = len(planes) // n_terms
+
+    pf_rows, match_rows, ovh_rows = [], [], []
+    for r in range(r_rows):
+        p = planes[r * n_terms : (r + 1) * n_terms]
+        o = overflows[r * n_terms : (r + 1) * n_terms]
+        acc = p[0]
+        for j in range(1, n_terms):
+            acc = acc & _shift_right(p[j], j)
+        pf = jnp.sum(jax.lax.population_count(acc), axis=1).astype(jnp.float32)
+        ov_any = o[0]
+        present_all = jnp.any(p[0] != 0, axis=1) | o[0]
+        for j in range(1, n_terms):
+            ov_any = ov_any | o[j]
+            present_all = present_all & (jnp.any(p[j] != 0, axis=1) | o[j])
+        needs_host = present_all & ov_any & live
+        pf_rows.append(pf)
+        match_rows.append((pf > 0) & live & jnp.logical_not(needs_host))
+        ovh_rows.append(needs_host)
+
+    pf_all = jnp.stack(pf_rows)  # [R, md]
+    match_all = jnp.stack(match_rows)
+    needs_all = jnp.stack(ovh_rows)
+    denom_all = jnp.stack(denoms)  # [R, md]
+    score = weights[:, None] * pf_all / (pf_all + denom_all)
+    scores_dense = jnp.where(match_all, score, -jnp.inf)
+    from rucene_tpu.ops.topk import topk_score_doc
+
+    top_scores, top_docs = topk_score_doc(scores_dense, k)
+    hits = jnp.sum(match_all, axis=1).astype(jnp.int32)
+    ov_count = jnp.sum(needs_all, axis=1).astype(jnp.int32)
+    return top_scores, top_docs, hits, ov_count
+
+
 @partial(jax.jit, static_argnames=("k", "n_terms", "ov_cap"))
 def phrase_plane_search(
     planes: tuple,  # n_terms x u32[md, WORDS]

@@ -79,6 +79,14 @@ class FlatQueryBatch(NamedTuple):
     n_required: jax.Array  # i32[B]
     min_should: jax.Array  # i32[B]
     cache: jax.Array  # f32[F,256]
+    # optional decode-dedup tables (searcher.dedupe_work): repeated hot
+    # terms across query rows reference the SAME blocks, so decode runs
+    # once per DISTINCT block [D] and per-item lanes are row gathers.
+    # None -> decode directly on wi_block (sharded / low-duplication lists).
+    wi_ublock: jax.Array | None = None  # i32[D] distinct block ids (padded)
+    wi_uvalid: jax.Array | None = None  # bool[D]
+    wi_ufid: jax.Array | None = None  # i32[D] cache row per distinct block
+    wi_inv: jax.Array | None = None  # i32[W] item -> distinct-block index
 
 
 class CombineBatch(NamedTuple):
@@ -171,19 +179,27 @@ def decode_score_lanes(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shared prologue: gather + unpack each work item's block and score
     every posting lane with BM25. has_ef (STATIC) marks work lists that
-    touch Elias-Fano-encoded blocks — the XLA path specializes on it; the
-    Mosaic kernel branches per item (lax.cond) so it takes every list.
+    touch Elias-Fano-encoded blocks — both the XLA path and the Mosaic
+    kernel specialize on it (batched EF select vs FOR-only program).
     Returns (target i32[W,128] — doc id or md+1 for invalid lanes,
     rows i32[W,1], sc f32[W,128], valid bool[W,128], freqs i32[W,128])."""
     md = dev.max_doc_padded
     cache_flat = q.cache.reshape(-1)
 
-    blk = q.wi_block
+    # decode-dedup: run the (expensive) block decode once per DISTINCT
+    # block, then expand to per-item lanes with row gathers — repeated hot
+    # terms across a batch's rows otherwise decode the same blocks 3-8x
+    # (Zipf query mixes). Scores stay bit-identical: tf/cval are gathered
+    # per item and the BM25 expression below is unchanged.
+    dedup = q.wi_ublock is not None
+    blk = q.wi_ublock if dedup else q.wi_block
+    bvalid = q.wi_uvalid if dedup else q.wi_valid
+    bfid = q.wi_ufid if dedup else q.wi_fid
     off = dev.blk_off[blk]
     dbits = dev.blk_doc_bits[blk]
     fbits = dev.blk_freq_bits[blk]
     base = dev.blk_base[blk]
-    cnt = jnp.where(q.wi_valid, dev.blk_count[blk], 0)
+    cnt = jnp.where(bvalid, dev.blk_count[blk], 0)
 
     if use_pallas:
         from rucene_tpu.ops.decode import INVALID_DOC
@@ -194,7 +210,7 @@ def decode_score_lanes(
         # cache (one-hot VPU select, bit-exact) — an XLA per-lane gather
         # over millions of lanes serializes (~300 ms/batch at 1M docs)
         raw_docs, raw_freqs, cval = decode_score_work_items_pallas(
-            data2d, off, dbits, fbits, base, q.wi_fid, q.cache
+            data2d, off, dbits, fbits, base, bfid, q.cache, has_ef=has_ef
         )
         valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
         docs = jnp.where(valid, raw_docs, INVALID_DOC)
@@ -202,13 +218,21 @@ def decode_score_lanes(
     else:
         docs, valid = decode_doc_blocks(
             dev.data, off, dbits, base, cnt, has_ef=has_ef
-        )  # [W,128]
+        )  # [D|W,128]
         freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
         norm_byte = decode_norm_blocks(dev.data, off, dbits, fbits, valid)
         # the norm byte rides inline in the block (postings.py pack
         # layout), so scoring reads the tiny [F,256] cache instead of
         # gathering a [F, max_doc] norms plane
-        cval = cache_flat[q.wi_fid[:, None] * 256 + norm_byte]
+        cval = cache_flat[bfid[:, None] * 256 + norm_byte]
+
+    if dedup:
+        inv = q.wi_inv
+        docs = docs[inv]
+        freqs = freqs[inv]
+        cval = cval[inv]
+        valid = valid[inv] & q.wi_valid[:, None]
+        freqs = jnp.where(valid, freqs, 0)
 
     tf = freqs.astype(jnp.float32)
     sc = q.wi_weight[:, None] * tf / (tf + cval)

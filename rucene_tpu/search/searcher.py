@@ -170,6 +170,33 @@ def build_flat_work(
     return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n, wi_tslot
 
 
+def dedupe_work(wi_block, wi_valid, wi_fid):
+    """Distinct-block decode tables for FlatQueryBatch: Zipf query mixes
+    repeat hot terms across rows, so the same blocks appear in many work
+    items — decode each once ([D] axis) and let per-item lanes gather.
+    Returns (wi_ublock, wi_uvalid, wi_ufid, wi_inv) or None when the
+    distinct count pads to the same size as the work list (no saving,
+    and skipping keeps the single-program shape)."""
+    n = int(wi_valid.sum())
+    if n == 0:
+        return None
+    vb = wi_block[:n]
+    ub, first_idx = np.unique(vb, return_index=True)
+    d_pad = next_pow2(max(len(ub), 1), 8)  # floor 8: pallas G
+    if d_pad >= len(wi_block):
+        return None
+    ublock = np.zeros(d_pad, np.int32)
+    uvalid = np.zeros(d_pad, bool)
+    ufid = np.zeros(d_pad, np.int32)
+    ublock[: len(ub)] = ub
+    uvalid[: len(ub)] = True
+    ufid[: len(ub)] = wi_fid[:n][first_idx]
+    inv = np.zeros(len(wi_block), np.int32)
+    inv[:n] = np.searchsorted(ub, vb).astype(np.int32)
+    METRICS.incr("search.decode_dedup_items", int(n - len(ub)))
+    return ublock, uvalid, ufid, inv
+
+
 def prune_conjunctions(work, n_required: np.ndarray, blk_ranges):
     """EXACT conjunction pruning: drop work items whose block doc-range
     cannot overlap some required (MUST/FILTER) clause of the same query.
@@ -1086,11 +1113,16 @@ class IndexSearcher:
         ends = np.searchsorted(wi_row[:n], np.arange(b), side="right")
         max_items = int((ends - starts).max()) if n else 1
         max_lanes = next_pow2(max(max_items, 1), 1) * 128
+        dd = dedupe_work(wi_block, wi_valid, wi_fid)
         fq = jax.device_put(
             FlatQueryBatch(
                 wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
                 wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
                 n_required=n_required, min_should=min_should, cache=cache,
+                wi_ublock=None if dd is None else dd[0],
+                wi_uvalid=None if dd is None else dd[1],
+                wi_ufid=None if dd is None else dd[2],
+                wi_inv=None if dd is None else dd[3],
             )
         )
         res = execute_flat_single(
@@ -1116,6 +1148,7 @@ class IndexSearcher:
                 int(device.live.shape[0]), enabled=self._use_pallas,
             )
         wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
+        dd = dedupe_work(wi_block, wi_valid, wi_fid)
         fq = jax.device_put(
             FlatQueryBatch(
                 wi_block=wi_block,
@@ -1127,6 +1160,10 @@ class IndexSearcher:
                 n_required=n_required,
                 min_should=min_should,
                 cache=cache,
+                wi_ublock=None if dd is None else dd[0],
+                wi_uvalid=None if dd is None else dd[1],
+                wi_ufid=None if dd is None else dd[2],
+                wi_inv=None if dd is None else dd[3],
             )
         )
         res = execute_flat(
@@ -2170,15 +2207,21 @@ class IndexSearcher:
         _PLANE_CACHE[key] = (denom, None, leaf.packed)
         return denom
 
+    # rows per phrase_plane_search_many dispatch: bounds the [R, max_doc]
+    # transient planes (64 x 1M f32 = 256 MB) while keeping the dispatch
+    # count ~1 (62 per-row dispatches cost 2.2 s/batch over the tunnel)
+    PHRASE_PLANE_CHUNK = 64
+
     def _search_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
-        """Heavy exact-phrase rows via dense position planes. Returns
+        """Heavy exact-phrase rows via dense position planes, batched into
+        one device dispatch per (arity, <=64-row chunk). Returns
         (done: gi -> (docs, scores, hits), spill: rows needing the scalar
         path — overflow docs present or a term plane unavailable)."""
-        from rucene_tpu.ops.phrase_plane import phrase_plane_search
+        from rucene_tpu.ops.phrase_plane import phrase_plane_search_many
 
         cache = build_leaf_cache(leaf, sim, stats)
-        futures = []
         spill: list[int] = []
+        by_arity: dict[int, list[tuple]] = {}
         for gi in rows:
             field, terms, boost, _sl = rqs[gi].phrases[0]
             planes, overflows = [], []
@@ -2205,22 +2248,49 @@ class IndexSearcher:
                 np.float32(idf_sum * np.float32(boost))
                 * np.float32(sim.k1 + np.float32(1.0))
             )
-            fut = phrase_plane_search(
-                tuple(planes), tuple(overflows), leaf.device.live,
-                self._denom_plane_for(
-                    leaf, pf_field.field_id, cache[pf_field.field_id]
-                ),
-                jnp.asarray(w2), k=k, n_terms=len(terms),
+            denom = self._denom_plane_for(
+                leaf, pf_field.field_id, cache[pf_field.field_id]
             )
-            futures.append((gi, fut))
+            by_arity.setdefault(len(terms), []).append(
+                (gi, planes, overflows, denom, w2)
+            )
+
+        futures = []
+        for nt, grp in sorted(by_arity.items()):
+            for c0 in range(0, len(grp), self.PHRASE_PLANE_CHUNK):
+                chunk = grp[c0 : c0 + self.PHRASE_PLANE_CHUNK]
+                r_pad = next_pow2(len(chunk), 1)
+                flat_p, flat_o, denoms, ws, gis = [], [], [], [], []
+                for gi, pl, ov, dn, w2 in chunk:
+                    flat_p += pl
+                    flat_o += ov
+                    denoms.append(dn)
+                    ws.append(w2)
+                    gis.append(gi)
+                # pad rows reuse row 0's device planes with weight 0; their
+                # outputs are never read
+                for _ in range(r_pad - len(chunk)):
+                    flat_p += chunk[0][1]
+                    flat_o += chunk[0][2]
+                    denoms.append(chunk[0][3])
+                    ws.append(np.float32(0.0))
+                fut = phrase_plane_search_many(
+                    tuple(flat_p), tuple(flat_o), leaf.device.live,
+                    tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
+                    k=k, n_terms=nt,
+                )
+                futures.append((gis, fut))
         done = {}
-        for gi, fut in futures:
-            s, d, h, _ovd, ovc = jax.device_get(fut)
-            if int(ovc) > 0:
-                spill.append(gi)  # rare: some doc exceeded FMAX/PMAX
-                continue
-            keep = s > -np.inf
-            done[gi] = (np.asarray(d)[keep], np.asarray(s)[keep], int(h))
+        for gis, fut in futures:
+            s, d, h, ovc = jax.device_get(fut)
+            for li, gi in enumerate(gis):
+                if int(ovc[li]) > 0:
+                    spill.append(gi)  # rare: some doc exceeded FMAX/PMAX
+                    continue
+                keep = s[li] > -np.inf
+                done[gi] = (
+                    np.asarray(d[li])[keep], np.asarray(s[li])[keep], int(h[li])
+                )
         return done, spill
 
     def _scalar_fallback_batch(self, leaf, rqs, queries, sim, stats, doc_freqs, k):
