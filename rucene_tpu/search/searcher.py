@@ -301,9 +301,11 @@ def build_combine_batch(arrays, b_pad, blk_first, blk_last, mdp, enabled):
     if mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
         return None  # candidate strategy will be taken
     # measured: one kernel call at [<=32 rows, >=256K docs] beats the
-    # scatter 2.6x, but 8 chunked calls at [256 rows, 50K docs] LOSE to
-    # it (1273 vs 1419 QPS) — per-call fixed costs dominate small tiles
-    if b_pad > MAX_ROWS or mdp < (1 << 18):
+    # scatter 2.6x, and 8 chunked calls at [256 rows, 50K docs] LOSE to
+    # it (1273 vs 1419 QPS) — per-call fixed costs dominate small tiles.
+    # At >=256K docs each chunk's tile is large enough that chunking wins
+    # too (the [256 rows, 1M docs] scatter alone costs ~0.9s/batch).
+    if mdp < (1 << 18):
         return None
     blk_first = np.asarray(blk_first, np.int64)
     blk_last = np.asarray(blk_last, np.int64)
