@@ -45,7 +45,11 @@ WORDS = PMAX // 32
 # only overflow when a term really occurs > 64 times (then the searcher
 # host-fixes those docs individually).
 FMAX = 64
-BUILD_CHUNK = 1024  # work items per scatter pass (bounds transients)
+# work items per scan step: a hot term at 8.8M docs has 131072 blocks and
+# the per-item temporaries are [C, 128, FMAX] i32 (~134 MB at C=4096);
+# building unchunked OOMed HBM (20 GB of temps). W is pow2-padded, so any
+# pow2 C <= W divides it evenly.
+BUILD_CHUNK = 4096
 
 
 @partial(jax.jit, static_argnames=("has_ef",))
@@ -57,67 +61,82 @@ def build_position_plane(
     pos_word_start: jax.Array,  # i32[] word offset of the term's stream
     has_ef: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (plane u32[md, WORDS], overflow bool[md])."""
+    """-> (plane u32[md, WORDS], overflow bool[md]).
+
+    One lax.scan step per BUILD_CHUNK work items accumulates directly into
+    the packed u32 plane with a scatter-ADD: within one term, (doc,
+    position) pairs are unique across all lanes (a doc's occurrences live
+    in one lane; positions strictly increase within a doc), so adding
+    distinct power-of-two bit values IS the OR — no [md, PMAX] bool
+    transient, no [md, WORDS, 32] packing reduce (4.3 GB at 8.8M docs)."""
     md = dev.max_doc_padded
-    blk = wi_block
-    off = dev.blk_off[blk]
-    dbits = dev.blk_doc_bits[blk]
-    fbits = dev.blk_freq_bits[blk]
-    base = dev.blk_base[blk]
-    cnt = jnp.where(wi_valid, dev.blk_count[blk], 0)
-
-    docs, valid = decode_doc_blocks(dev.data, off, dbits, base, cnt, has_ef=has_ef)
-    freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
-    pos_off = dev.blk_pos_base[blk][:, None] + (jnp.cumsum(freqs, axis=1) - freqs)
-
-    fidx = jnp.arange(FMAX, dtype=jnp.int32)
-    occ = pos_off[:, :, None] + fidx[None, None, :]  # [W,128,FMAX]
-    pvalid = valid[:, :, None] & (fidx[None, None, :] < freqs[:, :, None])
-    w = pos_width.astype(jnp.int32)
-    bitpos = occ * w
-    widx = pos_word_start.astype(jnp.int32) + (bitpos >> 5)
-    shift = (bitpos & 31).astype(jnp.uint32)
+    w_items = wi_block.shape[0]
+    c = min(w_items, BUILD_CHUNK)
+    n_chunks = w_items // c
     limit = dev.positions.shape[0] - 1
-    w0 = dev.positions[jnp.clip(widx, 0, limit)]
-    w1 = dev.positions[jnp.clip(widx + 1, 0, limit)]
-    lo = w0 >> shift
-    hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
-    mask = jnp.where(
+    w = pos_width.astype(jnp.int32)
+    vmask = jnp.where(
         w >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << w.astype(jnp.uint32)) - 1
     )
-    deltas = ((lo | hi) & mask).astype(jnp.int32)
-    deltas = jnp.where(pvalid, deltas, 0)
-    pwin = jnp.cumsum(deltas, axis=-1)  # absolute positions per doc run
+    fidx = jnp.arange(FMAX, dtype=jnp.int32)
 
-    # overflow: more occurrences than FMAX, or a position beyond the plane
-    over_lane = valid & (
-        (freqs > FMAX) | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= PMAX)
-    )
-    safe_docs = jnp.where(valid, docs, md)  # md row is the drop bucket
-    overflow = (
-        jnp.zeros((md + 1,), jnp.bool_)
-        .at[safe_docs]
-        .max(over_lane, mode="drop")[:md]
-    )
+    def chunk_step(carry, xs):
+        plane_flat, overflow = carry
+        blk, valid_c = xs
+        off = dev.blk_off[blk]
+        dbits = dev.blk_doc_bits[blk]
+        fbits = dev.blk_freq_bits[blk]
+        base = dev.blk_base[blk]
+        cnt = jnp.where(valid_c, dev.blk_count[blk], 0)
 
-    # transient bool plane -> packed u32 words (set bits can repeat across
-    # occurrences, so OR-semantics come from the bool scatter + weighted
-    # reduce, never from an additive scatter)
-    flat_idx = (
-        jnp.where(pvalid, docs[:, :, None], md).astype(jnp.int32) * PMAX
-        + jnp.clip(pwin, 0, PMAX - 1)
+        docs, valid = decode_doc_blocks(
+            dev.data, off, dbits, base, cnt, has_ef=has_ef
+        )
+        freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+        pos_off = dev.blk_pos_base[blk][:, None] + (
+            jnp.cumsum(freqs, axis=1) - freqs
+        )
+
+        occ = pos_off[:, :, None] + fidx[None, None, :]  # [C,128,FMAX]
+        pvalid = valid[:, :, None] & (fidx[None, None, :] < freqs[:, :, None])
+        bitpos = occ * w
+        widx = pos_word_start.astype(jnp.int32) + (bitpos >> 5)
+        shift = (bitpos & 31).astype(jnp.uint32)
+        w0 = dev.positions[jnp.clip(widx, 0, limit)]
+        w1 = dev.positions[jnp.clip(widx + 1, 0, limit)]
+        lo = w0 >> shift
+        hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
+        deltas = ((lo | hi) & vmask).astype(jnp.int32)
+        deltas = jnp.where(pvalid, deltas, 0)
+        pwin = jnp.cumsum(deltas, axis=-1)  # absolute positions per doc run
+
+        # overflow: more occurrences than FMAX, or a position off the plane
+        over_lane = valid & (
+            (freqs > FMAX)
+            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= PMAX)
+        )
+        safe_docs = jnp.where(valid, docs, md)  # md row is the drop bucket
+        overflow = overflow.at[safe_docs].max(over_lane, mode="drop")
+
+        on = pvalid & (pwin < PMAX)
+        word_idx = jnp.where(
+            on,
+            docs[:, :, None].astype(jnp.int32) * WORDS + (pwin >> 5),
+            md * WORDS,  # in-buffer drop bucket (bitval 0 there anyway)
+        )
+        bitval = jnp.where(
+            on, jnp.uint32(1) << (pwin & 31).astype(jnp.uint32), jnp.uint32(0)
+        )
+        plane_flat = plane_flat.at[word_idx].add(bitval, mode="drop")
+        return (plane_flat, overflow), None
+
+    init = (
+        jnp.zeros((md * WORDS + WORDS,), jnp.uint32),
+        jnp.zeros((md + 1,), jnp.bool_),
     )
-    bits = (
-        jnp.zeros((md * PMAX + PMAX,), jnp.bool_)
-        .at[jnp.where(pvalid & (pwin < PMAX), flat_idx, md * PMAX)]
-        .max(True, mode="drop")[: md * PMAX]
-        .reshape(md, WORDS, 32)
-    )
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    plane = jnp.sum(
-        jnp.where(bits, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
-    )  # [md, WORDS]
-    return plane, overflow
+    xs = (wi_block.reshape(n_chunks, c), wi_valid.reshape(n_chunks, c))
+    (plane_flat, overflow), _ = jax.lax.scan(chunk_step, init, xs)
+    return plane_flat[: md * WORDS].reshape(md, WORDS), overflow[:md]
 
 
 def _shift_right(plane: jax.Array, j: int) -> jax.Array:
