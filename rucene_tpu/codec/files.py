@@ -80,12 +80,22 @@ class SectionReader:
     (reference mmap_index_input.rs:126)."""
 
     def __init__(self, payload):
-        toc_off, toc_len = struct.unpack_from("<QQ", payload, len(payload) - 16)
+        # lazy (mmap) opens skip the whole-file CRC, so TOC/section parses
+        # are a corruption boundary: damaged bytes must surface as
+        # CorruptIndexError, not arbitrary parser exceptions
+        try:
+            toc_off, toc_len = struct.unpack_from(
+                "<QQ", payload, len(payload) - 16
+            )
+            self.toc: dict[str, list] = json.loads(
+                bytes(payload[toc_off : toc_off + toc_len])
+            )
+        except (struct.error, ValueError, UnicodeDecodeError) as e:
+            from rucene_tpu.store.directory import CorruptIndexError
+
+            raise CorruptIndexError(f"bad section TOC: {e}") from None
         self.payload = payload
         self.lazy = isinstance(payload, memoryview)
-        self.toc: dict[str, list] = json.loads(
-            bytes(payload[toc_off : toc_off + toc_len])
-        )
 
     def __contains__(self, name: str) -> bool:
         return name in self.toc
@@ -99,39 +109,56 @@ class SectionReader:
         return np.lib.format.read_array(io.BytesIO(buf), allow_pickle=False)
 
     def json(self, name: str):
-        off, ln, kind = self.toc[name]
-        blob = bytes(self.payload[off : off + ln])
-        if kind == "json":
-            return json.loads(blob)
-        if kind == "lz4json":
-            from rucene_tpu import native
+        try:
+            off, ln, kind = self.toc[name]
+            blob = bytes(self.payload[off : off + ln])
+            if kind == "json":
+                return json.loads(blob)
+            if kind == "lz4json":
+                from rucene_tpu import native
 
-            (orig,) = struct.unpack_from("<Q", blob, 0)
-            if native.available:
-                return json.loads(native.lz4_decompress(blob[8:], orig))
-            from rucene_tpu.util.lz4_py import lz4_decompress
+                (orig,) = struct.unpack_from("<Q", blob, 0)
+                if native.available:
+                    return json.loads(native.lz4_decompress(blob[8:], orig))
+                from rucene_tpu.util.lz4_py import lz4_decompress
 
-            return json.loads(lz4_decompress(blob[8:], orig))
-        assert kind == "zjson"
-        return json.loads(zlib.decompress(blob))
+                return json.loads(lz4_decompress(blob[8:], orig))
+            assert kind == "zjson"
+            return json.loads(zlib.decompress(blob))
+        except (ValueError, struct.error, zlib.error, AssertionError,
+                UnicodeDecodeError, KeyError) as e:
+            from rucene_tpu.store.directory import CorruptIndexError
+
+            raise CorruptIndexError(f"bad json section {name!r}: {e}") from None
 
 
 def _npy_view(buf) -> np.ndarray:
     """Zero-copy .npy parse: header from the first bytes, data as a
     read-only view into the underlying buffer (no object dtypes are ever
-    written — write_segment uses allow_pickle=False throughout)."""
+    written — write_segment uses allow_pickle=False throughout).
+
+    A corrupt header raises whatever numpy's parser throws (ValueError,
+    tokenize.TokenError via its ast safe-eval, ...) — normalize ALL of it
+    to CorruptIndexError; this is the lazy path's detection boundary."""
     import numpy.lib.format as npfmt
 
-    bio = io.BytesIO(bytes(buf[: min(len(buf), 1024)]))
-    version = npfmt.read_magic(bio)
-    if version == (1, 0):
-        shape, fortran, dtype = npfmt.read_array_header_1_0(bio)
-    else:
-        shape, fortran, dtype = npfmt.read_array_header_2_0(bio)
-    off = bio.tell()
-    count = int(np.prod(shape)) if shape else 1
-    arr = np.frombuffer(buf, dtype=dtype, count=count, offset=off)
-    return arr.reshape(shape, order="F" if fortran else "C")
+    from rucene_tpu.store.directory import CorruptIndexError
+
+    try:
+        bio = io.BytesIO(bytes(buf[: min(len(buf), 1024)]))
+        version = npfmt.read_magic(bio)
+        if version == (1, 0):
+            shape, fortran, dtype = npfmt.read_array_header_1_0(bio)
+        else:
+            shape, fortran, dtype = npfmt.read_array_header_2_0(bio)
+        off = bio.tell()
+        count = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(buf, dtype=dtype, count=count, offset=off)
+        return arr.reshape(shape, order="F" if fortran else "C")
+    except CorruptIndexError:
+        raise
+    except Exception as e:
+        raise CorruptIndexError(f"bad npy section: {e}") from None
 
 
 class LazyStored:

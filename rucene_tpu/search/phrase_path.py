@@ -381,13 +381,55 @@ class PhrasePathMixin:
 
     def _search_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
         """Heavy exact-phrase rows via dense position planes, batched into
-        one device dispatch per (arity, <=64-row chunk). Returns
-        (done: gi -> (docs, scores, hits), spill: rows needing the scalar
-        path — overflow docs present or a term plane unavailable)."""
-        from rucene_tpu.ops.phrase_plane import phrase_plane_search_many
+        one device dispatch per (arity, row chunk). Returns (done: gi ->
+        (docs, scores, hits), spill: rows needing the scalar path —
+        overflow docs present or a term plane unavailable).
+
+        Rows are processed in groups bounded by LIVE plane bytes: the LRU
+        budget only frees planes this method is not holding references to,
+        and one 512-query batch at 8.8M docs can reference ~128 distinct
+        terms x 141 MB of planes — building them all before any search
+        crashed the TPU worker (HBM exhaustion). Groups release their refs
+        before the next group builds."""
+        from rucene_tpu.ops.phrase_plane import WORDS
         from rucene_tpu.search.searcher import build_leaf_cache
 
         cache = build_leaf_cache(leaf, sim, stats)
+        mdp = int(leaf.device.live.shape[0])
+        plane_bytes = mdp * (WORDS * 4 + 1)  # packed words + overflow col
+        budget = int(os.environ.get("RUCENE_PLANE_CACHE_MB", 6144)) << 20
+        max_terms_live = max(8, (budget // 2) // max(plane_bytes, 1))
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_terms: set = set()
+        for gi in rows:
+            field, terms, _b, _sl = rqs[gi].phrases[0]
+            tset = {(field, t) for t in terms}
+            if cur and len(cur_terms | tset) > max_terms_live:
+                groups.append(cur)
+                cur, cur_terms = [], set()
+            cur.append(gi)
+            cur_terms |= tset
+        if cur:
+            groups.append(cur)
+        done: dict = {}
+        spill: list[int] = []
+        for grp in groups:
+            d2, s2 = self._plane_row_group(
+                leaf, grp, rqs, sim, stats, doc_freqs, k, cache, mdp
+            )
+            done.update(d2)
+            spill.extend(s2)
+        return done, spill
+
+    def _plane_row_group(
+        self, leaf, rows, rqs, sim, stats, doc_freqs, k, cache, mdp
+    ):
+        """One bounded group: build/fetch planes, dispatch all chunks, then
+        collect. Plane refs die with this frame so the cache LRU can evict
+        before the next group builds."""
+        from rucene_tpu.ops.phrase_plane import phrase_plane_search_many
+
         spill: list[int] = []
         by_arity: dict[int, list[tuple]] = {}
         for gi in rows:
@@ -426,7 +468,6 @@ class PhrasePathMixin:
         # rows per dispatch scale inversely with the doc space: the search
         # builds several [R, md] f32 transients, so hold R * md near the
         # tuned 64-row x 1M-doc point (2.2 GB/array at [64, 8.8M] OOMs)
-        mdp = int(leaf.device.live.shape[0])
         chunk_rows = max(
             1, min(self.PHRASE_PLANE_CHUNK,
                    (self.PHRASE_PLANE_CHUNK << 20) // max(mdp, 1))

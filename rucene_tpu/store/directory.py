@@ -147,7 +147,10 @@ class FSDirectory:
         import mmap
 
         with open(self._p(name), "rb") as f:
-            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            try:
+                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            except ValueError as e:  # zero-length file (torn write)
+                raise CorruptIndexError(f"cannot map {name!r}: {e}") from None
         return memoryview(mm)
 
     def file_size(self, name: str) -> int:
