@@ -73,6 +73,7 @@ from rucene_tpu.search.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     ExistsQuery,
+    PrefixQuery,
     FilterQuery,
     MatchAllDocsQuery,
     Occur,
@@ -96,6 +97,7 @@ __all__ = [
     "DisjunctionMaxQuery",
     "Document",
     "ExistsQuery",
+    "PrefixQuery",
     "Field",
     "FieldType",
     "FilterQuery",

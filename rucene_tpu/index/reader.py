@@ -151,6 +151,41 @@ class SegmentSnapshot:
             pos_word_start=int(pf.pos_word_start[ord_]) if pf.pos_word_start is not None else 0,
         )
 
+    def terms_iterator(self, field: str) -> "TermsIterator | None":
+        """Ordered term enumeration with seek (reference TermIterator:
+        blocktree SegmentTermIterator, blocktree_reader.rs:907 — seek_exact
+        :1364 / seek_ceil / next over the sorted term space)."""
+        pf = self.packed.fields.get(field)
+        if pf is None:
+            return None
+        return TermsIterator(self, field, pf)
+
+    def prefix_terms(self, field: str, prefix: str) -> list[str]:
+        """All terms starting with `prefix`, in order (the blocktree FST's
+        prefix-seek job on the sorted term list — a bisect range)."""
+        import bisect
+
+        pf = self.packed.fields.get(field)
+        if pf is None:
+            return []
+        lo = bisect.bisect_left(pf.terms, prefix)
+        hi = lo
+        while hi < len(pf.terms) and pf.terms[hi].startswith(prefix):
+            hi += 1
+        return pf.terms[lo:hi]
+
+    def prefix_docs(self, field: str, prefix: str) -> np.ndarray:
+        """Union of doc ids over all terms with `prefix` (PrefixQuery's
+        constant-score doc set; cached as a device filter plane)."""
+        parts = [
+            p[0]
+            for t in self.prefix_terms(field, prefix)
+            if (p := self.read_postings(field, t)) is not None
+        ]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(parts)).astype(np.int64)
+
     def field_stats(self, field: str) -> CollectionStats | None:
         st = self.packed.stats.get(field)
         if st is None:
@@ -176,6 +211,16 @@ class SegmentSnapshot:
         aligned (starts, ends) and payload list when requested (fields
         indexed with IndexOptions ..._AND_OFFSETS / pre-analyzed tokens).
         Slice occurrence k of doc i at positions[cumfreq[i] + k]."""
+        if (with_positions or with_offsets or with_payloads) and getattr(
+            self.packed, "is_split_view", False
+        ):
+            # split sub-views share whole position streams via blk_pos_base
+            # (device pipelines fine) but a leading partial block breaks the
+            # pos_start occurrence alignment this host accessor assumes
+            raise ValueError(
+                "occurrence-aligned postings are unavailable on a doc-range "
+                "split view (codec/split.py); use the original segment"
+            )
         rec = self.term_record(field, text)
         if rec is None:
             return None
@@ -330,6 +375,74 @@ class SegmentSnapshot:
         if tvs is None or local_doc >= len(tvs):
             return None
         return tvs[local_doc].get(field)
+
+
+class TermsIterator:
+    """Ordered enumeration over one field's term dictionary (reference
+    TermIterator protocol: next / seek_exact / seek_ceil / term / ord /
+    doc_freq / total_term_freq / postings — blocktree_reader.rs:907)."""
+
+    END = "END"
+    FOUND = "FOUND"
+    NOT_FOUND = "NOT_FOUND"
+
+    def __init__(self, snap: "SegmentSnapshot", field: str, pf):
+        self._snap = snap
+        self._field = field
+        self._pf = pf
+        self._ord = -1  # positioned before the first term
+
+    def next(self) -> str | None:
+        if self._ord + 1 >= len(self._pf.terms):
+            self._ord = len(self._pf.terms)
+            return None
+        self._ord += 1
+        return self._pf.terms[self._ord]
+
+    def seek_exact(self, text: str) -> bool:
+        o = self._pf.term_ord.get(text)
+        if o is None:
+            return False
+        self._ord = o
+        return True
+
+    def seek_ceil(self, text: str) -> str:
+        """Position at the smallest term >= text: FOUND / NOT_FOUND (at the
+        successor) / END."""
+        import bisect
+
+        o = bisect.bisect_left(self._pf.terms, text)
+        self._ord = o
+        if o >= len(self._pf.terms):
+            return self.END
+        return self.FOUND if self._pf.terms[o] == text else self.NOT_FOUND
+
+    def seek_ord(self, ord_: int) -> None:
+        if not 0 <= ord_ < len(self._pf.terms):
+            raise IndexError(f"term ord {ord_} out of range")
+        self._ord = ord_
+
+    def term(self) -> str | None:
+        if 0 <= self._ord < len(self._pf.terms):
+            return self._pf.terms[self._ord]
+        return None
+
+    def ord(self) -> int:
+        return self._ord
+
+    def doc_freq(self) -> int:
+        return int(self._pf.doc_freq[self._ord])
+
+    def total_term_freq(self) -> int:
+        return int(self._pf.total_tf[self._ord])
+
+    def postings(self, with_positions: bool = False):
+        t = self.term()
+        if t is None:
+            raise ValueError("iterator is unpositioned")
+        return self._snap.read_postings(
+            self._field, t, with_positions=with_positions
+        )
 
 
 class IndexReader:

@@ -9,7 +9,7 @@ PhraseQuery rewrites to a conjunction plus a positional verification stage
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 
 from rucene_tpu.doc.term import Term
 
@@ -41,7 +41,8 @@ class RangeClause:
     lower: int | None  # inclusive, None = open
     upper: int | None  # inclusive, None = open
     boost: float = 1.0
-    kind: str = "range"  # "range" | "exists"
+    kind: str = "range"  # "range" | "exists" | "prefix"
+    text: str | None = None  # kind="prefix": the term prefix
 
     def doc_set(self, leaf):
         """Matching local doc ids on one leaf (uncached)."""
@@ -49,11 +50,13 @@ class RangeClause:
 
         if self.kind == "exists":
             return np.flatnonzero(leaf.exists_mask(self.field)).astype(np.int64)
+        if self.kind == "prefix":
+            return leaf.prefix_docs(self.field, self.text or "")
         return leaf.point_range_docs(self.field, self.lower, self.upper)
 
     @property
     def cache_key(self) -> tuple:
-        return (self.kind, self.field, self.lower, self.upper)
+        return (self.kind, self.field, self.lower, self.upper, self.text)
 
 
 @dataclass
@@ -173,8 +176,7 @@ class BoostQuery(Query):
         ]
         rq.phrases = [(f, ts, b * self.boost, sl) for (f, ts, b, sl) in rq.phrases]
         rq.ranges = [
-            RangeClause(r.occur, r.field, r.lower, r.upper, r.boost * self.boost, r.kind)
-            for r in rq.ranges
+            dc_replace(r, boost=r.boost * self.boost) for r in rq.ranges
         ]
         rq.boost *= self.boost
         return rq
@@ -264,6 +266,32 @@ class ExistsQuery(Query):
                 RangeClause(
                     Occur.SHOULD, self.field, None, None, self.boost,
                     kind="exists",
+                )
+            ]
+        )
+
+
+class PrefixQuery(Query):
+    """Matches docs containing any term starting with `prefix`, constant
+    score = boost (Lucene PrefixQuery under its default CONSTANT_SCORE
+    rewrite; term enumeration via the sorted term dict — the job the
+    reference's blocktree FST index does for prefix seeks,
+    blocktree_reader.rs:1364). Rides the device filter-plane path."""
+
+    def __init__(self, field: str, prefix: str, boost: float = 1.0):
+        self.field = field
+        self.prefix = prefix
+        self.boost = boost
+
+    def extract_terms(self):
+        return []
+
+    def rewrite(self) -> RewrittenQuery:
+        return RewrittenQuery(
+            ranges=[
+                RangeClause(
+                    Occur.SHOULD, self.field, None, None, self.boost,
+                    kind="prefix", text=self.prefix,
                 )
             ]
         )
@@ -503,7 +531,9 @@ class BooleanQuery(Query):
                 raise NotImplementedError("MUST_NOT MatchAllDocsQuery matches nothing")
             if sq.ranges and len(sq.ranges) == 1 and not sq.clauses and not sq.phrases:
                 r = sq.ranges[0]
-                out.ranges.append(RangeClause(occur, r.field, r.lower, r.upper, r.boost * self.boost, r.kind))
+                out.ranges.append(
+                    dc_replace(r, occur=occur, boost=r.boost * self.boost)
+                )
                 continue
             if sq.phrases:
                 if occur != Occur.MUST_NOT:

@@ -160,6 +160,10 @@ class QueryStringParser:
                 from rucene_tpu.search.query import ExistsQuery
 
                 return ExistsQuery(tok.group("ttext"), boost=boost)
+            if text.endswith("*") and len(text) > 1 and "*" not in text[:-1]:
+                from rucene_tpu.search.query import PrefixQuery
+
+                return PrefixQuery(field, text[:-1], boost=boost)
             return TermQuery(Term(field, text), boost=boost)
         raise ValueError(f"unexpected token {tok.group()!r}")
 
