@@ -63,6 +63,62 @@ def make_mesh(n_shards: int, n_dp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("shard", "dp"))
 
 
+def _split_hot_leaves(leaves, s: int):
+    """Doc-range-split the largest snapshots so every shard gets work when
+    the index has fewer segments than shards — e.g. a force-merged index
+    whose single huge segment would otherwise land whole on shard 0 while
+    the other devices idle (SURVEY §2.7 hot-list block-range sharding; the
+    reference's parallel search is per-leaf, searcher.rs:419-470, so this
+    goes beyond it). Returns search-only sub-leaves in doc order; global
+    stats / doc freqs keep coming from the original reader. Each sub-leaf
+    references the full data/positions arrays (split parallelizes compute,
+    not capacity — codec/split.py module doc)."""
+    from rucene_tpu.codec.split import split_packed_segment
+    from rucene_tpu.index.reader import SegmentSnapshot
+
+    total = sum(lf.max_doc for lf in leaves)
+    if total == 0:
+        return leaves
+    # largest-remainder apportionment of s parts over leaves by doc count
+    quotas = [s * lf.max_doc / total for lf in leaves]
+    parts = [max(1, int(q)) for q in quotas]
+    while sum(parts) < s:
+        best, best_r = -1, -1.0
+        for i, lf in enumerate(leaves):
+            r = quotas[i] - parts[i]
+            if parts[i] < lf.max_doc and r > best_r:
+                best, best_r = i, r
+        if best < 0:
+            break
+        parts[best] += 1
+    out = []
+    for lf, n in zip(leaves, parts):
+        if n <= 1 or lf.max_doc < 2 * n:
+            out.append(lf)
+            continue
+        subs = split_packed_segment(lf.packed, n)
+        if len(subs) <= 1:
+            out.append(lf)
+            continue
+        lo = 0
+        for j, sp in enumerate(subs):
+            hi = lo + sp.max_doc
+            live = None if lf.live is None else lf.live[lo:hi]
+            snap = SegmentSnapshot(f"{lf.name}[{j}]", sp, live=live)
+            snap.doc_base = lf.doc_base + lo
+            for f, m in lf.dv_updates.items():
+                sub_m = {d - lo: v for d, v in m.items() if lo <= d < hi}
+                if sub_m:
+                    snap.dv_updates[f] = sub_m
+            for f, m in lf.bdv_updates.items():
+                sub_m = {d - lo: v for d, v in m.items() if lo <= d < hi}
+                if sub_m:
+                    snap.bdv_updates[f] = sub_m
+            out.append(snap)
+            lo = hi
+    return out
+
+
 def _partition_leaves(leaves, s: int) -> list[list]:
     """Contiguous, doc-balanced partition of the leaves into <= s groups.
     Contiguity keeps shard doc spaces monotone in reader-global doc order,
@@ -171,7 +227,7 @@ class ShardedIndex:
     placed shard-per-device. An NRT index with more segments than devices
     shards without a prior force_merge. Empty filler shards pad up to S."""
 
-    def __init__(self, mesh: Mesh, reader: IndexReader):
+    def __init__(self, mesh: Mesh, reader: IndexReader, split_hot: bool = True):
         self.mesh = mesh
         self.reader = reader
         self.partial = False
@@ -180,6 +236,8 @@ class ShardedIndex:
         leaves = list(reader.leaves)
         if not leaves:
             raise ValueError("cannot shard an empty reader")
+        if split_hot and len(leaves) < s:
+            leaves = _split_hot_leaves(leaves, s)
         self.leaves = leaves
         self.n_shards = s
         self.groups = _partition_leaves(leaves, s)
