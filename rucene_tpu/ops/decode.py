@@ -38,8 +38,11 @@ import jax.numpy as jnp
 from rucene_tpu.util.packing import BLOCK_SIZE, EF_TAG, EF_UNARY_WORDS
 
 # docid sentinel for masked / padded lanes: larger than any valid doc id so
-# sorted combines push padding to the end.
-INVALID_DOC = jnp.int32(2**31 - 1)
+# sorted combines push padding to the end. A plain int (NOT jnp.int32):
+# a module-level device array would initialize the jax backend at import
+# time — on the axon TPU sandbox that grabs the (single-holder) TPU tunnel
+# in every process that merely imports the package.
+INVALID_DOC = 2**31 - 1
 
 
 def doc_plane_words(doc_bits: jax.Array) -> jax.Array:

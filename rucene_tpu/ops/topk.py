@@ -20,8 +20,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
-_DOC_PAD = jnp.int32(2**31 - 1)
+# plain Python scalars, NOT jnp values: module-level device arrays would
+# initialize the jax backend (and grab the axon TPU tunnel) at import time
+NEG_INF = float("-inf")
+_DOC_PAD = 2**31 - 1
 
 
 def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:

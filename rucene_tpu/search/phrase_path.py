@@ -326,6 +326,22 @@ class PhrasePathMixin:
                     )
         return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
 
+    def _plane_budget_bytes(self, leaf) -> int:
+        """Plane-cache byte budget for this leaf's device view. Explicit
+        RUCENE_PLANE_CACHE_MB wins; the default is HBM-aware: planes share
+        the chip with the index tensors, the overlapped device batch's
+        [B, md] accumulators and the plane search's own [R, md] transients
+        — a flat 6 GB default crashed the TPU worker at 8.8M docs (v5e has
+        15.75 GB; index ~2 GB, accumulators ~3.5 GB, planes 141 MB each)."""
+        env = os.environ.get("RUCENE_PLANE_CACHE_MB")
+        if env:
+            return int(env) << 20
+        dev_bytes = sum(
+            a.size * a.dtype.itemsize for a in leaf.device
+            if hasattr(a, "size")
+        )
+        return max(1 << 30, min(6 << 30, ((11 << 30) - dev_bytes) // 2))
+
     def _phrase_plane_for(self, leaf, field: str, term: str):
         """Device-cached (plane, overflow) for one term (ops/phrase_plane
         build), LRU-bounded: packed planes are 16 MB at 1M docs and common
@@ -357,11 +373,11 @@ class PhrasePathMixin:
         )
         METRICS.incr("search.phrase_plane_build")
         _PLANE_CACHE[key] = (plane, overflow, leaf.packed)
-        # byte-budgeted LRU (17 MB/plane at 1M docs, ~150 MB at 8.8M):
+        # byte-budgeted LRU (17 MB/plane at 1M docs, ~141 MB at 8.8M):
         # a cap below the working set of distinct phrase terms rebuilds
-        # planes EVERY batch (measured 3.6x QPS loss). v5e has 16 GB HBM;
-        # default 6 GB leaves room for the index + accumulators.
-        budget = int(os.environ.get("RUCENE_PLANE_CACHE_MB", 6144)) << 20
+        # planes EVERY batch (measured 3.6x QPS loss at 1M); at 8.8M the
+        # working set simply cannot fit and rebuilds are the price.
+        budget = self._plane_budget_bytes(leaf)
         while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
             _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         return plane, overflow
@@ -397,8 +413,10 @@ class PhrasePathMixin:
         cache = build_leaf_cache(leaf, sim, stats)
         mdp = int(leaf.device.live.shape[0])
         plane_bytes = mdp * (WORDS * 4 + 1)  # packed words + overflow col
-        budget = int(os.environ.get("RUCENE_PLANE_CACHE_MB", 6144)) << 20
-        max_terms_live = max(8, (budget // 2) // max(plane_bytes, 1))
+        # live refs pin planes the LRU cannot free, so total plane bytes
+        # can reach budget + live — keep live to a quarter of the budget
+        budget = self._plane_budget_bytes(leaf)
+        max_terms_live = max(8, (budget // 4) // max(plane_bytes, 1))
         groups: list[list[int]] = []
         cur: list[int] = []
         cur_terms: set = set()
