@@ -32,10 +32,28 @@ class DeviceSegment(NamedTuple):
     live: jnp.ndarray  # bool[MDp]  (padding docs are dead)
     positions: jnp.ndarray  # u32[Pp] packed per-term position-delta streams
     blk_pos_base: jnp.ndarray  # i32[NBp] within-term occurrence index of block start
+    # --- decoded residency (add_decoded_planes) ---
+    # TPU-first inversion of the reference's pack-everything economy: HBM
+    # is 16 GB, so postings live DECODED on device (~11 B/posting) and the
+    # search hot path is row gathers — no per-dispatch unpack kernel at
+    # all. None => packed-only (decode per dispatch, the low-HBM mode).
+    docs_dec: jnp.ndarray | None = None  # i32[NBr,128] local doc ids, INVALID pad
+    freqs_dec: jnp.ndarray | None = None  # u16|i32[NBr,128], 0 pad
+    norm_dec: jnp.ndarray | None = None  # u8[NBr,128] norm bytes (cval rebuilds)
+    blk_fid: jnp.ndarray | None = None  # i32[NBr] norms/cache row per block
 
     @property
     def max_doc_padded(self) -> int:
         return self.live.shape[0]
+
+    # packed-core field names (everything before the decoded-residency
+    # extras): the sharded stacker iterates these — shards ship packed
+    # and decode per dispatch (decoded stacking would multiply HBM)
+    CORE_FIELDS = (
+        "data", "blk_off", "blk_doc_bits", "blk_freq_bits", "blk_base",
+        "blk_count", "blk_max_freq", "norms", "live", "positions",
+        "blk_pos_base",
+    )
 
     @property
     def num_norm_fields(self) -> int:
@@ -112,3 +130,132 @@ def with_live(dev: DeviceSegment, live: np.ndarray) -> DeviceSegment:
     arr = np.zeros(mdp, dtype=bool)
     arr[: len(live)] = live[:mdp]
     return dev._replace(live=jnp.asarray(arr))
+
+
+# --- decoded residency ----------------------------------------------------
+
+DEC_CHUNK = 65536  # blocks per decode dispatch: [64K,128] i32 = 33.5 MB
+
+
+def blk_fid_host(packed: PackedSegment) -> np.ndarray:
+    """i32[NB] norms/cache row per block, from the per-term block ranges
+    (vectorized ranges-concat; no per-term Python loop)."""
+    nb = packed.num_blocks
+    out = np.zeros(nb, np.int32)
+    for pf in packed.fields.values():
+        # clip, don't trust: a lazily-opened segment defers full-file CRC,
+        # so a corrupt term table must map to garbage fids (caught by the
+        # usual query/CheckIndex paths), never crash the device build
+        starts = np.clip(np.asarray(pf.block_start, np.int64), 0, nb)
+        counts = np.clip(np.asarray(pf.block_count, np.int64), 0, None)
+        counts = np.minimum(counts, nb - starts)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        csum = np.cumsum(counts) - counts
+        idx = np.arange(total) - csum.repeat(counts) + starts.repeat(counts)
+        out[idx] = pf.field_id
+    return out
+
+
+def _decode_chunk(data, off, dbits, fbits, base, cnt, has_ef: bool):
+    from rucene_tpu.ops.decode import (
+        decode_doc_blocks,
+        decode_freq_blocks,
+        decode_norm_blocks,
+    )
+
+    docs, valid = decode_doc_blocks(data, off, dbits, base, cnt, has_ef=has_ef)
+    freqs = decode_freq_blocks(data, off, dbits, fbits, valid)
+    norm = decode_norm_blocks(data, off, dbits, fbits, valid)
+    return docs, freqs, norm
+
+
+_decode_chunk_jit = None
+
+
+def add_decoded_planes(
+    dev: DeviceSegment,
+    n_blocks: int,
+    blk_fid: np.ndarray,
+    freq_dtype=None,
+) -> DeviceSegment:
+    """Decode every postings block ONCE into HBM-resident planes.
+
+    The reference re-decodes blocks on every advance() (posting_reader.rs
+    block loop); with 16 GB HBM the TPU answer is to pay ~11 B/posting of
+    residency and make the serving path pure row gathers. EF/bitset blocks
+    decode through the same chunks, so decoded mode also erases the has_ef
+    executor shape split. Runs entirely on device — the host never
+    materializes the planes (this sandbox charges ~0.5 ms per fresh page).
+    """
+    global _decode_chunk_jit
+    import jax
+
+    from rucene_tpu.util.packing import EF_TAG
+
+    if _decode_chunk_jit is None:
+        from functools import partial
+
+        _decode_chunk_jit = jax.jit(
+            _decode_chunk, static_argnames=("has_ef",)
+        )
+    nb_r = round_up(max(n_blocks, 8), 8)
+    dbits_h = np.asarray(jax.device_get(dev.blk_doc_bits[:n_blocks]))
+    if freq_dtype is None:
+        freq_dtype = jnp.uint16  # blk max freqs checked by the caller
+    d_parts, f_parts, n_parts = [], [], []
+    for s in range(0, nb_r, DEC_CHUNK):
+        e = min(s + DEC_CHUNK, nb_r)
+        sl = slice(s, min(e, n_blocks))
+        w = e - s
+        pad = w - max(sl.stop - sl.start, 0)
+
+        def grab(a, fill):
+            part = a[sl]
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.full(pad, fill, a.dtype)]
+                )
+            return part
+        has_ef = bool((dbits_h[sl] >= EF_TAG).any()) if sl.stop > sl.start else False
+        docs, freqs, norm = _decode_chunk_jit(
+            dev.data,
+            grab(dev.blk_off, 0),
+            grab(dev.blk_doc_bits, 1),
+            grab(dev.blk_freq_bits, 1),
+            grab(dev.blk_base, -1),
+            grab(dev.blk_count, 0),
+            has_ef=has_ef,
+        )
+        d_parts.append(docs)
+        f_parts.append(freqs.astype(freq_dtype))
+        n_parts.append(norm.astype(jnp.uint8))
+    cat = (lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=0))
+    fid = np.zeros(nb_r, np.int32)
+    fid[:n_blocks] = blk_fid[:n_blocks]
+    return dev._replace(
+        docs_dec=cat(d_parts),
+        freqs_dec=cat(f_parts),
+        norm_dec=cat(n_parts),
+        blk_fid=jnp.asarray(fid),
+    )
+
+
+def decoded_policy(n_blocks: int, max_freq: int) -> tuple[bool, object]:
+    """(decode?, freq dtype) under the RUCENE_DECODED knob.
+
+    auto: resident when the decoded planes (+ the per-stats cval table the
+    searcher adds) fit RUCENE_DECODED_MAX_MB (default 4 GB)."""
+    import os
+
+    env = os.environ.get("RUCENE_DECODED", "auto")
+    fdt = jnp.uint16 if max_freq < (1 << 16) else jnp.int32
+    if env == "0":
+        return False, fdt
+    if env == "1":
+        return True, fdt
+    fb = 2 if fdt == jnp.uint16 else 4
+    per_block = 128 * (4 + fb + 1 + 4) + 4  # docs+freq+norm+cval lanes, fid
+    limit = int(os.environ.get("RUCENE_DECODED_MAX_MB", 4096)) << 20
+    return n_blocks * per_block <= limit, fdt

@@ -202,6 +202,29 @@ def build_combined_view(
         blk_pos_base=conv(blk_pos_base),
     )
     bmf_host = cat_pad(bmf_p, nbp, 0, np.int32)
+    if not as_numpy and nb_total:
+        # decoded residency for the combined view: blocks keep their
+        # global blk_base/doc space, so the same one-time decode applies;
+        # per-leaf field ids remap to the view's global norms rows
+        from rucene_tpu.codec.device import (
+            add_decoded_planes,
+            blk_fid_host,
+            decoded_policy,
+        )
+
+        on, fdt = decoded_policy(nb_total, int(bmf_host.max()))
+        if on:
+            gfid_parts = []
+            for leaf in leaves:
+                p = leaf.packed
+                nf = max((pf.field_id for pf in p.fields.values()), default=-1) + 2
+                remap = np.zeros(nf, np.int32)
+                for name, pf in p.fields.items():
+                    remap[pf.field_id] = field_gid[name]
+                gfid_parts.append(remap[blk_fid_host(p)])
+            dev = add_decoded_planes(
+                dev, nb_total, np.concatenate(gfid_parts), freq_dtype=fdt
+            )
     _VIEW_UID[0] += 1
     return CombinedView(
         uid=_VIEW_UID[0],

@@ -78,7 +78,21 @@ class SegmentSnapshot:
         """Device tensors, built on first access so host-only consumers
         (CheckIndex, merges, commits) never touch the accelerator."""
         if self._device is None:
-            self._device = build_device_segment(self.packed, self.live)
+            dev = build_device_segment(self.packed, self.live)
+            from rucene_tpu.codec.device import (
+                add_decoded_planes,
+                blk_fid_host,
+                decoded_policy,
+            )
+
+            mf = int(self.packed.blk_max_freq.max()) if self.packed.num_blocks else 0
+            on, fdt = decoded_policy(self.packed.num_blocks, mf)
+            if on and self.packed.num_blocks:
+                dev = add_decoded_planes(
+                    dev, self.packed.num_blocks, blk_fid_host(self.packed),
+                    freq_dtype=fdt,
+                )
+            self._device = dev
         return self._device
 
     @property

@@ -264,7 +264,12 @@ class ShardedIndex:
         # filler shards: same shapes, zero live docs
         while len(host_segments) < s:
             host_segments.append(
-                DeviceSegment(*[np.zeros_like(a) for a in host_segments[0]])
+                DeviceSegment(
+                    **{
+                        f: np.zeros_like(getattr(host_segments[0], f))
+                        for f in DeviceSegment.CORE_FIELDS
+                    }
+                )
             )
 
         # each shard's padded doc space starts at shard * stride: monotone
@@ -272,11 +277,17 @@ class ShardedIndex:
         # (score, doc) merge keeps exact Lucene tie-break order
         self.stride = mdp
         stacked_host = DeviceSegment(
-            *[np.stack([getattr(seg, f) for seg in host_segments]) for f in DeviceSegment._fields]
+            **{
+                f: np.stack([getattr(seg, f) for seg in host_segments])
+                for f in DeviceSegment.CORE_FIELDS
+            }
         )
         shard_spec = NamedSharding(mesh, P("shard"))
         self.stacked = DeviceSegment(
-            *[jax.device_put(leaf, shard_spec) for leaf in stacked_host]
+            **{
+                f: jax.device_put(getattr(stacked_host, f), shard_spec)
+                for f in DeviceSegment.CORE_FIELDS
+            }
         )
         self.doc_base = jax.device_put(
             (np.arange(s, dtype=np.int64) * mdp).astype(np.int32), shard_spec
@@ -438,21 +449,23 @@ class ShardedIndex:
             positions=np.uint32, blk_pos_base=np.int32,
         )
         zero_seg = DeviceSegment(
-            **{f: np.zeros(shapes[f], dtypes[f]) for f in DeviceSegment._fields}
+            **{f: np.zeros(shapes[f], dtypes[f]) for f in DeviceSegment.CORE_FIELDS}
         )
 
         def block_of(si):
             return per_shard_host.get(si, zero_seg)
 
         stacked_fields = []
-        for fname in DeviceSegment._fields:
+        for fname in DeviceSegment.CORE_FIELDS:
             tail = shapes[fname]
             stacked_fields.append(
                 _global_stack(
                     mesh, s, tail, lambda si, f=fname: getattr(block_of(si), f)
                 )
             )
-        self.stacked = DeviceSegment(*stacked_fields)
+        self.stacked = DeviceSegment(
+            **dict(zip(DeviceSegment.CORE_FIELDS, stacked_fields))
+        )
         self.doc_base = _global_stack(
             mesh, s, (),
             lambda si: np.asarray(si * mdp, np.int32),

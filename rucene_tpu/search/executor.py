@@ -87,6 +87,10 @@ class FlatQueryBatch(NamedTuple):
     wi_uvalid: jax.Array | None = None  # bool[D]
     wi_ufid: jax.Array | None = None  # i32[D] cache row per distinct block
     wi_inv: jax.Array | None = None  # i32[W] item -> distinct-block index
+    # decoded-residency mode: f32[NBr,128] BM25 denominators per lane,
+    # prebuilt once per (device, stats) — the per-lane cache gather this
+    # replaces serializes on TPU (searcher.cval_table_for)
+    cval_dec: jax.Array | None = None
 
 
 class CombineBatch(NamedTuple):
@@ -201,7 +205,23 @@ def decode_score_lanes(
     base = dev.blk_base[blk]
     cnt = jnp.where(bvalid, dev.blk_count[blk], 0)
 
-    if use_pallas:
+    if dev.docs_dec is not None:
+        # decoded residency: the hot path is three [*,128] ROW gathers from
+        # the resident planes — no unpack at all, and no EF shape split
+        # (posting_reader.rs re-decodes per advance; HBM makes that moot)
+        from rucene_tpu.ops.decode import INVALID_DOC
+
+        nbr = dev.docs_dec.shape[0]
+        sb = jnp.clip(blk, 0, nbr - 1)
+        valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
+        docs = jnp.where(valid, dev.docs_dec[sb], INVALID_DOC)
+        freqs = jnp.where(valid, dev.freqs_dec[sb].astype(jnp.int32), 0)
+        if q.cval_dec is not None:
+            cval = q.cval_dec[sb]
+        else:
+            nb_byte = dev.norm_dec[sb].astype(jnp.int32)
+            cval = cache_flat[bfid[:, None] * 256 + nb_byte]
+    elif use_pallas:
         from rucene_tpu.ops.decode import INVALID_DOC
         from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
 

@@ -38,12 +38,15 @@ from rucene_tpu.util.metrics import METRICS
 # makes a NEW IndexSearcher; rank tables depend only on leaf data + DV
 # overlays, pinned by strong refs in the entries). Bounded LRU.
 _RANK_CACHE: dict = {}
-def work_has_ef(host_dbits, wi_block, wi_valid) -> bool:
+def work_has_ef(host_dbits, wi_block, wi_valid, dev=None) -> bool:
     """Does this work list touch any Elias-Fano/bitset-encoded block?
     Checked host-side per dispatch so FOR-only batches keep the FOR-only
-    (and Pallas-eligible) executor program."""
+    (and Pallas-eligible) executor program. Decoded-residency views
+    (dev.docs_dec) never unpack, so the split is moot — always False."""
     from rucene_tpu.util.packing import EF_TAG
 
+    if dev is not None and dev.docs_dec is not None:
+        return False
     if host_dbits is None or len(host_dbits) == 0:
         return False
     blk = np.asarray(wi_block)[np.asarray(wi_valid)]
@@ -185,15 +188,57 @@ def dedupe_work(wi_block, wi_valid, wi_fid):
     return ublock, uvalid, ufid, inv
 
 
-def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False):
+_CVAL_CACHE: dict = {}  # (id(norm_dec), cache bytes) -> (norm_dec ref, table)
+
+
+def _build_cval_table(norm_dec, blk_fid, cache_flat):
+    """f32[NBr,128] BM25 denominators = cache[fid, norm_byte] per lane.
+    The same per-lane small-table gather the packed path runs per
+    dispatch — here it runs ONCE per (device, stats) build, so the
+    decoded-mode hot path never touches it. Values are bit-identical to
+    the packed path's (same table, same indices)."""
+    idx = blk_fid[:, None] * 256 + norm_dec.astype(jnp.int32)
+    return cache_flat[idx]
+
+
+_build_cval_jit = None
+
+
+def cval_table_for(dev, cache: np.ndarray):
+    """Cached decoded-mode denominator table; None for packed-only views.
+    Entries hold a strong ref to the keyed array so a recycled id() can
+    never serve a stale table (the _view_filters uid lesson)."""
+    global _build_cval_jit
+    if dev is None or dev.norm_dec is None:
+        return None
+    key = (id(dev.norm_dec), cache.tobytes())
+    ent = _CVAL_CACHE.get(key)
+    if ent is not None and ent[0] is dev.norm_dec:
+        return ent[1]
+    if _build_cval_jit is None:
+        _build_cval_jit = jax.jit(_build_cval_table)
+    tbl = _build_cval_jit(
+        dev.norm_dec, dev.blk_fid, jnp.asarray(cache.reshape(-1))
+    )
+    _CVAL_CACHE[key] = (dev.norm_dec, tbl)
+    while len(_CVAL_CACHE) > 8:
+        _CVAL_CACHE.pop(next(iter(_CVAL_CACHE)))
+    return tbl
+
+
+def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False,
+                    dev=None):
     """Device FlatQueryBatch from a host work tuple (build_flat_work /
     prune_conjunctions / _subset_work output). The ONE place executor
     inputs are assembled — every entry point (flat/single/sorted/collapse/
     synonym/probe) routes through here (VERDICT r2 weak #6: six hand-rolled
     copies made each new batch field a five-site edit). dedupe=True attaches
-    distinct-block decode tables (dedupe_work)."""
+    distinct-block decode tables (dedupe_work). dev: the DeviceSegment the
+    batch will execute against — decoded-residency views get their cval
+    table attached here."""
     wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
     dd = dedupe_work(wi_block, wi_valid, wi_fid) if dedupe else None
+    cval_dec = cval_table_for(dev, cache)
     return jax.device_put(
         FlatQueryBatch(
             wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
@@ -203,6 +248,7 @@ def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False):
             wi_uvalid=None if dd is None else dd[1],
             wi_ufid=None if dd is None else dd[2],
             wi_inv=None if dd is None else dd[3],
+            cval_dec=cval_dec,
         )
     )
 
@@ -760,12 +806,12 @@ class IndexSearcher(PhrasePathMixin):
                         block_count[i, j] = rec.block_count
                         field_id[i, j] = pf.field_id if pf is not None else 0
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
-            fq = make_flat_batch(work, n_required, min_should, cache)
+            fq = make_flat_batch(work, n_required, min_should, cache, dev=leaf.device)
             s, d, h = jax.device_get(
                 execute_synonym(
                     leaf.device, fq, jnp.asarray(fid_row), jnp.asarray(w_row),
                     k=k, use_pallas=self._use_pallas,
-                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
                 )
             )
             for i in range(b_actual):
@@ -792,7 +838,7 @@ class IndexSearcher(PhrasePathMixin):
             if rq.ranges
             else None
         )
-        fq = make_flat_batch(work, n_required, min_should, cache)
+        fq = make_flat_batch(work, n_required, min_should, cache, dev=leaf.device)
         p_pad = next_pow2(max(len(locs), 1), 1)
         probe = np.full(p_pad, -1, np.int32)
         probe[: len(locs)] = np.asarray(locs, np.int32)
@@ -800,7 +846,7 @@ class IndexSearcher(PhrasePathMixin):
             execute_probe(
                 leaf.device, fq, jnp.asarray(probe),
                 use_pallas=self._use_pallas,
-                has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
+                has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
                 filters=filters,
             )
         )
@@ -962,7 +1008,7 @@ class IndexSearcher(PhrasePathMixin):
                         lane_cnt[i] = rec.doc_freq
                 fut = self._run_single_view(
                     leaf.device, work, lane_cnt, cache, n_required, min_should, k,
-                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
+                    has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
                     defer=True,
                 )
             elif prune:
@@ -1058,7 +1104,7 @@ class IndexSearcher(PhrasePathMixin):
                     rec = leaf.term_record(c.term.field, c.term.text)
                     if rec is not None:
                         lane_cnt[i] += rec.doc_freq
-            view_ef = work_has_ef(view.blk_dbits_host, work[0], work[5])
+            view_ef = work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device)
             s, d, h = self._run_single_view(
                 view.device, work, lane_cnt, cache, n_required, min_should, k,
                 has_ef=view_ef,
@@ -1067,12 +1113,12 @@ class IndexSearcher(PhrasePathMixin):
             s, d, h = self._run_pruned_view(
                 view.device, view.blk_max_freq, view.n_blocks,
                 work, cache, n_required, min_should, k, pure=pure,
-                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
+                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device),
             )
         else:
             s, d, h = self._run_work_view(
                 view.device, work[:6], cache, n_required, min_should, k, pure=pure,
-                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5]),
+                has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device),
                 filters=filters, strategy=strategy,
                 blk_ranges=(view.blk_first_host, view.blk_last_host),
                 extras=extras, with_dismax=with_dismax,
@@ -1115,7 +1161,7 @@ class IndexSearcher(PhrasePathMixin):
         ends = np.searchsorted(wi_row[:n], np.arange(b), side="right")
         max_items = int((ends - starts).max()) if n else 1
         max_lanes = next_pow2(max(max_items, 1), 1) * 128
-        fq = make_flat_batch(work, n_required, min_should, cache, dedupe=True)
+        fq = make_flat_batch(work, n_required, min_should, cache, dedupe=True, dev=device)
         res = execute_flat_single(
             device, fq, jnp.asarray(starts),
             jnp.asarray((ends - starts).astype(np.int32)),
@@ -1138,7 +1184,7 @@ class IndexSearcher(PhrasePathMixin):
                 arrays, len(n_required), blk_ranges[0], blk_ranges[1],
                 int(device.live.shape[0]), enabled=self._use_pallas,
             )
-        fq = make_flat_batch(arrays, n_required, min_should, cache, dedupe=True)
+        fq = make_flat_batch(arrays, n_required, min_should, cache, dedupe=True, dev=device)
         res = execute_flat(
             device, fq, k=k, use_pallas=self._use_pallas, pure_disjunction=pure,
             has_ef=has_ef, strategy=strategy, filters=filters,
@@ -1158,7 +1204,7 @@ class IndexSearcher(PhrasePathMixin):
         """One executor dispatch for a (possibly subset) work list."""
         return self._run_work_view(
             leaf.device, arrays, cache, n_required, min_should, k, pure=pure,
-            has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5]),
+            has_ef=work_has_ef(leaf.packed.blk_doc_bits, arrays[0], arrays[5], dev=leaf.device),
             filters=filters, strategy=strategy,
             blk_ranges=(leaf.packed.blk_first_doc, leaf.packed.blk_last_doc),
             defer=defer, extras=extras, with_dismax=with_dismax,
@@ -1169,7 +1215,7 @@ class IndexSearcher(PhrasePathMixin):
         return self._run_pruned_view(
             leaf.device, leaf.packed.blk_max_freq, leaf.packed.num_blocks,
             work, cache, n_required, min_should, k, pure=pure,
-            has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5]),
+            has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
         )
 
     def _run_pruned_view(
@@ -1414,8 +1460,8 @@ class IndexSearcher(PhrasePathMixin):
             cache = build_leaf_cache(leaf, sim, stats)
             bs, bc, fid = build_leaf_tables(leaf, rqs, b_pad, t_pad)
             work = build_flat_work(bs, bc, weight, fid, occur)
-            fq = make_flat_batch(work, n_required, min_should, cache)
-            has_ef = work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5])
+            fq = make_flat_batch(work, n_required, min_should, cache, dev=leaf.device)
+            has_ef = work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device)
             filters = (
                 self._leaf_filters(leaf, *filter_tables) if filter_tables else None
             )
