@@ -234,12 +234,20 @@ def add_decoded_planes(
     cat = (lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=0))
     fid = np.zeros(nb_r, np.int32)
     fid[:n_blocks] = blk_fid[:n_blocks]
-    return dev._replace(
+    out = dev._replace(
         docs_dec=cat(d_parts),
         freqs_dec=cat(f_parts),
         norm_dec=cat(n_parts),
         blk_fid=jnp.asarray(fid),
     )
+    import os
+
+    if os.environ.get("RUCENE_DECODED_KEEP_PACKED") != "1":
+        # every consumer (executor, phrase-plane build) reads the decoded
+        # planes when present, so the packed word stream is dead weight in
+        # HBM (2 GB at 8.8M docs) — swap in a stub and let it be freed
+        out = out._replace(data=jnp.zeros(2048, dev.data.dtype))
+    return out
 
 
 def decoded_policy(n_blocks: int, max_freq: int) -> tuple[bool, object]:

@@ -89,10 +89,19 @@ def build_position_plane(
         base = dev.blk_base[blk]
         cnt = jnp.where(valid_c, dev.blk_count[blk], 0)
 
-        docs, valid = decode_doc_blocks(
-            dev.data, off, dbits, base, cnt, has_ef=has_ef
-        )
-        freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+        if dev.docs_dec is not None:
+            # decoded residency: row gathers replace the in-scan unpack
+            from rucene_tpu.ops.decode import INVALID_DOC
+
+            sb = jnp.clip(blk, 0, dev.docs_dec.shape[0] - 1)
+            valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
+            docs = jnp.where(valid, dev.docs_dec[sb], INVALID_DOC)
+            freqs = jnp.where(valid, dev.freqs_dec[sb].astype(jnp.int32), 0)
+        else:
+            docs, valid = decode_doc_blocks(
+                dev.data, off, dbits, base, cnt, has_ef=has_ef
+            )
+            freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
         pos_off = dev.blk_pos_base[blk][:, None] + (
             jnp.cumsum(freqs, axis=1) - freqs
         )

@@ -76,10 +76,18 @@ def execute_phrases_impl(
     cnt = jnp.where(pb.wi_valid, dev.blk_count[blk], 0)
     pos_base = dev.blk_pos_base[blk]
 
-    docs, valid = decode_doc_blocks(
-        dev.data, off, dbits, base, cnt, has_ef=has_ef
-    )  # [W,128]
-    freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
+    if dev.docs_dec is not None:
+        from rucene_tpu.ops.decode import INVALID_DOC
+
+        sb = jnp.clip(blk, 0, dev.docs_dec.shape[0] - 1)
+        valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
+        docs = jnp.where(valid, dev.docs_dec[sb], INVALID_DOC)
+        freqs = jnp.where(valid, dev.freqs_dec[sb].astype(jnp.int32), 0)
+    else:
+        docs, valid = decode_doc_blocks(
+            dev.data, off, dbits, base, cnt, has_ef=has_ef
+        )  # [W,128]
+        freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
     # per-lane start into the positions stream
     pos_off = pos_base[:, None] + (jnp.cumsum(freqs, axis=1) - freqs)
 

@@ -237,6 +237,11 @@ def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False,
     batch will execute against — decoded-residency views get their cval
     table attached here."""
     wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
+    if dedupe and dev is not None and dev.docs_dec is not None:
+        # decode-dedup exists to skip EXPENSIVE repeated block unpacks; in
+        # decoded mode a decode is one row gather, so the per-dispatch
+        # host np.unique/searchsorted costs more than it saves
+        dedupe = os.environ.get("RUCENE_DEDUP") == "1"
     dd = dedupe_work(wi_block, wi_valid, wi_fid) if dedupe else None
     cval_dec = cval_table_for(dev, cache)
     return jax.device_put(
