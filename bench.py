@@ -211,7 +211,10 @@ def main():
     n_queries = int(os.environ.get("BENCH_QUERIES", 512))
     batch = int(os.environ.get("BENCH_BATCH", 256))
     k = int(os.environ.get("BENCH_K", 100))
-    prune = os.environ.get("BENCH_PRUNE", "0") == "1"
+    # tri-state: auto (default) lets the searcher engage WAND per batch;
+    # 1/0 force it on/off for A/Bs
+    _bp = os.environ.get("BENCH_PRUNE", "auto")
+    prune = None if _bp in ("auto", "") else _bp == "1"
 
     from rucene_tpu import Document, IndexSearcher, TextField
     from rucene_tpu.codec.postings import pack_segment

@@ -495,11 +495,16 @@ class IndexSearcher(PhrasePathMixin):
         queries: list[Query],
         k: int = 10,
         timeout_s: float | None = None,
-        prune: bool = False,
+        prune: bool | None = None,
     ) -> list[TopDocs]:
         """timeout_s: wall-clock budget; leaves not visited in time are
         skipped and results marked partial (reference collector/timeout.rs:
-        error-based early termination between leaves)."""
+        error-based early termination between leaves).
+
+        prune: None engages block-max WAND automatically per sub-batch
+        (pure disjunctions at large corpora, small k — the regime where
+        skipping low-upper-bound blocks beats scoring them); True/False
+        force it. RUCENE_PRUNE / RUCENE_PRUNE_AUTO_MIN_DOCS override."""
         self._deadline = None if timeout_s is None else (time.monotonic() + timeout_s)
         self.timed_out = False
         METRICS.incr("search.queries", len(queries))
@@ -858,8 +863,34 @@ class IndexSearcher(PhrasePathMixin):
         return np.asarray(ok)[: len(locs)], np.asarray(sc)[: len(locs)]
 
     # --- device path ---
+    def _auto_prune_decision(self, rqs, k: int) -> bool:
+        """Engage block-max WAND when every row is a pure positive
+        disjunction of >=2 term clauses, the corpus is large and k small —
+        the regime where skipping low-upper-bound blocks can beat scoring
+        them (the skip lists' reason to exist, skip_writer.rs:21-40).
+        Measured on v5e (exp/wand_ab.py): below ~half a million docs the
+        two-pass host roundtrip costs more than the skipped blocks save.
+        RUCENE_PRUNE=0/1 forces; RUCENE_PRUNE_AUTO_MIN_DOCS tunes."""
+        env = os.environ.get("RUCENE_PRUNE")
+        if env in ("0", "1"):
+            return env == "1"
+        total = sum(lf.max_doc for lf in self.reader.leaves)
+        min_docs = int(os.environ.get("RUCENE_PRUNE_AUTO_MIN_DOCS", 1 << 19))
+        if total < min_docs or k > 128:
+            return False
+        return all(
+            rq.n_required == 0
+            and rq.effective_min_should() <= 1
+            and rq.plain
+            and not rq.match_all
+            and not rq.ranges
+            and len(rq.clauses) >= 2
+            and all(c.occur == Occur.SHOULD for c in rq.clauses)
+            for rq in rqs
+        )
+
     def _search_device(
-        self, rqs: list[RewrittenQuery], k: int, prune: bool = False,
+        self, rqs: list[RewrittenQuery], k: int, prune: bool | None = None,
         _defer: bool = False,
     ):
         """_defer=True returns a finish() closure instead of results, so
@@ -973,6 +1004,11 @@ class IndexSearcher(PhrasePathMixin):
                 if _defer:
                     return finish_split
                 return finish_split()
+
+        if prune is None:
+            prune = self._auto_prune_decision(rqs, k)
+            if prune:
+                METRICS.incr("search.auto_prune_batches")
 
         # a combined view is ONE dispatch — a deadline could never interrupt
         # it (VERDICT r2 weak #9), so timed batches take the per-leaf loop
