@@ -103,6 +103,25 @@ def cached_combined_view(leaves) -> CombinedView:
     return view
 
 
+def combined_blk_fid(leaves, field_gid: dict[str, int]) -> np.ndarray:
+    """i32[NB_total] global norms/cache row per concatenated block (leaf
+    field ids remapped through field_gid) — the decoded-residency cval
+    table's index (codec/device.add_decoded_planes)."""
+    from rucene_tpu.codec.device import blk_fid_host
+
+    parts = []
+    for leaf in leaves:
+        p = leaf.packed
+        nf = max((pf.field_id for pf in p.fields.values()), default=-1) + 2
+        remap = np.zeros(nf, np.int32)
+        for name, pf in p.fields.items():
+            remap[pf.field_id] = field_gid[name]
+        parts.append(remap[blk_fid_host(p)])
+    if not parts:
+        return np.zeros(0, np.int32)
+    return np.concatenate(parts)
+
+
 def build_combined_view(
     leaves,
     field_gid: dict[str, int] | None = None,
@@ -214,16 +233,9 @@ def build_combined_view(
 
         on, fdt = decoded_policy(nb_total, int(bmf_host.max()))
         if on:
-            gfid_parts = []
-            for leaf in leaves:
-                p = leaf.packed
-                nf = max((pf.field_id for pf in p.fields.values()), default=-1) + 2
-                remap = np.zeros(nf, np.int32)
-                for name, pf in p.fields.items():
-                    remap[pf.field_id] = field_gid[name]
-                gfid_parts.append(remap[blk_fid_host(p)])
             dev = add_decoded_planes(
-                dev, nb_total, np.concatenate(gfid_parts), freq_dtype=fdt
+                dev, nb_total, combined_blk_fid(leaves, field_gid),
+                freq_dtype=fdt,
             )
     _VIEW_UID[0] += 1
     return CombinedView(

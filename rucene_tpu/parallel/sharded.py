@@ -292,6 +292,83 @@ class ShardedIndex:
         self.doc_base = jax.device_put(
             (np.arange(s, dtype=np.int64) * mdp).astype(np.int32), shard_spec
         )
+        self._maybe_decode_stacked(stacked_host, nbp, shard_spec)
+
+    def _maybe_decode_stacked(self, stacked_host, nbp: int, shard_spec):
+        """Decoded residency on the mesh: decode every shard's blocks ONCE
+        into [S, NBp, 128] planes, per-device via shard_map (no host
+        materialization, no collectives), under the same RUCENE_DECODED
+        policy as single-chip views. The shard_map executors then read
+        dev.docs_dec after the leading-axis strip exactly like a leaf."""
+        from rucene_tpu.codec.device import decoded_policy
+        from rucene_tpu.index.combined import combined_blk_fid
+        from rucene_tpu.util.packing import EF_TAG
+
+        on, fdt = decoded_policy(nbp, int(stacked_host.blk_max_freq.max()))
+        if not on:
+            return
+        s = self.n_shards
+        blk_fid = np.zeros((s, nbp), np.int32)
+        for si, (g, v) in enumerate(zip(self.groups, self.views)):
+            bf = combined_blk_fid(g, self.field_gid)
+            blk_fid[si, : len(bf)] = bf
+        has_ef = bool((stacked_host.blk_doc_bits >= EF_TAG).any())
+
+        def local(dev_s):
+            from rucene_tpu.codec.device import _decode_chunk
+
+            dev = jax.tree.map(lambda a: a[0], dev_s)
+            docs, freqs, norm = _decode_chunk(
+                dev.data, dev.blk_off, dev.blk_doc_bits, dev.blk_freq_bits,
+                dev.blk_base, dev.blk_count, has_ef=has_ef,
+            )
+            return (
+                docs[None], freqs.astype(fdt)[None], norm.astype(jnp.uint8)[None],
+            )
+
+        dev_specs = jax.tree.map(lambda _: P("shard"), self.stacked)
+        docs_dec, freqs_dec, norm_dec = jax.jit(
+            shard_map(
+                local, mesh=self.mesh, in_specs=(dev_specs,),
+                out_specs=(P("shard"), P("shard"), P("shard")),
+                check_vma=False,
+            )
+        )(self.stacked)
+        self.stacked = self.stacked._replace(
+            docs_dec=docs_dec,
+            freqs_dec=freqs_dec,
+            norm_dec=norm_dec,
+            blk_fid=jax.device_put(blk_fid, shard_spec),
+        )
+        self._cval_stacked: dict = {}
+
+    def cval_stacked(self, cache: np.ndarray):
+        """f32[S,NBp,128] decoded-mode BM25 denominators per shard, built
+        once per stats version via shard_map (searcher.cval_table_for's
+        mesh analog); None when the stacked index is packed-only."""
+        if self.stacked.docs_dec is None:
+            return None
+        key = cache.tobytes()
+        tbl = self._cval_stacked.get(key)
+        if tbl is not None:
+            return tbl
+        cf = jnp.asarray(np.asarray(cache, np.float32).reshape(-1))
+
+        def local(dev_s, cf_):
+            dev = jax.tree.map(lambda a: a[0], dev_s)
+            idx = dev.blk_fid[:, None] * 256 + dev.norm_dec.astype(jnp.int32)
+            return cf_[idx][None]
+
+        dev_specs = jax.tree.map(lambda _: P("shard"), self.stacked)
+        tbl = jax.jit(
+            shard_map(
+                local, mesh=self.mesh, in_specs=(dev_specs, P()),
+                out_specs=P("shard"), check_vma=False,
+            )
+        )(self.stacked, cf)
+        self._cval_stacked.clear()  # one stats version live at a time
+        self._cval_stacked[key] = tbl
+        return tbl
 
     def map_docs(self, shard_docs: np.ndarray) -> np.ndarray:
         """Shard-padded doc ids (shard*stride + view-padded local) ->
@@ -503,15 +580,18 @@ def _sharded_search_step(
     has_ef: bool = False,
     filters=None,  # (planes [S,P,mdp], idx/enc/boost [S,DP,B',R]) or None
     strategy: str = "auto",
+    cval=None,  # f32[S,NBp,128] decoded-mode BM25 denominators or None
 ):
     """One fused device program: per-(shard,dp) flat execute (+ match-all
     rows when present, + range/exists filter planes when present) + ICI
     all-gather merge over the shard axis."""
     from rucene_tpu.search.executor import FilterPlanes
 
-    def local(dev_s, fq_s, base_s, boosts_s, ma_s, flt_s):
+    def local(dev_s, fq_s, base_s, boosts_s, ma_s, flt_s, cval_s):
         dev = jax.tree.map(lambda a: a[0], dev_s)
         q = jax.tree.map(lambda a: a[0, 0], fq_s)
+        if cval_s is not None:
+            q = q._replace(cval_dec=cval_s[0])
         flt = None
         if flt_s is not None:
             planes_s, fidx_s, fenc_s, fboost_s = flt_s
@@ -564,11 +644,12 @@ def _sharded_search_step(
         in_specs=(
             dev_specs, fq_specs, P("shard"), P("shard", "dp"),
             P("shard", "dp"), flt_specs,
+            None if cval is None else P("shard"),
         ),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
-    return fn(stacked, fq, doc_base, boosts, ma_rows, filters)
+    return fn(stacked, fq, doc_base, boosts, ma_rows, filters, cval)
 
 
 @partial(
@@ -837,7 +918,10 @@ class ShardedSearcher:
         from rucene_tpu.search.searcher import work_has_ef
 
         has_ef = any(
-            work_has_ef(v.blk_dbits_host, fq.wi_block[si], fq.wi_valid[si])
+            work_has_ef(
+                v.blk_dbits_host, fq.wi_block[si], fq.wi_valid[si],
+                dev=self.index.stacked,
+            )
             for si, v in enumerate(self.index.views)
             if v is not None
         )
@@ -936,6 +1020,7 @@ class ShardedSearcher:
             has_ef,
             filters=filters_d,
             strategy=strategy,
+            cval=self.index.cval_stacked(cache),
         )
         if jax.process_count() > 1:
             scores = _host_rows(scores)
