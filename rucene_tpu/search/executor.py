@@ -748,6 +748,59 @@ def execute_synonym(
     return top_scores, top_docs, total_hits
 
 
+@partial(jax.jit, static_argnames=("k", "n_terms", "use_pallas", "has_ef"))
+def execute_mixed_planes(
+    dev: DeviceSegment,
+    q: FlatQueryBatch,  # TERM clauses only; n_required/min_should term-side
+    planes: tuple,  # flat row-major: B x n_terms x u32[md, WORDS]
+    overflows: tuple,  # B x n_terms x bool[md]
+    denoms: tuple,  # B x f32[md] per-row phrase-field denominator planes
+    weights: jax.Array,  # f32[B] phrase w2 = boost * sum(idf) * (k1+1)
+    k: int,
+    n_terms: int,
+    use_pallas: bool = False,
+    has_ef: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Mixed boolean rows — term clauses PLUS one required exact phrase —
+    in one dispatch: dense term accumulators (_dense_match) combined with
+    position-plane phrase frequencies (the engine's rewrite makes phrase
+    clauses required, host_engine.evaluate_rewritten:217; the reference
+    interleaves PhraseScorer in ConjunctionScorer, conjunction_scorer.rs).
+    Returns (scores f32[B,k], docs i32[B,k], hits i32[B], ov_count i32[B]);
+    rows with ov_count > 0 have term-matching docs whose phrase planes
+    overflowed FMAX/PMAX and must be re-run by the host path."""
+    from rucene_tpu.ops.phrase_plane import _shift_right
+
+    match_t, acc = _dense_match(dev, q, use_pallas, has_ef)
+    b = q.n_required.shape[0]
+    pf_rows, ov_rows = [], []
+    for i in range(b):
+        p = planes[i * n_terms : (i + 1) * n_terms]
+        o = overflows[i * n_terms : (i + 1) * n_terms]
+        accp = p[0]
+        for j in range(1, n_terms):
+            accp = accp & _shift_right(p[j], j)
+        pf_rows.append(
+            jnp.sum(jax.lax.population_count(accp), axis=1).astype(jnp.float32)
+        )
+        ov_any = o[0]
+        present_all = jnp.any(p[0] != 0, axis=1) | o[0]
+        for j in range(1, n_terms):
+            ov_any = ov_any | o[j]
+            present_all = present_all & (jnp.any(p[j] != 0, axis=1) | o[j])
+        ov_rows.append(present_all & ov_any)
+    pf_all = jnp.stack(pf_rows)  # [B, md]
+    needs_host = jnp.stack(ov_rows) & dev.live[None, :]
+    denom_all = jnp.stack(denoms)
+    ph_score = weights[:, None] * pf_all / (pf_all + denom_all)
+    match = match_t & (pf_all > 0) & jnp.logical_not(needs_host)
+    scores_dense = jnp.where(match, acc + ph_score, -jnp.inf)
+    top_scores, top_docs = topk_score_doc(scores_dense, k)
+    hits = jnp.sum(match, axis=1).astype(jnp.int32)
+    ov_count = jnp.sum(needs_host & match_t, axis=1).astype(jnp.int32)
+    return top_scores, top_docs, hits, ov_count
+
+
 @partial(jax.jit, static_argnames=("k",))
 def execute_match_all(
     dev: DeviceSegment, boost: jax.Array, k: int

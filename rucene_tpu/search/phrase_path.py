@@ -382,6 +382,144 @@ class PhrasePathMixin:
             _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         return plane, overflow
 
+    def _mixed_device_eligible(self, rq) -> bool:
+        """Mixed boolean rows — term clauses plus ONE exact phrase — ride
+        the device (executor.execute_mixed_planes). Sloppy/multi-phrase
+        mixes and group/range combinations keep the host path."""
+        return (
+            rq is not None
+            and len(rq.phrases) == 1
+            and bool(rq.clauses)
+            and not rq.groups
+            and not rq.ranges
+            and not rq.match_all
+            and rq.plain
+            and rq.phrases[0][3] == 0
+            and 2 <= len(rq.phrases[0][1]) <= 8
+        )
+
+    def _search_mixed_device(self, queries, rqs, k: int) -> list:
+        """Mixed boolean rows (term clauses + one required exact phrase):
+        dense term accumulators + cached position planes in one dispatch
+        per (leaf, arity, chunk). Rows whose phrase planes overflow on any
+        leaf rerun whole on the host path (exact, rare)."""
+        from rucene_tpu.search.executor import execute_mixed_planes
+        from rucene_tpu.search.searcher import (
+            build_clause_tables,
+            build_flat_work,
+            build_leaf_cache,
+            build_leaf_tables,
+            make_flat_batch,
+            work_has_ef,
+        )
+
+        sim = self.similarity
+        b = len(rqs)
+        doc_freqs, stats = self._gather_stats(rqs)
+        per_query_leaf: list[list] = [[] for _ in range(b)]
+        spilled: set[int] = set()
+        for leaf in self.reader.leaves:
+            cache = build_leaf_cache(leaf, sim, stats)
+            mdp = int(leaf.device.live.shape[0])
+            by_ar: dict[int, list[int]] = {}
+            for i, rq in enumerate(rqs):
+                if i not in spilled:
+                    by_ar.setdefault(len(rq.phrases[0][1]), []).append(i)
+            chunk_rows = max(
+                1, min(self.PHRASE_PLANE_CHUNK,
+                       (self.PHRASE_PLANE_CHUNK << 20) // max(mdp, 1))
+            )
+            futures = []
+            for nt, idxs in sorted(by_ar.items()):
+                for c0 in range(0, len(idxs), chunk_rows):
+                    rows = idxs[c0 : c0 + chunk_rows]
+                    cells = []  # (gi, planes, ovs, denom, w2) | (gi, None..)
+                    for gi in rows:
+                        field, terms, boost, _sl = rqs[gi].phrases[0]
+                        pl, ov, ok = [], [], True
+                        for t in terms:
+                            got = self._phrase_plane_for(leaf, field, t)
+                            if got is None:
+                                ok = False  # term absent: no hit THIS leaf
+                                break
+                            pl.append(got[0])
+                            ov.append(got[1])
+                        if not ok or field not in leaf.packed.fields:
+                            continue
+                        pf_field = leaf.packed.fields[field]
+                        st = stats[field]
+                        doc_count = (
+                            st.doc_count if st.doc_count != -1 else st.max_doc
+                        )
+                        idf_sum = np.float32(0.0)
+                        for t in terms:
+                            idf_sum = np.float32(
+                                idf_sum + sim.idf(doc_freqs[(field, t)], doc_count)
+                            )
+                        w2 = np.float32(
+                            np.float32(idf_sum * np.float32(boost))
+                            * np.float32(sim.k1 + np.float32(1.0))
+                        )
+                        denom = self._denom_plane_for(
+                            leaf, pf_field.field_id, cache[pf_field.field_id]
+                        )
+                        cells.append((gi, pl, ov, denom, w2))
+                    if not cells:
+                        continue
+                    b_pad = next_pow2(len(cells), 1)
+                    sub = [rqs[gi] for gi, *_ in cells]
+                    t_pad = next_pow2(
+                        max((len(rq.clauses) for rq in sub), default=1), 1
+                    )
+                    weight, occur, n_req, min_should, _ma, _bo = build_clause_tables(
+                        sub, sim, doc_freqs, stats, b_pad, t_pad
+                    )
+                    bs, bc, fid = build_leaf_tables(leaf, sub, b_pad, t_pad)
+                    work = build_flat_work(bs, bc, weight, fid, occur)
+                    fq = make_flat_batch(
+                        work, n_req, min_should, cache, dev=leaf.device
+                    )
+                    flat_p, flat_o, denoms, ws = [], [], [], []
+                    for gi, pl, ov, denom, w2 in cells:
+                        flat_p += pl
+                        flat_o += ov
+                        denoms.append(denom)
+                        ws.append(w2)
+                    for _ in range(b_pad - len(cells)):
+                        flat_p += cells[0][1]
+                        flat_o += cells[0][2]
+                        denoms.append(cells[0][3])
+                        ws.append(np.float32(0.0))
+                    fut = execute_mixed_planes(
+                        leaf.device, fq, tuple(flat_p), tuple(flat_o),
+                        tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
+                        k=k, n_terms=nt, use_pallas=self._use_pallas,
+                        has_ef=work_has_ef(
+                            leaf.packed.blk_doc_bits, work[0], work[5],
+                            dev=leaf.device,
+                        ),
+                    )
+                    futures.append(([gi for gi, *_ in cells], fut))
+            for gis, fut in futures:
+                s, d, h, ovc = jax.device_get(fut)
+                for li, gi in enumerate(gis):
+                    if int(ovc[li]) > 0:
+                        spilled.add(gi)
+                        METRICS.incr("search.mixed_host_spill")
+                        continue
+                    keep = s[li] > -np.inf
+                    per_query_leaf[gi].append(
+                        (leaf.doc_base, np.asarray(d[li])[keep],
+                         np.asarray(s[li])[keep], int(h[li]))
+                    )
+        out = []
+        for i in range(b):
+            if i in spilled:
+                out.append(self._search_host(queries[i], k))
+            else:
+                out.append(self._merge_leaf_hits(per_query_leaf[i], k))
+        return out
+
     def _denom_plane_for(self, leaf, fid: int, cache_row: np.ndarray):
         """Device-cached f32[mdp] BM25 denominator plane for one field:
         cache_row[norm_byte[doc]] materialized ONCE per (leaf, field,

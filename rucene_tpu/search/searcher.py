@@ -543,6 +543,12 @@ class IndexSearcher(PhrasePathMixin):
             if i not in set(device_idx) and self._phrase_device_eligible(rq)
         ]
         taken = set(device_idx) | set(phrase_idx)
+        mixed_idx = [
+            i
+            for i, rq in enumerate(rewritten)
+            if i not in taken and self._mixed_device_eligible(rq)
+        ]
+        taken |= set(mixed_idx)
         syn_idx = [
             i
             for i, q in enumerate(queries)
@@ -574,6 +580,14 @@ class IndexSearcher(PhrasePathMixin):
                 )
             for i, td in zip(phrase_idx, ph_res):
                 results[i] = td
+        if mixed_idx:
+            with trace("search.mixed"):
+                mx_res = self._search_mixed_device(
+                    [queries[i] for i in mixed_idx],
+                    [rewritten[i] for i in mixed_idx], k,
+                )
+            for i, td in zip(mixed_idx, mx_res):
+                results[i] = td
         if device_finish is not None:
             with trace("search.device"):
                 batch_res = device_finish()
@@ -594,6 +608,7 @@ class IndexSearcher(PhrasePathMixin):
         # METRICS.snapshot() and printable with RUCENE_ROUTE_LOG=1
         METRICS.incr("route.device", len(device_idx))
         METRICS.incr("route.phrase", len(phrase_idx))
+        METRICS.incr("route.mixed", len(mixed_idx))
         METRICS.incr("route.synonym", len(syn_idx))
         METRICS.incr("route.host", len(host_idx))
         if os.environ.get("RUCENE_ROUTE_LOG") == "1":
@@ -604,6 +619,7 @@ class IndexSearcher(PhrasePathMixin):
             pruned = snap.get("search.conj_pruned_blocks", 0)
             print(
                 f"# route: device={len(device_idx)} phrase={len(phrase_idx)} "
+                f"mixed={len(mixed_idx)} "
                 f"synonym={len(syn_idx)} host={len(host_idx)} "
                 f"(cum: phrase_fallback={fb} pruned_blocks={pruned})",
                 file=sys.stderr,
