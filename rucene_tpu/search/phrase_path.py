@@ -419,6 +419,8 @@ class PhrasePathMixin:
         per_query_leaf: list[list] = [[] for _ in range(b)]
         spilled: set[int] = set()
         for leaf in self.reader.leaves:
+            if self._past_deadline():
+                break  # timeout: partial results, like the term path
             cache = build_leaf_cache(leaf, sim, stats)
             mdp = int(leaf.device.live.shape[0])
             by_ar: dict[int, list[int]] = {}
