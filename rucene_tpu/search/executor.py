@@ -760,6 +760,7 @@ def execute_mixed_planes(
     n_terms: int,
     use_pallas: bool = False,
     has_ef: bool = False,
+    filters: FilterPlanes | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Mixed boolean rows — term clauses PLUS one required exact phrase —
     in one dispatch: dense term accumulators (_dense_match) combined with
@@ -771,7 +772,7 @@ def execute_mixed_planes(
     overflowed FMAX/PMAX and must be re-run by the host path."""
     from rucene_tpu.ops.phrase_plane import _shift_right
 
-    match_t, acc = _dense_match(dev, q, use_pallas, has_ef)
+    match_t, acc = _dense_match(dev, q, use_pallas, has_ef, filters)
     b = q.n_required.shape[0]
     pf_rows, ov_rows = [], []
     for i in range(b):

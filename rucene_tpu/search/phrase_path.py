@@ -391,7 +391,7 @@ class PhrasePathMixin:
             and len(rq.phrases) == 1
             and bool(rq.clauses)
             and not rq.groups
-            and not rq.ranges
+            and len(rq.ranges) <= 8  # ranges ride filter planes (dense path)
             and not rq.match_all
             and rq.plain
             and rq.phrases[0][3] == 0
@@ -481,6 +481,13 @@ class PhrasePathMixin:
                     fq = make_flat_batch(
                         work, n_req, min_should, cache, dev=leaf.device
                     )
+                    filters = (
+                        self._leaf_filters(
+                            leaf, *self._range_filter_tables(sub, b_pad)
+                        )
+                        if any(rq.ranges for rq in sub)
+                        else None
+                    )
                     flat_p, flat_o, denoms, ws = [], [], [], []
                     for gi, pl, ov, denom, w2 in cells:
                         flat_p += pl
@@ -500,6 +507,7 @@ class PhrasePathMixin:
                             leaf.packed.blk_doc_bits, work[0], work[5],
                             dev=leaf.device,
                         ),
+                        filters=filters,
                     )
                     futures.append(([gi for gi, *_ in cells], fut))
             for gis, fut in futures:

@@ -125,6 +125,40 @@ def test_mixed_eligibility_boundaries():
     assert s._mixed_device_eligible(q2.rewrite())
 
 
+def test_mixed_with_range_filter():
+    """Phrase + term + numeric range in one boolean rides the device
+    (range planes fold into the dense accumulators)."""
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(30)]
+    buf = SegmentBuffer()
+    texts = []
+    for i in range(400):
+        t = " ".join(rng.choice(words, size=12))
+        texts.append(t)
+        d = rt.Document()
+        d.add(rt.TextField("body", t))
+        d.add(rt.IntPoint("price", i % 50))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    s = rt.IndexSearcher(reader)
+    w = texts[0].split()
+    q = rt.BooleanQuery()
+    q.add(rt.PhraseQuery("body", [w[0], w[1]]), rt.Occur.MUST)
+    q.add(rt.TermQuery(rt.Term("body", "w0")), rt.Occur.SHOULD)
+    q.add(rt.PointRangeQuery("price", 10, 40), rt.Occur.FILTER)
+    rq = q.rewrite()
+    assert s._mixed_device_eligible(rq)
+    before = METRICS.snapshot()["counters"].get("route.mixed", 0)
+    got = s.search(q, k=20)
+    assert METRICS.snapshot()["counters"].get("route.mixed", 0) > before
+    want = s._search_host(q, 20)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+    )
+
+
 def test_mixed_phrase_term_absent():
     """A phrase term missing from the index: zero hits, no crash."""
     reader, texts = _reader()
