@@ -761,6 +761,7 @@ class ShardedSearcher:
         """Pure phrase rows the shard program executes in-mesh (mirrors
         IndexSearcher._phrase_device_eligible)."""
         from rucene_tpu.search.phrase_device import NMAX, SLOP_CAP
+        from rucene_tpu.search.query import Occur
 
         return (
             rq is not None
@@ -771,6 +772,7 @@ class ShardedSearcher:
             and not rq.match_all
             and 0 <= rq.phrases[0][3] <= SLOP_CAP
             and 2 <= len(rq.phrases[0][1]) <= NMAX
+            and rq.phrase_occur(0) in (Occur.SHOULD, Occur.MUST)
         )
 
     def search_batch(self, queries: list[Query], k: int = 10) -> list[TopDocs]:

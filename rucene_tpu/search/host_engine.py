@@ -214,7 +214,7 @@ def evaluate_rewritten(
     req_count = np.zeros(md, dtype=np.int32)
     should_count = np.zeros(md, dtype=np.int32)
     has_not = np.zeros(md, dtype=bool)
-    n_required = rq.n_required + len(rq.phrases)
+    n_required = rq.n_required + rq.n_required_phrases
     cache_rows: dict[str, np.ndarray] = {}
 
     def cache_for(field: str) -> np.ndarray:
@@ -285,7 +285,8 @@ def evaluate_rewritten(
         elif r.occur == Occur.MUST_NOT:
             has_not[docs] = True
 
-    for field, terms, boost, slop in rq.phrases:
+    for pi, (field, terms, boost, slop) in enumerate(rq.phrases):
+        occ = rq.phrase_occur(pi)
         docs, pfreqs = phrase_postings(leaf, field, terms, slop)
         # phrase weight: sum of per-term idfs (PhraseWeight -> Similarity with
         # all terms' stats; reference BM25Similarity::idf sums over terms)
@@ -296,10 +297,14 @@ def evaluate_rewritten(
         w = np.float32(idf_sum * np.float32(boost))
         w2 = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))
         if len(docs):
-            tf = pfreqs.astype(np.float32)
-            cval = cache_for(field)[norm_bytes(field, docs)]
-            acc[docs] += (w2 * tf / (tf + cval)).astype(np.float32)
-            req_count[docs] += 1
+            if occ in (Occur.SHOULD, Occur.MUST):
+                tf = pfreqs.astype(np.float32)
+                cval = cache_for(field)[norm_bytes(field, docs)]
+                acc[docs] += (w2 * tf / (tf + cval)).astype(np.float32)
+            if occ in (Occur.MUST, Occur.FILTER):
+                req_count[docs] += 1
+            elif occ == Occur.SHOULD:
+                should_count[docs] += 1
 
     match = (req_count == n_required) & (should_count >= rq.effective_min_should())
     if rq.match_all and n_required == 0 and rq.n_should == 0:

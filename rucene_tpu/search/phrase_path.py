@@ -66,9 +66,14 @@ class PhrasePathMixin:
     def _phrase_device_eligible(self, rq) -> bool:
         from rucene_tpu.search.phrase_device import NMAX, SLOP_CAP
 
+        from rucene_tpu.search.query import Occur
+
         return (
             rq is not None
             and len(rq.phrases) == 1
+            # SHOULD == MUST for a lone phrase (mm bumps to 1); FILTER
+            # (unscored) stays on the host path
+            and rq.phrase_occur(0) in (Occur.MUST, Occur.SHOULD)
             and not rq.clauses
             and not rq.ranges
             and not rq.groups
@@ -386,9 +391,14 @@ class PhrasePathMixin:
         """Mixed boolean rows — term clauses plus ONE exact phrase — ride
         the device (executor.execute_mixed_planes). Sloppy/multi-phrase
         mixes and group/range combinations keep the host path."""
+        from rucene_tpu.search.query import Occur
+
         return (
             rq is not None
             and len(rq.phrases) == 1
+            # the dispatch models a REQUIRED phrase; optional (SHOULD)
+            # phrases take the host path's count semantics
+            and rq.phrase_occur(0) in (Occur.MUST, Occur.FILTER)
             and bool(rq.clauses)
             and not rq.groups
             and len(rq.ranges) <= 8  # ranges ride filter planes (dense path)
@@ -462,6 +472,10 @@ class PhrasePathMixin:
                             np.float32(idf_sum * np.float32(boost))
                             * np.float32(sim.k1 + np.float32(1.0))
                         )
+                        from rucene_tpu.search.query import Occur as _Oc
+
+                        if rqs[gi].phrase_occur(0) == _Oc.FILTER:
+                            w2 = np.float32(0.0)  # unscored required phrase
                         denom = self._denom_plane_for(
                             leaf, pf_field.field_id, cache[pf_field.field_id]
                         )

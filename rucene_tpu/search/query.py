@@ -69,6 +69,10 @@ class RewrittenQuery:
     boost: float = 1.0
     # phrase verification groups: (field, [terms in order], boost, slop)
     phrases: list[tuple[str, list[str], float, int]] = dc_field(default_factory=list)
+    # occur per phrase, aligned with `phrases`; missing entries mean MUST
+    # (Lucene boolean semantics: a SHOULD phrase is optional and counts
+    # toward min_should_match, boolean_query.rs:196-272)
+    phrase_occurs: list = dc_field(default_factory=list)
     ranges: list[RangeClause] = dc_field(default_factory=list)
     # nested pure-disjunction sub-clauses: (occur, [terms]) — a group matches
     # if ANY member matches; scoring sums matching members' BM25
@@ -109,6 +113,17 @@ class RewrittenQuery:
             + sum(1 for occ, _ in self.groups if occ in (Occur.MUST, Occur.FILTER))
         )
 
+    def phrase_occur(self, i: int) -> Occur:
+        return self.phrase_occurs[i] if i < len(self.phrase_occurs) else Occur.MUST
+
+    @property
+    def n_required_phrases(self) -> int:
+        return sum(
+            1
+            for i in range(len(self.phrases))
+            if self.phrase_occur(i) in (Occur.MUST, Occur.FILTER)
+        )
+
     @property
     def n_should(self) -> int:
         return sum(1 for c in self.clauses if c.occur == Occur.SHOULD) + sum(
@@ -119,7 +134,11 @@ class RewrittenQuery:
         """Lucene semantics: if there are no required clauses, at least one
         SHOULD clause must match (boolean_query.rs:196-272)."""
         mm = self.min_should_match
-        if self.n_required == 0 and not self.match_all and not self.phrases:
+        if (
+            self.n_required == 0
+            and not self.match_all
+            and self.n_required_phrases == 0
+        ):
             mm = max(1, mm)
         return mm
 
@@ -536,12 +555,23 @@ class BooleanQuery(Query):
                 )
                 continue
             if sq.phrases:
-                if occur != Occur.MUST_NOT:
-                    out.phrases.extend(
-                        (f, ts, b * self.boost, sl) for (f, ts, b, sl) in sq.phrases
+                if occur == Occur.MUST_NOT:
+                    raise NotImplementedError(
+                        "MUST_NOT phrase clauses not supported yet"
                     )
-                    continue
-                raise NotImplementedError("MUST_NOT phrase clauses not supported yet")
+                if (
+                    sq.clauses or sq.ranges or sq.groups or sq.match_all
+                    or any(o != Occur.MUST for o in sq.phrase_occurs)
+                ):
+                    # phrase-bearing child with more structure: flattening
+                    # would drop clauses / garble occurs — evaluate the
+                    # boolean generically on the host (recursive, exact)
+                    raise _NeedsHostEval(self)
+                out.phrases.extend(
+                    (f, ts, b * self.boost, sl) for (f, ts, b, sl) in sq.phrases
+                )
+                out.phrase_occurs.extend([occur] * len(sq.phrases))
+                continue
             if len(sq.clauses) == 1 and not sq.phrases:
                 c = sq.clauses[0]
                 out.clauses.append(TermClause(occur, c.term, c.boost * self.boost))
