@@ -556,9 +556,9 @@ class BooleanQuery(Query):
                 continue
             if sq.phrases:
                 if occur == Occur.MUST_NOT:
-                    raise NotImplementedError(
-                        "MUST_NOT phrase clauses not supported yet"
-                    )
+                    # the flat executor has no excluded-phrase plane;
+                    # the recursive host evaluator applies it exactly
+                    raise _NeedsHostEval(self)
                 if (
                     sq.clauses or sq.ranges or sq.groups or sq.match_all
                     or any(o != Occur.MUST for o in sq.phrase_occurs)

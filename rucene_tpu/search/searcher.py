@@ -1751,9 +1751,8 @@ class IndexSearcher(PhrasePathMixin):
     # --- explain (reference Weight::explain, term_query.rs:183-215) ---
     def explain(self, query: Query, doc: int) -> "Explanation":
         from rucene_tpu.search.explanation import Explanation, no_match
+        from rucene_tpu.search.query import _NeedsHostEval
 
-        rq = query.rewrite()
-        doc_freqs, stats = self._gather_stats([rq])
         leaf = None
         for lf in reversed(self.reader.leaves):
             if doc >= lf.doc_base:
@@ -1762,6 +1761,31 @@ class IndexSearcher(PhrasePathMixin):
         if leaf is None:
             return no_match(f"doc {doc} out of range")
         local = doc - leaf.doc_base
+
+        def _generic() -> "Explanation":
+            """Spans / dismax / excluded-phrase / nested-special queries:
+            the value from the exact recursive evaluator, one node (the
+            reference nests full trees; the VALUE is what must be right)."""
+            dfq, stq = self._gather_stats_query(query)
+            m, acc = host_engine.evaluate_query(
+                leaf, query, self.similarity, stq, dfq
+            )
+            if not m[local]:
+                return no_match("no matching clause (generic evaluation)")
+            return Explanation(
+                True, float(acc[local]),
+                f"{type(query).__name__} score, generic recursive evaluation",
+            )
+
+        if hasattr(query, "host_eval"):  # span family
+            return _generic()
+        try:
+            rq = query.rewrite()
+        except (_NeedsHostEval, NotImplementedError):
+            return _generic()
+        if not rq.plain:  # dismax / const-score / boosting combines
+            return _generic()
+        doc_freqs, stats = self._gather_stats([rq])
         hits = host_engine.execute_on_segment(
             leaf, rq, self.similarity, stats, doc_freqs, None
         )

@@ -109,6 +109,19 @@ def test_nested_mixed_child_keeps_term_clauses():
     assert {sd.doc for sd in td.score_docs} == want
 
 
+def test_must_not_phrase_excludes():
+    """MUST_NOT phrase (previously NotImplementedError): docs containing
+    the exact phrase are excluded, word co-occurrence alone is not."""
+    s = _searcher()
+    q = rt.BooleanQuery()
+    q.add(rt.TermQuery(rt.Term("body", "fox")), rt.Occur.MUST)
+    q.add(rt.PhraseQuery("body", ["quick", "brown"]), rt.Occur.MUST_NOT)
+    td = s.search(q, k=10)
+    want = _term_docs("fox") - _phrase_docs()
+    assert {sd.doc for sd in td.score_docs} == want
+    assert 4 in want  # "brown quick fox": words present, phrase absent
+
+
 def test_min_should_match_counts_phrases():
     """mm=2 over (SHOULD phrase, SHOULD fox, SHOULD lazy): only docs with
     at least two of the three."""
