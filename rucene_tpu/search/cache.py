@@ -36,18 +36,36 @@ class LRUQueryCache:
         self.misses = 0
 
     def get_or_compute(self, leaf, key, compute) -> np.ndarray:
-        return self.get_or_compute_keyed((id(leaf.packed), leaf.name, key), compute)
+        return self.get_or_compute_keyed(
+            (id(leaf.packed), leaf.name, key), compute, anchor=leaf.packed
+        )
 
-    def get_or_compute_keyed(self, full_key, compute):
+    def get_or_compute_keyed(self, full_key, compute, anchor=None):
+        """anchor: the object whose id() participates in full_key. Entries
+        hold a WEAK ref to it and a hit requires identity — a freed
+        segment's recycled id() must never serve another index's doc set
+        (this flaked as a wrong-corpus filter plane under full-suite churn;
+        weak refs so the cache never pins dead segments)."""
         hit = self._entries.get(full_key)
         if hit is not None:
-            self._entries.move_to_end(full_key)
-            self.hits += 1
-            return hit
+            ref, value = hit
+            if ref is None or ref() is anchor:
+                self._entries.move_to_end(full_key)
+                self.hits += 1
+                return value
+            del self._entries[full_key]  # recycled id(): stale entry
         self.misses += 1
         value = compute()
         if self.policy.should_cache(full_key):
-            self._entries[full_key] = value
+            import weakref
+
+            ref = None
+            if anchor is not None:
+                try:
+                    ref = weakref.ref(anchor)
+                except TypeError:
+                    ref = None
+            self._entries[full_key] = (ref, value)
             if len(self._entries) > self.max_entries:
                 self._entries.popitem(last=False)
         return value

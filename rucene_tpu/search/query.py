@@ -547,7 +547,7 @@ class BooleanQuery(Query):
                 if occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER):
                     out.match_all = True  # matches everything; contributes no count
                     continue
-                raise NotImplementedError("MUST_NOT MatchAllDocsQuery matches nothing")
+                raise _NeedsHostEval(self)  # MUST_NOT match-all: nothing matches (generic path returns empty)
             if sq.ranges and len(sq.ranges) == 1 and not sq.clauses and not sq.phrases:
                 r = sq.ranges[0]
                 out.ranges.append(

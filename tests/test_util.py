@@ -94,3 +94,29 @@ def test_front_coding_roundtrip():
     assert len(blob) < raw
     assert decode_terms(encode_terms([])) == []
     assert decode_terms(encode_terms(["only"])) == ["only"]
+
+
+def test_query_cache_recycled_id_guard():
+    """A cache entry keyed by id(obj) must verify the SAME object on hit:
+    a freed segment's recycled id() once served another index's doc set
+    (flaky wrong-corpus filter planes under full-suite churn)."""
+    from rucene_tpu.search.cache import LRUQueryCache, _AlwaysCachePolicy
+
+    class Obj:  # weakref-able stand-in for PackedSegment
+        pass
+
+    c = LRUQueryCache(max_entries=8, policy=_AlwaysCachePolicy())
+    a, b = Obj(), Obj()
+    key = (1234, "s0", ("range", "f", 0, 9, None))  # same id() simulated
+    va = c.get_or_compute_keyed(key, lambda: "docs-of-a", anchor=a)
+    assert va == "docs-of-a"
+    assert c.get_or_compute_keyed(key, lambda: "unused", anchor=a) == "docs-of-a"
+    # different object behind the same key: must NOT serve a's entry
+    vb = c.get_or_compute_keyed(key, lambda: "docs-of-b", anchor=b)
+    assert vb == "docs-of-b"
+    # anchor freed entirely: weak ref dies, entry must recompute
+    del b
+    import gc
+
+    gc.collect()
+    assert c.get_or_compute_keyed(key, lambda: "fresh", anchor=Obj()) == "fresh"
