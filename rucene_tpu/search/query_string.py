@@ -9,8 +9,8 @@ Grammar:
   atom     := '(' expr ')' | '"' phrase '"' | [field:]token | [field:]'"'...'"'
               | [field:][lower TO upper] range
 
-'+term' => MUST, '-term' => MUST_NOT, bare terms => SHOULD (unless joined
-by AND, which promotes both sides to MUST).
+'+term' => MUST, '-term' / 'NOT term' => MUST_NOT, bare terms => SHOULD
+(unless joined by AND, which promotes both sides to MUST).
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ _TOKEN_RE = re.compile(
         (?P<rparen>\)) |
         (?P<and>AND\b) |
         (?P<or>OR\b) |
+        (?P<not>NOT\b) |
         (?P<plus>\+) |
         (?P<minus>-) |
         (?P<phrase>(?:(?P<pfield>[\w.]+):)?"(?P<ptext>[^"]*)"
@@ -121,7 +122,7 @@ class QueryStringParser:
         if tok.group("plus"):
             self._next()
             return _Signed(Occur.MUST, self._atom())
-        if tok.group("minus"):
+        if tok.group("minus") or tok.group("not"):  # NOT x == -x
             self._next()
             return _Signed(Occur.MUST_NOT, self._atom())
         return self._atom()

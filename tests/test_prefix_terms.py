@@ -166,3 +166,11 @@ def test_prefix_on_sharded_mesh():
     for g, w in zip(got, want):
         assert g.total_hits == w.total_hits
         assert {sd.doc for sd in g.score_docs} == {sd.doc for sd in w.score_docs}
+
+
+def test_query_string_not_keyword():
+    s = IndexSearcher(_reader())
+    got = s.search(parse_query_string("apple NOT apricot", default_field="body"), k=20)
+    want = s.search(parse_query_string("apple -apricot", default_field="body"), k=20)
+    assert [sd.doc for sd in got.score_docs] == [sd.doc for sd in want.score_docs]
+    assert got.total_hits == want.total_hits
