@@ -315,16 +315,27 @@ class ShardedIndex:
         has_ef = bool((stacked_host.blk_doc_bits >= EF_TAG).any())
 
         def local(dev_s):
-            from rucene_tpu.codec.device import _decode_chunk
+            from rucene_tpu.codec.device import DEC_CHUNK, _decode_chunk
 
             dev = jax.tree.map(lambda a: a[0], dev_s)
-            docs, freqs, norm = _decode_chunk(
-                dev.data, dev.blk_off, dev.blk_doc_bits, dev.blk_freq_bits,
-                dev.blk_base, dev.blk_count, has_ef=has_ef,
+            # chunked like add_decoded_planes: the EF decode's unary-bit
+            # expansion is ~50x the block-table bytes, so one whole-shard
+            # pass would spike HBM at large corpora
+            d_p, f_p, n_p = [], [], []
+            for c0 in range(0, nbp, DEC_CHUNK):
+                sl = slice(c0, min(c0 + DEC_CHUNK, nbp))
+                docs, freqs, norm = _decode_chunk(
+                    dev.data, dev.blk_off[sl], dev.blk_doc_bits[sl],
+                    dev.blk_freq_bits[sl], dev.blk_base[sl],
+                    dev.blk_count[sl], has_ef=has_ef,
+                )
+                d_p.append(docs)
+                f_p.append(freqs.astype(fdt))
+                n_p.append(norm.astype(jnp.uint8))
+            cat = (
+                lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=0)
             )
-            return (
-                docs[None], freqs.astype(fdt)[None], norm.astype(jnp.uint8)[None],
-            )
+            return cat(d_p)[None], cat(f_p)[None], cat(n_p)[None]
 
         dev_specs = jax.tree.map(lambda _: P("shard"), self.stacked)
         docs_dec, freqs_dec, norm_dec = jax.jit(
