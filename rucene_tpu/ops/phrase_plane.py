@@ -212,6 +212,87 @@ def phrase_plane_search_many(
     return top_scores, top_docs, hits, ov_count
 
 
+def _span_unordered_pf(planes_row: tuple, n_terms: int, slop: int):
+    """Exact unordered span-near frequency from position planes.
+
+    Host contract (spans.py SpanNearQuery unordered enumeration): a
+    candidate interval [s0, e0] is achievable iff every clause has an
+    occurrence inside, some clause occurs AT s0, some AT e0-1, and the
+    start/end witnesses are distinct clauses; sloppy freq sums
+    1/(1 + width - n) over all achievable intervals. With one term per
+    position this is pure bit algebra per window width w in [n, n+slop]:
+      valid_w[p] = AND_t windowOR_w(P_t)[p]      (all terms inside)
+                 & U[p] & U[p + w - 1]            (witness at both ends)
+                 & NOT OR_t (P_t[p] & P_t[p+w-1]) (distinct witnesses)
+    Duplicate clause terms break the distinctness reduction — the caller
+    must route those rows to the host."""
+    u = planes_row[0]
+    for t in range(1, n_terms):
+        u = u | planes_row[t]
+    smears = list(planes_row)
+    pf = None
+    for w in range(2, n_terms + slop + 1):
+        sh = w - 1
+        smears = [s | _shift_right(p, sh) for s, p in zip(smears, planes_row)]
+        if w < n_terms:
+            continue
+        allin = smears[0]
+        for t in range(1, n_terms):
+            allin = allin & smears[t]
+        pair_bad = planes_row[0] & _shift_right(planes_row[0], sh)
+        for t in range(1, n_terms):
+            pair_bad = pair_bad | (planes_row[t] & _shift_right(planes_row[t], sh))
+        valid = allin & u & _shift_right(u, sh) & ~pair_bad
+        cnt = jnp.sum(jax.lax.population_count(valid), axis=1).astype(jnp.float32)
+        wgt = jnp.float32(1.0) / jnp.float32(1 + w - n_terms)
+        pf = cnt * wgt if pf is None else pf + cnt * wgt
+    if pf is None:  # degenerate (n_terms < 2 is caller-excluded)
+        pf = jnp.zeros(planes_row[0].shape[0], jnp.float32)
+    return pf
+
+
+@partial(jax.jit, static_argnames=("k", "n_terms", "slop"))
+def span_unordered_plane_search_many(
+    planes: tuple,  # flat row-major: R x n_terms x u32[md, WORDS]
+    overflows: tuple,  # R x n_terms x bool[md]
+    live: jax.Array,
+    denoms: tuple,  # R x f32[md]
+    weights: jax.Array,  # f32[R]
+    k: int,
+    n_terms: int,
+    slop: int,
+) -> tuple:
+    """Batched unordered span-near rows (same contract as
+    phrase_plane_search_many: rows with ov_count > 0 rerun on the host)."""
+    r_rows = len(planes) // n_terms
+    pf_rows, match_rows, ovh_rows = [], [], []
+    for r in range(r_rows):
+        p = planes[r * n_terms : (r + 1) * n_terms]
+        o = overflows[r * n_terms : (r + 1) * n_terms]
+        pf = _span_unordered_pf(p, n_terms, slop)
+        ov_any = o[0]
+        present_all = jnp.any(p[0] != 0, axis=1) | o[0]
+        for j in range(1, n_terms):
+            ov_any = ov_any | o[j]
+            present_all = present_all & (jnp.any(p[j] != 0, axis=1) | o[j])
+        needs_host = present_all & ov_any & live
+        pf_rows.append(pf)
+        match_rows.append((pf > 0) & live & jnp.logical_not(needs_host))
+        ovh_rows.append(needs_host)
+    pf_all = jnp.stack(pf_rows)
+    match_all = jnp.stack(match_rows)
+    needs_all = jnp.stack(ovh_rows)
+    denom_all = jnp.stack(denoms)
+    score = weights[:, None] * pf_all / (pf_all + denom_all)
+    scores_dense = jnp.where(match_all, score, -jnp.inf)
+    from rucene_tpu.ops.topk import topk_score_doc
+
+    top_scores, top_docs = topk_score_doc(scores_dense, k)
+    hits = jnp.sum(match_all, axis=1).astype(jnp.int32)
+    ov_count = jnp.sum(needs_all, axis=1).astype(jnp.int32)
+    return top_scores, top_docs, hits, ov_count
+
+
 @partial(jax.jit, static_argnames=("k", "n_terms", "ov_cap"))
 def phrase_plane_search(
     planes: tuple,  # n_terms x u32[md, WORDS]

@@ -544,6 +544,133 @@ class PhrasePathMixin:
                 out.append(self._merge_leaf_hits(per_query_leaf[i], k))
         return out
 
+    def _span_unordered_eligible(self, q) -> bool:
+        """Unordered span-near over DISTINCT flat term children rides the
+        position planes (ops/phrase_plane.span_unordered_plane_search_many
+        — the witness-enumeration semantics reduces to window bit algebra
+        when each position holds one term). Duplicate terms, nested
+        children, boosts on members, or huge slop keep the host Spans
+        protocol."""
+        from rucene_tpu.search.spans import SpanNearQuery, SpanTermQuery
+
+        if type(q) is not SpanNearQuery or q.in_order:
+            return False
+        if not (2 <= len(q.clauses) <= 8) or not (0 <= q.slop <= 24):
+            return False
+        if not all(
+            type(c) is SpanTermQuery and c.boost == 1.0 for c in q.clauses
+        ):
+            return False
+        terms = [c.term.text for c in q.clauses]
+        return len(set(terms)) == len(terms)
+
+    def _search_span_unordered_device(self, queries, k: int) -> list:
+        """Batch of eligible unordered SpanNearQueries: cached position
+        planes + exact window bit algebra, one dispatch per (leaf,
+        (arity, slop), chunk); overflow rows rerun whole on the host
+        (reference span_near.rs NearSpansUnordered)."""
+        from rucene_tpu.ops.phrase_plane import span_unordered_plane_search_many
+        from rucene_tpu.search.searcher import build_leaf_cache
+
+        sim = self.similarity
+        b = len(queries)
+        per_query_leaf: list[list] = [[] for _ in range(b)]
+        spilled: set[int] = set()
+        stats_of = [self._gather_stats_query(q) for q in queries]
+        for leaf in self.reader.leaves:
+            if self._past_deadline():
+                break
+            mdp = int(leaf.device.live.shape[0])
+            by_shape: dict[tuple, list[int]] = {}
+            for i, q in enumerate(queries):
+                if i not in spilled:
+                    by_shape.setdefault((len(q.clauses), q.slop), []).append(i)
+            chunk_rows = max(
+                1, min(self.PHRASE_PLANE_CHUNK,
+                       (self.PHRASE_PLANE_CHUNK << 20) // max(mdp, 1))
+            )
+            futures = []
+            for (nt, slop), idxs in sorted(by_shape.items()):
+                for c0 in range(0, len(idxs), chunk_rows):
+                    cells = []
+                    for gi in idxs[c0 : c0 + chunk_rows]:
+                        q = queries[gi]
+                        field = q.field
+                        doc_freqs, stats = stats_of[gi]
+                        pf_field = leaf.packed.fields.get(field)
+                        if pf_field is None or field not in stats:
+                            continue  # no such field here: no hits
+                        pl, ov, ok = [], [], True
+                        for c in q.clauses:
+                            got = self._phrase_plane_for(leaf, field, c.term.text)
+                            if got is None:
+                                ok = False  # term absent: no hit THIS leaf
+                                break
+                            pl.append(got[0])
+                            ov.append(got[1])
+                        if not ok:
+                            continue
+                        st = stats[field]
+                        doc_count = (
+                            st.doc_count if st.doc_count != -1 else st.max_doc
+                        )
+                        idf_sum = np.float32(0.0)
+                        for c in q.clauses:
+                            idf_sum = np.float32(
+                                idf_sum
+                                + sim.idf(
+                                    doc_freqs[(field, c.term.text)], doc_count
+                                )
+                            )
+                        w2 = np.float32(
+                            np.float32(idf_sum * np.float32(q.boost))
+                            * np.float32(sim.k1 + np.float32(1.0))
+                        )
+                        cache = build_leaf_cache(leaf, sim, stats)
+                        denom = self._denom_plane_for(
+                            leaf, pf_field.field_id, cache[pf_field.field_id]
+                        )
+                        cells.append((gi, pl, ov, denom, w2))
+                    if not cells:
+                        continue
+                    r_pad = next_pow2(len(cells), 1)
+                    flat_p, flat_o, denoms, ws = [], [], [], []
+                    for gi, pl, ov, denom, w2 in cells:
+                        flat_p += pl
+                        flat_o += ov
+                        denoms.append(denom)
+                        ws.append(w2)
+                    for _ in range(r_pad - len(cells)):
+                        flat_p += cells[0][1]
+                        flat_o += cells[0][2]
+                        denoms.append(cells[0][3])
+                        ws.append(np.float32(0.0))
+                    fut = span_unordered_plane_search_many(
+                        tuple(flat_p), tuple(flat_o), leaf.device.live,
+                        tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
+                        k=k, n_terms=nt, slop=slop,
+                    )
+                    futures.append(([gi for gi, *_ in cells], fut))
+            for gis, fut in futures:
+                s, d, h, ovc = jax.device_get(fut)
+                for li, gi in enumerate(gis):
+                    if int(ovc[li]) > 0:
+                        spilled.add(gi)
+                        METRICS.incr("search.span_host_spill")
+                        continue
+                    keep = s[li] > -np.inf
+                    per_query_leaf[gi].append(
+                        (leaf.doc_base, np.asarray(d[li])[keep],
+                         np.asarray(s[li])[keep], int(h[li]))
+                    )
+        out = []
+        for i in range(b):
+            if i in spilled:
+                out.append(self._search_host(queries[i], k))
+            else:
+                out.append(self._merge_leaf_hits(per_query_leaf[i], k))
+        return out
+
     def _denom_plane_for(self, leaf, fid: int, cache_row: np.ndarray):
         """Device-cached f32[mdp] BM25 denominator plane for one field:
         cache_row[norm_byte[doc]] materialized ONCE per (leaf, field,

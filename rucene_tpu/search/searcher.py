@@ -556,8 +556,16 @@ class IndexSearcher(PhrasePathMixin):
             and getattr(q, "synonym_terms", None) is not None
             and q.synonym_terms() is not None
         ]
+        spanu_idx = [
+            i
+            for i in range(len(queries))
+            if i not in taken | set(syn_idx)
+            and self._span_unordered_eligible(queries[i])
+        ]
         host_idx = [
-            i for i in range(len(queries)) if i not in taken | set(syn_idx)
+            i
+            for i in range(len(queries))
+            if i not in taken | set(syn_idx) | set(spanu_idx)
         ]
 
         from rucene_tpu.util.metrics import trace
@@ -600,6 +608,13 @@ class IndexSearcher(PhrasePathMixin):
                 )
             for i, td in zip(syn_idx, sy_res):
                 results[i] = td
+        if spanu_idx:
+            with trace("search.span_unordered"):
+                su_res = self._search_span_unordered_device(
+                    [queries[i] for i in spanu_idx], k
+                )
+            for i, td in zip(spanu_idx, su_res):
+                results[i] = td
         for i in host_idx:
             results[i] = self._search_host(queries[i], k)
         METRICS.observe("search.batch", time.perf_counter() - t_start)
@@ -610,6 +625,7 @@ class IndexSearcher(PhrasePathMixin):
         METRICS.incr("route.phrase", len(phrase_idx))
         METRICS.incr("route.mixed", len(mixed_idx))
         METRICS.incr("route.synonym", len(syn_idx))
+        METRICS.incr("route.span_unordered", len(spanu_idx))
         METRICS.incr("route.host", len(host_idx))
         if os.environ.get("RUCENE_ROUTE_LOG") == "1":
             import sys

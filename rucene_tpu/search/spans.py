@@ -64,7 +64,12 @@ class SpanQuery(Query):
             if len(spans) == 0:
                 continue
             widths = spans[:, 1] - spans[:, 0]
-            freq = np.float32(np.sum(1.0 / (1.0 + (widths - mw))).astype(np.float32))
+            # overlapping sub-spans (duplicate clause terms) can make
+            # width < min_width; clamp the distance at 0 so the slop
+            # factor caps at 1 instead of dividing by zero (NaN scores)
+            freq = np.float32(
+                np.sum(1.0 / (1.0 + np.maximum(widths - mw, 0))).astype(np.float32)
+            )
             nb = int(norms[d]) if norms is not None else 0
             cval = cache_row[nb]
             acc[d] = np.float32(w2 * freq / (freq + cval))
