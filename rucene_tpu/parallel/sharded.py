@@ -313,6 +313,15 @@ class ShardedIndex:
             bf = combined_blk_fid(g, self.field_gid)
             blk_fid[si, : len(bf)] = bf
         has_ef = bool((stacked_host.blk_doc_bits >= EF_TAG).any())
+        self._decode_stacked(
+            nbp, fdt, has_ef, jax.device_put(blk_fid, shard_spec)
+        )
+
+    def _decode_stacked(self, nbp: int, fdt, has_ef: bool, blk_fid_dev):
+        """Run the per-shard decode program over self.stacked and attach
+        the decoded planes (shared by the local and multi-host paths; in
+        partial mode every process traces the identical program —
+        policy inputs are allgather-reduced by the caller)."""
 
         def local(dev_s):
             from rucene_tpu.codec.device import DEC_CHUNK, _decode_chunk
@@ -349,7 +358,7 @@ class ShardedIndex:
             docs_dec=docs_dec,
             freqs_dec=freqs_dec,
             norm_dec=norm_dec,
-            blk_fid=jax.device_put(blk_fid, shard_spec),
+            blk_fid=blk_fid_dev,
         )
         self._cval_stacked: dict = {}
 
@@ -363,7 +372,17 @@ class ShardedIndex:
         tbl = self._cval_stacked.get(key)
         if tbl is not None:
             return tbl
-        cf = jnp.asarray(np.asarray(cache, np.float32).reshape(-1))
+        cf_host = np.asarray(cache, np.float32).reshape(-1)
+        if jax.process_count() > 1:
+            # fully-replicated global array (cache is identical everywhere:
+            # it derives from psum'd global stats)
+            spec = NamedSharding(self.mesh, P())
+            cf = jax.make_array_from_single_device_arrays(
+                cf_host.shape, spec,
+                [jax.device_put(cf_host, d) for d in self.mesh.local_devices],
+            )
+        else:
+            cf = jnp.asarray(cf_host)
 
         def local(dev_s, cf_):
             dev = jax.tree.map(lambda a: a[0], dev_s)
@@ -558,6 +577,44 @@ class ShardedIndex:
             mesh, s, (),
             lambda si: np.asarray(si * mdp, np.int32),
         )
+
+        # decoded residency per host: policy inputs must agree across
+        # processes (nbp is metadata-common; max-freq / EF presence are
+        # allgather-reduced over the owned shards)
+        from rucene_tpu.codec.device import decoded_policy
+        from rucene_tpu.index.combined import combined_blk_fid
+        from rucene_tpu.util.packing import EF_TAG
+
+        mf = max(
+            (int(seg.blk_max_freq.max()) for seg in per_shard_host.values()),
+            default=0,
+        )
+        has_ef = any(
+            bool((seg.blk_doc_bits >= EF_TAG).any())
+            for seg in per_shard_host.values()
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([mf, int(has_ef)], np.int64)
+            )
+            flags = np.asarray(flags).reshape(-1, 2)
+            mf = int(flags[:, 0].max())
+            has_ef = bool(flags[:, 1].any())
+        on, fdt = decoded_policy(nbp, mf)
+        if on:
+            def fid_of(si):
+                out = np.zeros(nbp, np.int32)
+                if self.groups[si] is not None:
+                    bf = combined_blk_fid(self.groups[si], self.field_gid)
+                    out[: len(bf)] = bf
+                return out
+
+            self._decode_stacked(
+                nbp, fdt, has_ef,
+                _global_stack(mesh, s, (nbp,), fid_of),
+            )
         return self
 
     def local_doc_freq(self, field: str, text: str) -> int:
