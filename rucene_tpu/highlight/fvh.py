@@ -53,6 +53,15 @@ class FieldQuery:
                     c.boost, fq.terms.get(c.term.field, {}).get(c.term.text, 0.0)
                 )
         for f, terms, boost, _slop in rq.phrases:
+            if any(t is None for t in terms):
+                # gapped phrase (positional holes): highlight the real
+                # terms individually — fragment scoring still sees them
+                for t in terms:
+                    if t is not None:
+                        fq.terms.setdefault(f, {})[t] = max(
+                            boost, fq.terms.get(f, {}).get(t, 0.0)
+                        )
+                continue
             fq.phrases.setdefault(f, []).append((terms, boost))
             for t in terms:
                 fq.terms.setdefault(f, {}).setdefault(t, 0.0)

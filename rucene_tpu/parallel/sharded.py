@@ -840,6 +840,7 @@ class ShardedSearcher:
             and not rq.match_all
             and 0 <= rq.phrases[0][3] <= SLOP_CAP
             and 2 <= len(rq.phrases[0][1]) <= NMAX
+            and all(t is not None for t in rq.phrases[0][1])
             and rq.phrase_occur(0) in (Occur.SHOULD, Occur.MUST)
         )
 

@@ -41,6 +41,10 @@ def phrase_postings(
     sloppy_freq(distance) = 1/(distance+1) per match (SloppyPhraseScorer
     analog, phrase_scorer.rs:442) — returned as f32-compatible floats.
     """
+    # None entries are positional holes (gapped phrases, slop == 0 only:
+    # PhraseQuery.positions) — they constrain alignment but read nothing
+    slots = [j for j, t in enumerate(terms) if t is not None]
+    terms = [terms[j] for j in slots]
     lists = []
     for t in terms:
         p = leaf.read_postings(field, t, with_positions=True)
@@ -70,7 +74,7 @@ def phrase_postings(
             for j in range(n):
                 row = idxs[j][ci]
                 s, pos_j = starts[j]
-                p = pos_j[s[row] : s[row + 1]] - j
+                p = pos_j[s[row] : s[row + 1]] - slots[j]
                 first = p if first is None else np.intersect1d(first, p, assume_unique=True)
                 if len(first) == 0:
                     break
@@ -152,7 +156,7 @@ def extract_terms_of(query) -> list:
     out = [c.term for c in rq.clauses]
     out.extend(c.term for _, ms in rq.groups for c in ms)
     for f, ts, _boost, _slop in rq.phrases:
-        out.extend(Term(f, t) for t in ts)
+        out.extend(Term(f, t) for t in ts if t is not None)
     return out
 
 
@@ -293,6 +297,8 @@ def evaluate_rewritten(
         doc_count = stats[field].doc_count if stats[field].doc_count != -1 else stats[field].max_doc
         idf_sum = np.float32(0.0)
         for t in terms:
+            if t is None:
+                continue
             idf_sum = np.float32(idf_sum + sim.idf(doc_freqs[(field, t)], doc_count))
         w = np.float32(idf_sum * np.float32(boost))
         w2 = np.float32(w * np.float32(sim.k1 + np.float32(1.0)))

@@ -80,6 +80,7 @@ class PhrasePathMixin:
             and not rq.match_all
             and 0 <= rq.phrases[0][3] <= SLOP_CAP  # wider slop -> host
             and 2 <= len(rq.phrases[0][1]) <= NMAX
+            and all(t is not None for t in rq.phrases[0][1])  # gapped: host
         )
 
     @staticmethod
@@ -406,6 +407,7 @@ class PhrasePathMixin:
             and rq.plain
             and rq.phrases[0][3] == 0
             and 2 <= len(rq.phrases[0][1]) <= 8
+            and all(t is not None for t in rq.phrases[0][1])  # gapped: host
         )
 
     def _search_mixed_device(self, queries, rqs, k: int) -> list:
@@ -823,6 +825,7 @@ class PhrasePathMixin:
         supported = all(
             rq is not None and not rq.groups and not rq.ranges and rq.plain
             and all(sl == 0 for (_f, _t, _b, sl) in rq.phrases)
+            and all(t is not None for (_f, ts, _b, _s) in rq.phrases for t in ts)
             for rq in rqs
         )
         if supported:

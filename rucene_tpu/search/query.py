@@ -206,17 +206,43 @@ class PhraseQuery(Query):
     """Phrase query. slop=0: exact consecutive positions
     (ExactPhraseScorer, phrase_scorer.rs:122; device pipeline). slop>0:
     ordered matching with a gap budget and sloppy-freq scoring
-    (SloppyPhraseScorer analog, phrase_scorer.rs:442; host path)."""
+    (SloppyPhraseScorer analog, phrase_scorer.rs:442; host path).
+
+    `positions` (reference phrase_query.rs:51): explicit ascending term
+    positions — gaps become None hole slots in the rewritten term list
+    ("a ? b" for removed stopwords). Internally a None entry in `terms`
+    means "any token here". Gapped phrases require slop == 0 (the
+    reference's sloppy matcher threads offsets; unsupported here)."""
 
     field: str
-    terms: list[str]
+    terms: list  # list[str | None]; None = positional hole
     boost: float = 1.0
     slop: int = 0
+    positions: list[int] | None = None
+
+    def __post_init__(self):
+        if self.positions is not None:
+            ps = list(self.positions)
+            if len(ps) != len(self.terms):
+                raise ValueError("terms and positions lengths differ")
+            if any(t is None for t in self.terms):
+                raise ValueError("explicit positions with None terms")
+            if sorted(set(ps)) != ps:
+                raise ValueError("positions must be ascending and unique")
+            base = ps[0]
+            slots: list = [None] * (ps[-1] - base + 1)
+            for t, p in zip(self.terms, ps):
+                slots[p - base] = t
+            self.terms = slots
+            self.positions = None
+        if self.slop and any(t is None for t in self.terms):
+            raise ValueError("gapped phrases require slop == 0")
 
     def rewrite(self) -> RewrittenQuery:
-        if len(self.terms) == 1:
+        real = [t for t in self.terms if t is not None]
+        if len(real) == 1 and len(self.terms) == 1:
             return RewrittenQuery(
-                clauses=[TermClause(Occur.SHOULD, Term(self.field, self.terms[0]), self.boost)]
+                clauses=[TermClause(Occur.SHOULD, Term(self.field, real[0]), self.boost)]
             )
         return RewrittenQuery(
             phrases=[(self.field, list(self.terms), self.boost, self.slop)]
@@ -421,7 +447,7 @@ class DisjunctionMaxQuery(Query):
                 out.extend(c.term for c in rq.clauses)
                 out.extend(c.term for _, ms in rq.groups for c in ms)
                 for f, ts, _boost, _slop in rq.phrases:
-                    out.extend(Term(f, t) for t in ts)
+                    out.extend(Term(f, t) for t in ts if t is not None)
         return out
 
     def host_eval(self, leaf, sim, stats, doc_freqs):

@@ -657,7 +657,7 @@ class IndexSearcher(PhrasePathMixin):
             for f, terms, _b, _s in rq.phrases:
                 fields.add(f)
                 for t in terms:
-                    if (f, t) not in doc_freqs:
+                    if t is not None and (f, t) not in doc_freqs:
                         doc_freqs[(f, t)] = self.reader.doc_freq(f, t)
         stats = {f: self.collection_stats(f) for f in fields}
         return doc_freqs, stats
