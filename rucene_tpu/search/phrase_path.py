@@ -546,36 +546,69 @@ class PhrasePathMixin:
                 out.append(self._merge_leaf_hits(per_query_leaf[i], k))
         return out
 
-    def _span_unordered_eligible(self, q) -> bool:
-        """Unordered span-near over DISTINCT flat term children rides the
-        position planes (ops/phrase_plane.span_unordered_plane_search_many
-        — the witness-enumeration semantics reduces to window bit algebra
-        when each position holds one term). Duplicate terms, nested
-        children, boosts on members, or huge slop keep the host Spans
-        protocol."""
-        from rucene_tpu.search.spans import SpanNearQuery, SpanTermQuery
+    def _span_group_info(self, q):
+        """(groups, slop, ordered) when a SpanNearQuery can ride the
+        position planes, else None. groups: per child, the list of term
+        texts (a SpanTermQuery is a singleton; a SpanOrQuery contributes
+        its members as one OR-plane group). Requirements: all member
+        terms globally DISTINCT (position -> unique child, so the witness
+        algebra holds), member boosts 1, 2..8 children; unordered needs
+        slop <= 24; ordered needs slop == 0 (greedy-chain == consecutive
+        there) and only reaches this path with OR children (plain-term
+        ordered rewrites to PhraseQuery via device_equivalent)."""
+        from rucene_tpu.search.spans import (
+            SpanNearQuery,
+            SpanOrQuery,
+            SpanTermQuery,
+        )
 
-        if type(q) is not SpanNearQuery or q.in_order:
-            return False
-        if not (2 <= len(q.clauses) <= 8) or not (0 <= q.slop <= 24):
-            return False
-        if not all(
-            type(c) is SpanTermQuery and c.boost == 1.0 for c in q.clauses
-        ):
-            return False
-        terms = [c.term.text for c in q.clauses]
-        return len(set(terms)) == len(terms)
+        if type(q) is not SpanNearQuery:
+            return None
+        if not (2 <= len(q.clauses) <= 8):
+            return None
+        if q.in_order:
+            if q.slop != 0:
+                return None
+        elif not (0 <= q.slop <= 24):
+            return None
+        groups: list[list[str]] = []
+        for c in q.clauses:
+            if type(c) is SpanTermQuery and c.boost == 1.0:
+                groups.append([c.term.text])
+            elif (
+                type(c) is SpanOrQuery
+                and c.boost == 1.0
+                and c.clauses
+                and all(
+                    type(m) is SpanTermQuery and m.boost == 1.0
+                    for m in c.clauses
+                )
+            ):
+                groups.append([m.term.text for m in c.clauses])
+            else:
+                return None
+        flat = [t for g in groups for t in g]
+        if len(set(flat)) != len(flat):
+            return None
+        return groups, q.slop, q.in_order
+
+    def _span_unordered_eligible(self, q) -> bool:
+        return self._span_group_info(q) is not None
 
     def _search_span_unordered_device(self, queries, k: int) -> list:
         """Batch of eligible unordered SpanNearQueries: cached position
         planes + exact window bit algebra, one dispatch per (leaf,
         (arity, slop), chunk); overflow rows rerun whole on the host
         (reference span_near.rs NearSpansUnordered)."""
-        from rucene_tpu.ops.phrase_plane import span_unordered_plane_search_many
+        from rucene_tpu.ops.phrase_plane import (
+            phrase_plane_search_many,
+            span_unordered_plane_search_many,
+        )
         from rucene_tpu.search.searcher import build_leaf_cache
 
         sim = self.similarity
         b = len(queries)
+        infos = [self._span_group_info(q) for q in queries]
         per_query_leaf: list[list] = [[] for _ in range(b)]
         spilled: set[int] = set()
         stats_of = [self._gather_stats_query(q) for q in queries]
@@ -586,27 +619,31 @@ class PhrasePathMixin:
             by_shape: dict[tuple, list[int]] = {}
             for i, q in enumerate(queries):
                 if i not in spilled:
-                    by_shape.setdefault((len(q.clauses), q.slop), []).append(i)
+                    groups, slop, ordered = infos[i]
+                    by_shape.setdefault(
+                        (len(groups), slop, ordered), []
+                    ).append(i)
             chunk_rows = max(
                 1, min(self.PHRASE_PLANE_CHUNK,
                        (self.PHRASE_PLANE_CHUNK << 20) // max(mdp, 1))
             )
             futures = []
-            for (nt, slop), idxs in sorted(by_shape.items()):
+            for (nt, slop, ordered), idxs in sorted(by_shape.items()):
                 for c0 in range(0, len(idxs), chunk_rows):
                     cells = []
                     for gi in idxs[c0 : c0 + chunk_rows]:
                         q = queries[gi]
                         field = q.field
+                        groups, _slop, _ord = infos[gi]
                         doc_freqs, stats = stats_of[gi]
                         pf_field = leaf.packed.fields.get(field)
                         if pf_field is None or field not in stats:
                             continue  # no such field here: no hits
                         pl, ov, ok = [], [], True
-                        for c in q.clauses:
-                            got = self._phrase_plane_for(leaf, field, c.term.text)
+                        for members in groups:
+                            got = self._group_plane_for(leaf, field, members)
                             if got is None:
-                                ok = False  # term absent: no hit THIS leaf
+                                ok = False  # whole child absent: no hits here
                                 break
                             pl.append(got[0])
                             ov.append(got[1])
@@ -617,13 +654,12 @@ class PhrasePathMixin:
                             st.doc_count if st.doc_count != -1 else st.max_doc
                         )
                         idf_sum = np.float32(0.0)
-                        for c in q.clauses:
-                            idf_sum = np.float32(
-                                idf_sum
-                                + sim.idf(
-                                    doc_freqs[(field, c.term.text)], doc_count
+                        for members in groups:
+                            for t in members:
+                                idf_sum = np.float32(
+                                    idf_sum
+                                    + sim.idf(doc_freqs[(field, t)], doc_count)
                                 )
-                            )
                         w2 = np.float32(
                             np.float32(idf_sum * np.float32(q.boost))
                             * np.float32(sim.k1 + np.float32(1.0))
@@ -647,11 +683,22 @@ class PhrasePathMixin:
                         flat_o += cells[0][2]
                         denoms.append(cells[0][3])
                         ws.append(np.float32(0.0))
-                    fut = span_unordered_plane_search_many(
-                        tuple(flat_p), tuple(flat_o), leaf.device.live,
-                        tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
-                        k=k, n_terms=nt, slop=slop,
-                    )
+                    if ordered:
+                        # slop-0 ordered == consecutive alignment: the
+                        # exact-phrase AND-shift program over group planes
+                        fut = phrase_plane_search_many(
+                            tuple(flat_p), tuple(flat_o), leaf.device.live,
+                            tuple(denoms),
+                            jnp.asarray(np.asarray(ws, np.float32)),
+                            k=k, n_terms=nt,
+                        )
+                    else:
+                        fut = span_unordered_plane_search_many(
+                            tuple(flat_p), tuple(flat_o), leaf.device.live,
+                            tuple(denoms),
+                            jnp.asarray(np.asarray(ws, np.float32)),
+                            k=k, n_terms=nt, slop=slop,
+                        )
                     futures.append(([gi for gi, *_ in cells], fut))
             for gis, fut in futures:
                 s, d, h, ovc = jax.device_get(fut)
@@ -672,6 +719,32 @@ class PhrasePathMixin:
             else:
                 out.append(self._merge_leaf_hits(per_query_leaf[i], k))
         return out
+
+    def _group_plane_for(self, leaf, field: str, members):
+        """(plane, overflow) for a SpanOr child: the OR of its member term
+        planes (span union), cached like single-term planes so the eager
+        OR dispatches happen once per distinct group, not per batch."""
+        if len(members) == 1:
+            return self._phrase_plane_for(leaf, field, members[0])
+        key = (id(leaf.packed), field, ("or",) + tuple(sorted(members)))
+        got = _PLANE_CACHE.pop(key, None)
+        if got is not None:
+            _PLANE_CACHE[key] = got
+            return got[0], got[1]
+        gp = go = None
+        for t in members:
+            sub = self._phrase_plane_for(leaf, field, t)
+            if sub is None:
+                continue  # absent member contributes nothing to the union
+            gp = sub[0] if gp is None else (gp | sub[0])
+            go = sub[1] if go is None else (go | sub[1])
+        if gp is None:
+            return None
+        _PLANE_CACHE[key] = (gp, go, leaf.packed)
+        budget = self._plane_budget_bytes(leaf)
+        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
+            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+        return gp, go
 
     def _denom_plane_for(self, leaf, fid: int, cache_row: np.ndarray):
         """Device-cached f32[mdp] BM25 denominator plane for one field:

@@ -119,3 +119,75 @@ def test_span_unordered_with_deletes():
         [(sd.doc, sd.score) for sd in want.score_docs],
         rtol=2e-6,
     )
+
+
+def test_span_or_children_unordered_parity():
+    """near(or(w0,w3), w1, unordered): the child plane is the OR of member
+    planes; parity with the host Spans protocol."""
+    from rucene_tpu.search.spans import SpanOrQuery
+
+    reader = _reader()
+    s = rt.IndexSearcher(reader)
+    q = SpanNearQuery(
+        [
+            SpanOrQuery([SpanTermQuery(Term("body", "w0")), SpanTermQuery(Term("body", "w3"))]),
+            SpanTermQuery(Term("body", "w1")),
+        ],
+        slop=4,
+        in_order=False,
+    )
+    assert s._span_unordered_eligible(q)
+    got = s.search(q, k=25)
+    want = _host_truth(s, q, 25)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+        rtol=2e-6,
+    )
+
+
+def test_span_or_children_ordered_parity():
+    """Ordered slop-0 near with an OR child == multi-term exact phrase:
+    rides the AND-shift plane program."""
+    from rucene_tpu.search.spans import SpanOrQuery
+
+    reader = _reader()
+    s = rt.IndexSearcher(reader)
+    q = SpanNearQuery(
+        [
+            SpanOrQuery([SpanTermQuery(Term("body", "w0")), SpanTermQuery(Term("body", "w2"))]),
+            SpanTermQuery(Term("body", "w1")),
+        ],
+        slop=0,
+        in_order=True,
+    )
+    assert s._span_unordered_eligible(q)
+    got = s.search(q, k=25)
+    want = _host_truth(s, q, 25)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+        rtol=2e-6,
+    )
+
+
+def test_span_or_overlapping_terms_stay_host():
+    from rucene_tpu.search.spans import SpanOrQuery
+
+    reader = _reader()
+    s = rt.IndexSearcher(reader)
+    # w1 appears in both children: position->child is ambiguous -> host
+    q = SpanNearQuery(
+        [
+            SpanOrQuery([SpanTermQuery(Term("body", "w0")), SpanTermQuery(Term("body", "w1"))]),
+            SpanTermQuery(Term("body", "w1")),
+        ],
+        slop=2,
+        in_order=False,
+    )
+    assert not s._span_unordered_eligible(q)
+    got = s.search(q, k=10)  # still answers, via host
+    want = _host_truth(s, q, 10)
+    assert got.total_hits == want.total_hits
