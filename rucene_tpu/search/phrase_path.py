@@ -557,11 +557,17 @@ class PhrasePathMixin:
         there) and only reaches this path with OR children (plain-term
         ordered rewrites to PhraseQuery via device_equivalent)."""
         from rucene_tpu.search.spans import (
+            SpanBoostQuery,
             SpanNearQuery,
             SpanOrQuery,
             SpanTermQuery,
         )
 
+        boost = None
+        while type(q) is SpanBoostQuery:
+            if boost is None:
+                boost = q.boost  # outermost wrapper carries the total
+            q = q.query
         if type(q) is not SpanNearQuery:
             return None
         if not (2 <= len(q.clauses) <= 8):
@@ -590,7 +596,9 @@ class PhrasePathMixin:
         flat = [t for g in groups for t in g]
         if len(set(flat)) != len(flat):
             return None
-        return groups, q.slop, q.in_order
+        return groups, q.slop, q.in_order, q.field, (
+            q.boost if boost is None else boost
+        )
 
     def _span_unordered_eligible(self, q) -> bool:
         return self._span_group_info(q) is not None
@@ -619,7 +627,7 @@ class PhrasePathMixin:
             by_shape: dict[tuple, list[int]] = {}
             for i, q in enumerate(queries):
                 if i not in spilled:
-                    groups, slop, ordered = infos[i]
+                    groups, slop, ordered, _f, _b = infos[i]
                     by_shape.setdefault(
                         (len(groups), slop, ordered), []
                     ).append(i)
@@ -632,9 +640,7 @@ class PhrasePathMixin:
                 for c0 in range(0, len(idxs), chunk_rows):
                     cells = []
                     for gi in idxs[c0 : c0 + chunk_rows]:
-                        q = queries[gi]
-                        field = q.field
-                        groups, _slop, _ord = infos[gi]
+                        groups, _slop, _ord, field, boost = infos[gi]
                         doc_freqs, stats = stats_of[gi]
                         pf_field = leaf.packed.fields.get(field)
                         if pf_field is None or field not in stats:
@@ -661,7 +667,7 @@ class PhrasePathMixin:
                                     + sim.idf(doc_freqs[(field, t)], doc_count)
                                 )
                         w2 = np.float32(
-                            np.float32(idf_sum * np.float32(q.boost))
+                            np.float32(idf_sum * np.float32(boost))
                             * np.float32(sim.k1 + np.float32(1.0))
                         )
                         cache = build_leaf_cache(leaf, sim, stats)

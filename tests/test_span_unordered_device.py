@@ -191,3 +191,20 @@ def test_span_or_overlapping_terms_stay_host():
     got = s.search(q, k=10)  # still answers, via host
     want = _host_truth(s, q, 10)
     assert got.total_hits == want.total_hits
+
+
+def test_span_boost_wrapper_rides_device():
+    from rucene_tpu.search.spans import SpanBoostQuery
+
+    reader = _reader()
+    s = rt.IndexSearcher(reader)
+    q = SpanBoostQuery(_near(["w0", "w1"], 3), boost=2.5)
+    assert s._span_unordered_eligible(q)
+    got = s.search(q, k=25)
+    want = _host_truth(s, q, 25)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+        rtol=2e-6,
+    )
