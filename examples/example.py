@@ -65,6 +65,24 @@ def main():
     top3 = searcher.search(pq, k=10)
     print(f'phrase "quick brown": {[searcher.reader.document(sd.doc)["id"] for sd in top3.score_docs]}')
 
+    # prefix + query-string syntax
+    top4 = searcher.search(rt.PrefixQuery("body", "qu"), k=10)
+    print(f"prefix qu*: {top4.total_hits} hits")
+    from rucene_tpu.search.query_string import parse_query_string
+
+    qs = parse_query_string("quick AND NOT dog", default_field="body")
+    print(f'"quick AND NOT dog": {searcher.search(qs, k=10).total_hits} hits')
+
+    # spans: unordered proximity (device-executed window algebra)
+    from rucene_tpu.search.spans import SpanNearQuery, SpanTermQuery
+
+    near = SpanNearQuery(
+        [SpanTermQuery(rt.Term("body", "quick")), SpanTermQuery(rt.Term("body", "fox"))],
+        slop=2,
+        in_order=False,
+    )
+    print(f"near(quick, fox, slop=2): {searcher.search(near, k=10).total_hits} hits")
+
     writer.close()
 
 
