@@ -110,6 +110,7 @@ class IndexWriter:
         self._live_dirty: set[str] = set()
         # flushed but not yet committed
         self._uncommitted: list[SegmentCommitInfo] = []
+        self._change_gen = 0  # bumps on every content mutation (nrt_is_current)
         self._buffer = SegmentBuffer(self.config.analyzer)
         self._pending_deletes: list[_PendingDelete] = []
         self._pending_dv_updates: list[_PendingDVUpdate] = []
@@ -155,6 +156,7 @@ class IndexWriter:
     def add_document(self, doc: Document) -> int:
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._buffer.add_document(doc)
             n = self._buffer.num_docs
             if n >= self.config.max_buffered_docs:
@@ -162,12 +164,28 @@ class IndexWriter:
             return n
 
     def add_documents(self, docs: list[Document]) -> None:
-        for d in docs:
-            self.add_document(d)
+        """Atomic BLOCK add: the docs land contiguously in one segment
+        with consecutive ids (reference index_writer.rs:436 — block-join
+        consumers rely on contiguity), unlike a loop of add_document which
+        may flush mid-list."""
+        with self._lock:
+            self._ensure_open()
+            self._change_gen += 1
+            self._buffer.add_documents_bulk(list(docs))
+            if self._buffer.num_docs >= self.config.max_buffered_docs:
+                self._flush_buffer()
+
+    def update_documents(self, term: Term, docs: list[Document]) -> None:
+        """Atomic delete-then-block-add (reference index_writer.rs:452)."""
+        with self._lock:
+            self._ensure_open()
+            self.delete_documents_by_term(term)
+            self.add_documents(docs)
 
     def delete_documents_by_term(self, term: Term) -> None:
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._pending_deletes.append(
                 _PendingDelete(
                     term=term,
@@ -183,6 +201,7 @@ class IndexWriter:
         affected; matching is evaluated per segment at apply time."""
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._pending_deletes.append(
                 _PendingDelete(
                     term=None,
@@ -198,6 +217,7 @@ class IndexWriter:
         doc_values_update.rs)."""
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._pending_dv_updates.append(
                 _PendingDVUpdate(
                     term=term,
@@ -213,6 +233,7 @@ class IndexWriter:
         (reference doc_values_update.rs BinaryDocValuesUpdate)."""
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._pending_dv_updates.append(
                 _PendingDVUpdate(
                     term=term,
@@ -231,9 +252,16 @@ class IndexWriter:
             self.delete_documents_by_term(term)
             self.add_document(doc)
 
+    def nrt_is_current(self, reader: IndexReader) -> bool:
+        """Does `reader` reflect every change made through this writer
+        (reference index_writer.rs:516 nrt_is_current)?"""
+        with self._lock:
+            return getattr(reader, "_writer_gen", -1) == self._change_gen
+
     def delete_all(self) -> None:
         with self._lock:
             self._ensure_open()
+            self._change_gen += 1
             self._buffer = SegmentBuffer(self.config.analyzer)
             self._pending_deletes.clear()
             self._uncommitted.clear()
@@ -487,7 +515,9 @@ class IndexWriter:
             self._ensure_open()
             self._flush_buffer()
             leaves = [self._snapshot(info) for info in self._all_infos()]
-            return IndexReader(leaves)
+            reader = IndexReader(leaves)
+            reader._writer_gen = self._change_gen
+            return reader
 
     # ---------- merge ----------
     def maybe_merge(self) -> int:

@@ -366,3 +366,61 @@ def test_max_merged_segment_mb_cap(tmp_path):
     # no byte_sizes provided -> cap is inert, doc-count logic unchanged
     out2 = mp.find_merges(sizes)
     assert out2 and len(out2[0].segments) == 4
+
+
+def test_block_add_contiguity_and_nrt_current(tmp_path):
+    """add_documents is an atomic block (contiguous ids in ONE segment,
+    index_writer.rs:436); nrt_is_current tracks content generations."""
+    import rucene_tpu as rt
+    from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+    from rucene_tpu.store.directory import FSDirectory
+
+    d = FSDirectory(str(tmp_path))
+    w = IndexWriter(d, IndexWriterConfig(max_buffered_docs=4))
+    # 3 singles (1 away from flush) then a block of 6: the block must NOT
+    # split across the flush boundary
+    for i in range(3):
+        doc = rt.Document()
+        doc.add(rt.StringField("id", f"s{i}", stored=True))
+        doc.add(rt.TextField("body", "single"))
+        w.add_document(doc)
+    block = []
+    for i in range(6):
+        doc = rt.Document()
+        doc.add(rt.StringField("id", f"b{i}", stored=True))
+        doc.add(rt.TextField("body", "blocked"))
+        block.append(doc)
+    w.add_documents(block)
+    r = w.get_reader()
+    assert w.nrt_is_current(r)
+    s = rt.IndexSearcher(r)
+    td = s.search(rt.TermQuery(rt.Term("body", "blocked")), k=10)
+    docs = sorted(sd.doc for sd in td.score_docs)
+    assert docs == list(range(docs[0], docs[0] + 6)), docs  # contiguous
+    # one leaf contains all six
+    leaf_of = [
+        max(lf.doc_base for lf in r.leaves if lf.doc_base <= doc) for doc in docs
+    ]
+    assert len(set(leaf_of)) == 1
+
+    doc = rt.Document()
+    doc.add(rt.StringField("id", "late", stored=True))
+    doc.add(rt.TextField("body", "single"))
+    w.add_document(doc)
+    assert not w.nrt_is_current(r)
+    r2 = w.get_reader()
+    assert w.nrt_is_current(r2) and not w.nrt_is_current(r)
+
+    # update_documents: atomic replace of the block by key
+    blk2 = []
+    for i in range(2):
+        doc = rt.Document()
+        doc.add(rt.StringField("id", f"nb{i}", stored=True))
+        doc.add(rt.TextField("body", "reblocked"))
+        blk2.append(doc)
+    w.update_documents(rt.Term("body", "blocked"), blk2)
+    r3 = w.get_reader()
+    s3 = rt.IndexSearcher(r3)
+    assert s3.search(rt.TermQuery(rt.Term("body", "blocked")), k=10).total_hits == 0
+    assert s3.search(rt.TermQuery(rt.Term("body", "reblocked")), k=10).total_hits == 2
+    w.close()
