@@ -202,12 +202,16 @@ def _default_docs(cache_dir: str, corpus_kind: str) -> int:
     return best or 50000
 
 
-def main():
+def _maybe_cpu():
     if os.environ.get("BENCH_CPU") == "1":  # smoke-test escape hatch: the
         # sandbox force-overrides JAX_PLATFORMS, so flip it post-import
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    _maybe_cpu()
     n_queries = int(os.environ.get("BENCH_QUERIES", 512))
     batch = int(os.environ.get("BENCH_BATCH", 256))
     k = int(os.environ.get("BENCH_K", 100))
@@ -389,5 +393,114 @@ def main():
     )
 
 
+def main_nrt():
+    """BENCH_NRT=1: concurrent ingest + NRT refresh + batched search
+    (BASELINE.json config 4 — 'NRT concurrent commit+search'). A writer
+    thread adds docs and commits while the foreground searches through a
+    SearcherManager refreshed every BENCH_NRT_REFRESH_S seconds; the JSON
+    line reports steady-state QPS under ingest, with ingest docs/s and
+    mean refresh latency on stderr."""
+    import sys
+    import threading
+
+    _maybe_cpu()
+    n_docs = int(os.environ.get("BENCH_DOCS", 0)) or 200_000
+    n_queries = int(os.environ.get("BENCH_QUERIES", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    k = int(os.environ.get("BENCH_K", 100))
+    refresh_s = float(os.environ.get("BENCH_NRT_REFRESH_S", 0.5))
+    duration = float(os.environ.get("BENCH_NRT_SECONDS", 20))
+
+    from rucene_tpu import Document, IndexSearcher, TextField
+    from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
+    from rucene_tpu.search.search_manager import SearcherManager
+    from rucene_tpu.store.directory import RAMDirectory
+
+    texts, vocab, probs = build_corpus(n_docs + 50_000)
+    queries = build_queries(n_queries, vocab, probs, phrase_texts=texts[:5000])
+
+    w = IndexWriter(
+        RAMDirectory(), IndexWriterConfig(max_buffered_docs=25_000)
+    )
+    docs = []
+    for t in texts[:n_docs]:
+        d = Document()
+        d.add(TextField("body", t))
+        docs.append(d)
+    w.add_documents(docs)
+    w.commit()
+    del docs
+    print(f"# nrt: base index {n_docs} docs ready", file=sys.stderr, flush=True)
+
+    mgr = SearcherManager(
+        w, searcher_factory=lambda r: IndexSearcher(r, combine_segments=True)
+    )
+    stop = threading.Event()
+    ingested = [0]
+
+    def ingest():
+        i = n_docs
+        while not stop.is_set() and i < len(texts):
+            d = Document()
+            d.add(TextField("body", texts[i]))
+            w.add_document(d)
+            i += 1
+            ingested[0] += 1
+            if ingested[0] % 2000 == 0:
+                w.commit()
+
+    # warm compiles before timing
+    s0 = mgr.acquire()
+    for i in range(0, n_queries, batch):
+        s0.search_batch(queries[i : i + batch], k=k)
+    mgr.release(s0)
+
+    th = threading.Thread(target=ingest, daemon=True)
+    th.start()
+    served = 0
+    refreshes = 0
+    refresh_cost = 0.0
+    last_refresh = time.time()
+    t0 = time.time()
+    qi = 0
+    while time.time() - t0 < duration:
+        if time.time() - last_refresh >= refresh_s:
+            r0 = time.time()
+            mgr.maybe_refresh()
+            refresh_cost += time.time() - r0
+            refreshes += 1
+            last_refresh = time.time()
+        s = mgr.acquire()
+        s.search_batch(queries[qi % n_queries : qi % n_queries + batch] or queries[:batch], k=k)
+        mgr.release(s)
+        served += batch
+        qi = (qi + batch) % n_queries
+    wall = time.time() - t0
+    stop.set()
+    th.join(timeout=10)
+    w.close()
+    qps = served / wall
+    print(
+        json.dumps(
+            {
+                "metric": f"NRT BM25 top-{k} QPS under concurrent ingest, "
+                f"{n_docs} base docs, refresh every {refresh_s}s",
+                "value": round(qps, 1),
+                "unit": "queries/sec/chip",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+    print(
+        f"# nrt: ingested {ingested[0]} docs ({ingested[0] / wall:.0f}/s) "
+        f"while serving; {refreshes} refreshes, "
+        f"mean {1000 * refresh_cost / max(refreshes, 1):.0f} ms",
+        file=sys.stderr,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NRT") == "1":
+        main_nrt()
+    else:
+        main()
