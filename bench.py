@@ -208,6 +208,31 @@ def _maybe_cpu():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        return
+    # fail FAST if the axon tunnel is down: backend init otherwise hangs
+    # forever in a poll loop (observed 2026-08-17: >4h unresponsive)
+    import sys
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
+    if not ok.is_set():
+        print(
+            "# FATAL: TPU backend did not initialize within the timeout "
+            "(axon tunnel down?) — no benchmark result",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
 
 
 def main():
