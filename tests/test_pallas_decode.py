@@ -14,6 +14,32 @@ from rucene_tpu.ops.pallas_decode import G, decode_work_items_pallas
 from tests.conftest import make_docs, random_corpus
 
 
+def _ef_heavy_segment():
+    rng = np.random.default_rng(77)
+    texts = random_corpus(rng, 400)
+    texts = [
+        t + (" efhot" if (i < 70 or 330 <= i < 390) else "")
+        for i, t in enumerate(texts)
+    ]
+    buf = SegmentBuffer()
+    for d in make_docs(texts):
+        buf.add_document(d)
+    return pack_segment(buf.finish())
+
+
+def _plain_segment():
+    # uniform wide vocab: moderate deltas everywhere, FOR wins every block
+    rng = np.random.default_rng(78)
+    texts = [
+        " ".join(f"u{int(x)}" for x in rng.integers(0, 5000, size=10))
+        for _ in range(300)
+    ]
+    buf = SegmentBuffer()
+    for d in make_docs(texts):
+        buf.add_document(d)
+    return pack_segment(buf.finish())
+
+
 def test_pallas_decode_matches_xla():
     rng = np.random.default_rng(31)
     texts = random_corpus(rng, 400)
@@ -128,3 +154,79 @@ def test_pallas_scoring_decode_matches_gather():
     np.testing.assert_array_equal(
         np.where(valid, np.asarray(p_cval), 0.0), np.where(valid, x_cval, 0.0)
     )
+
+
+def test_decode_kernel_v2_matches_v1_interpret():
+    """Tile-compaction kernel (_decode_kernel_v2) vs v1: bit-identical
+    docs/freqs/cval over FOR + EF blocks (interpret mode)."""
+    import numpy as np
+
+    from rucene_tpu.codec.device import build_device_segment
+    from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
+
+    packed = _ef_heavy_segment()
+    dev = build_device_segment(packed)
+    import jax
+    import jax.numpy as jnp
+
+    data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
+    nb = packed.num_blocks
+    w = max(8, 1 << (nb - 1).bit_length())
+    off = np.zeros(w, np.int32)
+    dbits = np.ones(w, np.int32)
+    fbits = np.ones(w, np.int32)
+    base = np.zeros(w, np.int32)
+    fid = np.zeros(w, np.int32)
+    off[:nb] = np.asarray(dev.blk_off[:nb])
+    dbits[:nb] = np.asarray(dev.blk_doc_bits[:nb])
+    fbits[:nb] = np.asarray(dev.blk_freq_bits[:nb])
+    base[:nb] = np.asarray(dev.blk_base[:nb])
+    cache = np.linspace(0.5, 3.5, 2 * 256, dtype=np.float32).reshape(2, 256)
+    outs = {}
+    for v in (1, 2):
+        d, f, c = decode_score_work_items_pallas(
+            data2d, jnp.asarray(off), jnp.asarray(dbits), jnp.asarray(fbits),
+            jnp.asarray(base), jnp.asarray(fid), jnp.asarray(cache),
+            interpret=True, has_ef=True, version=v,
+        )
+        outs[v] = (np.asarray(d), np.asarray(f), np.asarray(c))
+    for a, b, name in zip(outs[1], outs[2], ("docs", "freqs", "cval")):
+        np.testing.assert_array_equal(a[:nb], b[:nb], err_msg=name)
+
+
+def test_decode_kernel_v2_for_only_interpret():
+    import numpy as np
+
+    from rucene_tpu.codec.device import build_device_segment
+    from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
+    from rucene_tpu.util.packing import EF_TAG
+
+    packed = _plain_segment()
+    assert not (np.asarray(packed.blk_doc_bits) >= EF_TAG).any()
+    dev = build_device_segment(packed)
+    import jax
+    import jax.numpy as jnp
+
+    data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
+    nb = packed.num_blocks
+    w = max(8, 1 << (nb - 1).bit_length())
+    off = np.zeros(w, np.int32)
+    dbits = np.ones(w, np.int32)
+    fbits = np.ones(w, np.int32)
+    base = np.zeros(w, np.int32)
+    fid = np.zeros(w, np.int32)
+    off[:nb] = np.asarray(dev.blk_off[:nb])
+    dbits[:nb] = np.asarray(dev.blk_doc_bits[:nb])
+    fbits[:nb] = np.asarray(dev.blk_freq_bits[:nb])
+    base[:nb] = np.asarray(dev.blk_base[:nb])
+    cache = np.linspace(0.5, 3.5, 256, dtype=np.float32).reshape(1, 256)
+    outs = {}
+    for v in (1, 2):
+        d, f, c = decode_score_work_items_pallas(
+            data2d, jnp.asarray(off), jnp.asarray(dbits), jnp.asarray(fbits),
+            jnp.asarray(base), jnp.asarray(fid), jnp.asarray(cache),
+            interpret=True, has_ef=False, version=v,
+        )
+        outs[v] = (np.asarray(d), np.asarray(f), np.asarray(c))
+    for a, b, name in zip(outs[1], outs[2], ("docs", "freqs", "cval")):
+        np.testing.assert_array_equal(a[:nb], b[:nb], err_msg=name)
