@@ -34,4 +34,11 @@ run bench_8m_k1000 env BENCH_DOCS=8800000 BENCH_BATCH=32 BENCH_QUERIES=128 BENCH
 # 6. real-text corpus
 run bench_pytext env BENCH_CORPUS=pytext BENCH_DOCS=500000 BENCH_BATCH=128 python bench.py
 
+# 7. NRT concurrent ingest+search (BASELINE config 4)
+run bench_nrt env BENCH_NRT=1 BENCH_DOCS=200000 BENCH_BATCH=128 python bench.py
+
+# 8. experimental decode-kernel v2 A/B (packed mode; validates Mosaic
+#    lowering first — interpret-parity already pinned in CI)
+run bench_1m_packed_v2 env BENCH_DOCS=1000000 BENCH_BATCH=128 RUCENE_DECODED=0 RUCENE_KERNEL=v2 python bench.py
+
 echo "=== all done; summarize into README + BENCH notes ==="
