@@ -123,3 +123,54 @@ def test_fuzz_routed_vs_host(seed):
             [(sd.doc, sd.score) for sd in w.score_docs],
             rtol=2e-6,
         )
+
+
+def test_fuzz_combined_view_vs_host():
+    """Same fuzz through the single-dispatch combined view (the NRT
+    serving configuration)."""
+    from rucene_tpu.index import combined as combined_mod
+
+    reader, texts = _reader(n=400, n_segments=4, seed=207)
+    s = rt.IndexSearcher(reader, combine_segments=True)
+    rng = np.random.default_rng(9)
+    queries = [_rand_query(rng, texts) for _ in range(30)]
+    got = s.search_batch(queries, k=15)
+    for qi, (q, g) in enumerate(zip(queries, got)):
+        try:
+            w = s._search_host(q, 15)
+        except NotImplementedError:
+            continue
+        assert g.total_hits == w.total_hits, (qi, q)
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+            rtol=2e-6,
+        )
+    combined_mod._VIEW_CACHE.clear()
+
+
+def test_fuzz_sharded_vs_single():
+    """Fuzz rows the sharded searcher claims to serve must match the
+    single-process searcher on the 8-device mesh (rows it cannot express
+    fall back internally — still compared)."""
+    from rucene_tpu.parallel.sharded import (
+        ShardedIndex,
+        ShardedSearcher,
+        make_mesh,
+    )
+
+    reader, texts = _reader(n=320, n_segments=4, seed=303)
+    mesh = make_mesh(4, 2)
+    sh = ShardedSearcher(ShardedIndex(mesh, reader))
+    single = rt.IndexSearcher(reader)
+    rng = np.random.default_rng(17)
+    queries = [_rand_query(rng, texts) for _ in range(24)]
+    got = sh.search_batch(queries, k=12)
+    want = single.search_batch(queries, k=12)
+    for qi, (g, w) in enumerate(zip(got, want)):
+        assert g.total_hits == w.total_hits, (qi, queries[qi])
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
+            rtol=2e-6,
+        )
