@@ -173,6 +173,49 @@ def build_queries(n_queries: int, vocab, probs, seed: int = 13, phrase_texts=Non
 
 
 
+def pack_corpus(texts, log=lambda m: None):
+    """Shared cold-build path (bench main + tools/build_bench_cache.py):
+    texts -> SegmentBuffer -> pack_segment. One definition so a pre-built
+    cache can never silently diverge from what the bench would build."""
+    from rucene_tpu import Document, TextField
+    from rucene_tpu.codec.postings import pack_segment
+    from rucene_tpu.index.memory import SegmentBuffer
+
+    buf = SegmentBuffer()
+    docs = []
+    for t in texts:
+        d = Document()
+        d.add(TextField("body", t))
+        docs.append(d)
+    buf.add_documents_bulk(docs)  # C++ inverter, one GIL release
+    del docs
+    log("inverted")
+    packed = pack_segment(buf.finish())
+    log("packed")
+    return packed
+
+
+def cache_segment(cache_dir: str, seg_name: str, packed) -> None:
+    """Atomically publish a packed index into the bench cache: write under
+    the FINAL name in a temp subdirectory (the CRC header embeds the file
+    name, so a temp *name* would fail the read-side check), then os.replace
+    into place. An interrupted minutes-long build must never leave a torn
+    .seg that later runs treat as valid."""
+    import shutil
+
+    from rucene_tpu.codec import files as segfiles
+    from rucene_tpu.store.directory import FSDirectory
+
+    fname = segfiles.segment_file(seg_name)
+    tmp_dir = os.path.join(cache_dir, f".tmp-{os.getpid()}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    try:
+        segfiles.write_segment(FSDirectory(tmp_dir), seg_name, packed)
+        os.replace(os.path.join(tmp_dir, fname), os.path.join(cache_dir, fname))
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: executor shapes recompile across
     processes otherwise (~1-5 min per shape over the TPU tunnel)."""
@@ -245,9 +288,7 @@ def main():
     _bp = os.environ.get("BENCH_PRUNE", "auto")
     prune = None if _bp in ("auto", "") else _bp == "1"
 
-    from rucene_tpu import Document, IndexSearcher, TextField
-    from rucene_tpu.codec.postings import pack_segment
-    from rucene_tpu.index.memory import SegmentBuffer
+    from rucene_tpu import IndexSearcher
     from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 
     corpus_kind = os.environ.get("BENCH_CORPUS", "zipf")
@@ -293,22 +334,9 @@ def main():
     log(f"corpus ready ({time.time()-t0:.0f}s)")
 
     if packed is None:
-        buf = SegmentBuffer()
-        docs = []
-        for t in texts:
-            d = Document()
-            d.add(TextField("body", t))
-            docs.append(d)
-        buf.add_documents_bulk(docs)  # C++ inverter, one GIL release
-        del docs
-        log(f"inverted ({time.time()-t0:.0f}s)")
-        packed = pack_segment(buf.finish())
-        log(f"packed ({time.time()-t0:.0f}s)")
+        packed = pack_corpus(texts, log=lambda m: log(f"{m} ({time.time()-t0:.0f}s)"))
         if cache_dir:
-            from rucene_tpu.codec import files as segfiles
-            from rucene_tpu.store.directory import FSDirectory
-
-            segfiles.write_segment(FSDirectory(cache_dir), seg_name, packed)
+            cache_segment(cache_dir, seg_name, packed)
             log(f"cached to {cache_dir}")
     reader = IndexReader([SegmentSnapshot("bench", packed)])
     searcher = IndexSearcher(reader)

@@ -89,7 +89,25 @@ class ScalarSearcher:
                 raise ValueError(
                     "scalar engine: groups/ranges/dismax/const/demote unsupported"
                 )
-            q_minsh[qi] = rq.effective_min_should()
+            n_should_ph = 0
+            for i in range(len(rq.phrases)):
+                oc = int(rq.phrase_occur(i))
+                if oc == int(Occur.SHOULD):
+                    if rq.clauses or len(rq.phrases) > 1 or rq.min_should_match > 1:
+                        raise ValueError(
+                            "scalar engine: optional phrase mixed with other "
+                            "clauses unsupported (engine promotes phrases to "
+                            "required)"
+                        )
+                    n_should_ph += 1
+                elif oc != int(Occur.MUST):
+                    raise ValueError(
+                        "scalar engine: MUST_NOT/FILTER phrases unsupported"
+                    )
+            # phrases are promoted to required below; a lone SHOULD phrase
+            # bumped mm to 1 (no required clauses), which the promotion
+            # already satisfies — don't double-require it via min_should
+            q_minsh[qi] = max(0, rq.effective_min_should() - n_should_ph)
             q_mall[qi] = 1 if rq.match_all else 0
             q_boost[qi] = np.float32(rq.boost)
             for cl in rq.clauses:

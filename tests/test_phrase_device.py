@@ -35,6 +35,7 @@ def test_device_phrase_matches_host():
     rng = np.random.default_rng(606)
     texts = random_corpus(rng, 500)
     s = _searcher(texts)
+    s.PHRASE_SCALAR_MAX_DOCS = 0  # pin the device pipeline, not the scalar shortcut
     METRICS.reset()
     tried = 0
     for i in range(30):
@@ -63,6 +64,7 @@ def test_device_phrase_overflow_falls_back():
     # >32 occurrences of the first term in one doc forces the host fallback
     texts = ["hot " * 80 + "spot cold"] + ["hot spot here"] * 5 + ["hot cold"] * 3
     s = _searcher(texts)
+    s.PHRASE_SCALAR_MAX_DOCS = 0  # pin the device pipeline, not the scalar shortcut
     METRICS.reset()
     q = PhraseQuery("body", ["hot", "spot"])
     got = s.search(q, k=10)
@@ -176,6 +178,7 @@ def test_phrase_pruning_and_heavy_row_admission():
             words.insert(1, "cold")  # "hot cold" appears as a bigram
         texts.append(" ".join(words))
     s = _searcher(texts)
+    s.PHRASE_SCALAR_MAX_DOCS = 0  # pin the device pipeline, not the scalar shortcut
     s.PHRASE_ROW_ITEM_BUDGET = 8  # force the hot x hot row onto the scalar path
     before = METRICS.snapshot()["counters"]
     queries = [
@@ -213,6 +216,7 @@ def test_phrase_plane_path_parity():
         words = [f"w{int(x) % 25}" for x in rng.zipf(1.3, size=int(rng.integers(6, 20)))]
         texts.append(" ".join(words))
     s = _searcher(texts)
+    s.PHRASE_SCALAR_MAX_DOCS = 0  # pin the device pipeline, not the scalar shortcut
     s.PHRASE_ROW_DF_BUDGET = 0  # force heavy classification
     before = METRICS.snapshot()["counters"]
     queries = [
@@ -290,6 +294,7 @@ def test_phrase_plane_mid_row_routing():
         words = [f"w{int(x) % 30}" for x in rng.zipf(1.4, size=int(rng.integers(6, 24)))]
         texts.append(" ".join(words))
     s = _searcher(texts)
+    s.PHRASE_SCALAR_MAX_DOCS = 0  # pin the device pipeline, not the scalar shortcut
     s.PHRASE_PLANE_MIN_DOCS = 0  # small test corpus qualifies
     s.PHRASE_PLANE_ITEM_MIN = 1  # any selected work routes to planes
     before = METRICS.snapshot()["counters"]
@@ -307,4 +312,41 @@ def test_phrase_plane_mid_row_routing():
         assert_hits_equal(
             [(sd.doc, sd.score) for sd in g.score_docs],
             [(sd.doc, sd.score) for sd in want.score_docs],
+        )
+
+
+def test_small_leaf_phrase_scalar_shortcut():
+    """Below PHRASE_SCALAR_MAX_DOCS, exact phrase rows route to the batched
+    scalar C++ engine (BENCH_r02: the device pipeline's per-row host tax
+    lost 70x to the scalar engine at 50K docs) — with identical hits,
+    including the lone-SHOULD-inside-boolean form (mm bump is satisfied by
+    the engine's phrase promotion, not double-required)."""
+    import rucene_tpu as rt
+
+    rng = np.random.default_rng(77)
+    texts = random_corpus(rng, 800)
+    s = _searcher(texts)
+    assert s.PHRASE_SCALAR_MAX_DOCS > 800  # default routes small leaves
+    s_dev = _searcher(texts)
+    s_dev.PHRASE_SCALAR_MAX_DOCS = 0
+    queries = []
+    for i in range(12):
+        d = texts[i].split()
+        if len(d) < 2:
+            continue
+        pos = int(rng.integers(0, len(d) - 1))
+        queries.append(PhraseQuery("body", [d[pos], d[pos + 1]]))
+    bq = rt.BooleanQuery()
+    bq.add(PhraseQuery("body", queries[0].terms), rt.Occur.SHOULD)
+    queries.append(bq)
+    METRICS.reset()
+    got = s.search_batch(queries, k=10)
+    routed = METRICS.snapshot()["counters"].get("search.phrase_scalar_route", 0)
+    assert routed >= len(queries), f"expected scalar routing, got {routed}"
+    want = s_dev.search_batch(queries, k=10)
+    for g, w in zip(got, want):
+        assert g.total_hits == w.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in w.score_docs],
         )
