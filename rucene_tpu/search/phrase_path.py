@@ -160,12 +160,17 @@ class PhrasePathMixin:
             slot_parts.append(np.full(len(keep_b), j, np.int32))
         return np.concatenate(blk_parts), np.concatenate(slot_parts)
 
-    def _search_phrases_device(self, queries, rqs, k: int) -> list:
+    def _search_phrases_device(self, queries, rqs, k: int, _defer: bool = False):
         """Batch of pure PhraseQueries: block-interval pruning first, then
         rows whose pruned work fits the static tables run the device
         pipeline; heavy rows (common x common terms) batch into ONE scalar
         C++ engine call per leaf (VERDICT r3: per-row host reruns made
-        high-frequency phrase batches 10x slower than the baseline)."""
+        high-frequency phrase batches 10x slower than the baseline).
+
+        _defer=True returns a finish() closure: all device work (candidate
+        pipeline + position planes) is DISPATCHED and the scalar C++ rows
+        are evaluated (host CPU — overlaps the in-flight device programs)
+        before returning; every device_get waits until finish()."""
         from rucene_tpu.search.phrase_device import PhraseBatch, execute_phrases
         from rucene_tpu.search.searcher import build_leaf_cache, work_has_ef
 
@@ -174,6 +179,7 @@ class PhrasePathMixin:
         b_actual = len(rqs)
 
         per_query_leaf = [[] for _ in range(b_actual)]
+        deferred_jobs = []  # (leaf, cand_job|None, plane_futs, plane_spill)
         for leaf in self.reader.leaves:
             # ---- small-leaf shortcut: below the plane path's amortization
             # point, exact rows go straight to the batched scalar C++
@@ -270,7 +276,7 @@ class PhrasePathMixin:
                     (leaf.doc_base, np.zeros(0, np.int32), np.zeros(0, np.float32), 0)
                 )
 
-            overflow_rows: list[int] = []
+            cand_job = None  # (bmap, dev_rows, future)
             if dev_rows:
                 bmap = {gi: li for li, gi in enumerate(dev_rows)}
                 b_pad = next_pow2(len(dev_rows), 1)
@@ -329,59 +335,47 @@ class PhrasePathMixin:
                 from rucene_tpu.search.phrase_device import SLOP_CAP
 
                 slop_bucket = 0 if int(slop.max()) == 0 else SLOP_CAP
-                s, d, h, ov = jax.device_get(
-                    execute_phrases(
-                        leaf.device, pb, k=k, cand_cap=cand_cap, fmax=32,
-                        slop_max=slop_bucket,
-                        has_ef=work_has_ef(
-                            leaf.packed.blk_doc_bits, wi_block, wi_valid
-                        ),
-                    )
-                )
+                from rucene_tpu.search.searcher import prefetch_result
+
+                fut = prefetch_result(execute_phrases(
+                    leaf.device, pb, k=k, cand_cap=cand_cap, fmax=32,
+                    slop_max=slop_bucket,
+                    has_ef=work_has_ef(
+                        leaf.packed.blk_doc_bits, wi_block, wi_valid
+                    ),
+                ))
                 METRICS.incr("search.phrase_device", len(dev_rows))
-                for gi in dev_rows:
-                    li = bmap[gi]
-                    if ov[li]:
-                        overflow_rows.append(gi)
-                    else:
-                        per_query_leaf[gi].append(
-                            (leaf.doc_base, d[li], s[li], int(h[li]))
-                        )
+                cand_job = (bmap, dev_rows, fut)
 
             # ---- heavy/mid rows: dense position-plane path
             # (ops/phrase_plane) — cached per-term bit planes + shifted-AND
             # verify; rows a plane can't serve exactly (slop > 0, or
-            # overflow docs) join the batched scalar call. Rows that
-            # overflowed the candidate pipeline's tables retry here first —
-            # their term planes are the common ones already cached ----
+            # overflow docs) join the batched scalar call. DISPATCHED here;
+            # collected in finish() ----
             plane_rows = plane_pref + [
                 i
                 for i in sc_rows
                 if rqs[i].phrases[0][3] == 0 and 2 <= len(rqs[i].phrases[0][1]) <= 8
             ]
-            plane_rows += [
-                i
-                for i in overflow_rows
-                if rqs[i].phrases[0][3] == 0 and 2 <= len(rqs[i].phrases[0][1]) <= 8
-            ]
             pset = set(plane_rows)
             scalar_rows = [i for i in sc_rows if i not in pset]
-            overflow_rows = [i for i in overflow_rows if i not in pset]
+            plane_futs = []
             if plane_rows:
-                done, spill = self._search_phrase_planes(
+                plane_futs, plane_spill, early_done = self._dispatch_phrase_planes(
                     leaf, plane_rows, rqs, sim, stats, doc_freqs, k
                 )
-                METRICS.incr("search.phrase_plane", len(done))
-                for gi, (dd, ss, hh) in done.items():
+                scalar_rows.extend(plane_spill)
+                METRICS.incr("search.phrase_plane", len(early_done))
+                for gi, (dd, ss, hh) in early_done.items():
                     per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
-                scalar_rows.extend(spill)
 
-            host_rows = scalar_rows + overflow_rows
-            if host_rows:
-                METRICS.incr("search.phrase_host_fallback", len(host_rows))
+            # ---- scalar C++ rows: host CPU work, running WHILE the
+            # candidate/plane programs above are in flight on device ----
+            if scalar_rows:
+                METRICS.incr("search.phrase_host_fallback", len(scalar_rows))
             if direct_sc:
                 METRICS.incr("search.phrase_scalar_route", len(direct_sc))
-                host_rows = host_rows + direct_sc
+            host_rows = scalar_rows + direct_sc
             if host_rows:
                 hits = self._scalar_fallback_batch(
                     leaf, [rqs[i] for i in host_rows],
@@ -391,7 +385,67 @@ class PhrasePathMixin:
                     per_query_leaf[gi].append(
                         (leaf.doc_base, hh.docs, hh.scores, hh.total_hits)
                     )
-        return [self._merge_leaf_hits(per_query_leaf[i], k) for i in range(b_actual)]
+            deferred_jobs.append((leaf, cand_job, plane_futs))
+
+        def finish() -> list:
+            for leaf, cand_job, plane_futs in deferred_jobs:
+                overflow_rows: list[int] = []
+                if cand_job is not None:
+                    bmap, dev_rows, fut = cand_job
+                    s, d, h, ov = jax.device_get(fut)
+                    for gi in dev_rows:
+                        li = bmap[gi]
+                        if ov[li]:
+                            overflow_rows.append(gi)
+                        else:
+                            per_query_leaf[gi].append(
+                                (leaf.doc_base, d[li], s[li], int(h[li]))
+                            )
+                # plane futures dispatched before the scalar work
+                done, spill = self._plane_collect(plane_futs)
+                METRICS.incr("search.phrase_plane", len(done))
+                for gi, (dd, ss, hh) in done.items():
+                    per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
+                # rare residue: candidate-table overflow rows retry on the
+                # plane path (their term planes are the common ones already
+                # cached); plane-overflow spill rows rerun on the scalar
+                # engine — one extra serialized trip, overflow-only
+                plane_retry = [
+                    i
+                    for i in overflow_rows
+                    if rqs[i].phrases[0][3] == 0
+                    and 2 <= len(rqs[i].phrases[0][1]) <= 8
+                ]
+                pset2 = set(plane_retry)
+                late_scalar = [i for i in overflow_rows if i not in pset2]
+                if plane_retry:
+                    done2, spill2 = self._search_phrase_planes(
+                        leaf, plane_retry, rqs, sim, stats, doc_freqs, k
+                    )
+                    METRICS.incr("search.phrase_plane", len(done2))
+                    for gi, (dd, ss, hh) in done2.items():
+                        per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
+                    spill = spill + spill2
+                late_scalar = late_scalar + spill
+                if late_scalar:
+                    METRICS.incr("search.phrase_host_fallback", len(late_scalar))
+                    hits = self._scalar_fallback_batch(
+                        leaf, [rqs[i] for i in late_scalar],
+                        [queries[i] for i in late_scalar], sim, stats,
+                        doc_freqs, k,
+                    )
+                    for gi, hh in zip(late_scalar, hits):
+                        per_query_leaf[gi].append(
+                            (leaf.doc_base, hh.docs, hh.scores, hh.total_hits)
+                        )
+            return [
+                self._merge_leaf_hits(per_query_leaf[i], k)
+                for i in range(b_actual)
+            ]
+
+        if _defer:
+            return finish
+        return finish()
 
     def _plane_budget_bytes(self, leaf) -> int:
         """Plane-cache byte budget for this leaf's device view. Explicit
@@ -471,11 +525,13 @@ class PhrasePathMixin:
             and all(t is not None for t in rq.phrases[0][1])  # gapped: host
         )
 
-    def _search_mixed_device(self, queries, rqs, k: int) -> list:
+    def _search_mixed_device(self, queries, rqs, k: int, _defer: bool = False):
         """Mixed boolean rows (term clauses + one required exact phrase):
         dense term accumulators + cached position planes in one dispatch
         per (leaf, arity, chunk). Rows whose phrase planes overflow on any
-        leaf rerun whole on the host path (exact, rare)."""
+        leaf rerun whole on the host path (exact, rare). _defer=True
+        returns a finish() closure: all leaf dispatches happen now, the
+        device_gets (and rare host reruns) wait until finish()."""
         from rucene_tpu.search.executor import execute_mixed_planes
         from rucene_tpu.search.searcher import (
             build_clause_tables,
@@ -491,6 +547,7 @@ class PhrasePathMixin:
         doc_freqs, stats = self._gather_stats(rqs)
         per_query_leaf: list[list] = [[] for _ in range(b)]
         spilled: set[int] = set()
+        all_futures: list = []  # (leaf, gis, fut) across leaves
         for leaf in self.reader.leaves:
             if self._past_deadline():
                 break  # timeout: partial results, like the term path
@@ -498,8 +555,7 @@ class PhrasePathMixin:
             mdp = int(leaf.device.live.shape[0])
             by_ar: dict[int, list[int]] = {}
             for i, rq in enumerate(rqs):
-                if i not in spilled:
-                    by_ar.setdefault(len(rq.phrases[0][1]), []).append(i)
+                by_ar.setdefault(len(rq.phrases[0][1]), []).append(i)
             chunk_rows = max(
                 1, min(self.PHRASE_PLANE_CHUNK,
                        (self.PHRASE_PLANE_CHUNK << 20) // max(mdp, 1))
@@ -576,7 +632,9 @@ class PhrasePathMixin:
                         flat_o += cells[0][2]
                         denoms.append(cells[0][3])
                         ws.append(np.float32(0.0))
-                    fut = execute_mixed_planes(
+                    from rucene_tpu.search.searcher import prefetch_result
+
+                    fut = prefetch_result(execute_mixed_planes(
                         leaf.device, fq, tuple(flat_p), tuple(flat_o),
                         tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
                         k=k, n_terms=nt, use_pallas=self._use_pallas,
@@ -585,9 +643,12 @@ class PhrasePathMixin:
                             dev=leaf.device,
                         ),
                         filters=filters,
-                    )
+                    ))
                     futures.append(([gi for gi, *_ in cells], fut))
-            for gis, fut in futures:
+            all_futures.extend((leaf, gis, fut) for gis, fut in futures)
+
+        def finish() -> list:
+            for leaf, gis, fut in all_futures:
                 s, d, h, ovc = jax.device_get(fut)
                 for li, gi in enumerate(gis):
                     if int(ovc[li]) > 0:
@@ -599,13 +660,17 @@ class PhrasePathMixin:
                         (leaf.doc_base, np.asarray(d[li])[keep],
                          np.asarray(s[li])[keep], int(h[li]))
                     )
-        out = []
-        for i in range(b):
-            if i in spilled:
-                out.append(self._search_host(queries[i], k))
-            else:
-                out.append(self._merge_leaf_hits(per_query_leaf[i], k))
-        return out
+            out = []
+            for i in range(b):
+                if i in spilled:
+                    out.append(self._search_host(queries[i], k))
+                else:
+                    out.append(self._merge_leaf_hits(per_query_leaf[i], k))
+            return out
+
+        if _defer:
+            return finish
+        return finish()
 
     def _span_group_info(self, q):
         """(groups, slop, ordered) when a SpanNearQuery can ride the
@@ -827,17 +892,30 @@ class PhrasePathMixin:
         return denom
 
     def _search_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
-        """Heavy exact-phrase rows via dense position planes, batched into
-        one device dispatch per (arity, row chunk). Returns (done: gi ->
-        (docs, scores, hits), spill: rows needing the scalar path —
-        overflow docs present or a term plane unavailable).
+        """Heavy exact-phrase rows via dense position planes. Returns
+        (done: gi -> (docs, scores, hits), spill: rows needing the scalar
+        path — overflow docs present or a term plane unavailable)."""
+        futs, spill, done = self._dispatch_phrase_planes(
+            leaf, rows, rqs, sim, stats, doc_freqs, k
+        )
+        d2, sp2 = self._plane_collect(futs)
+        done.update(d2)
+        spill.extend(sp2)
+        return done, spill
+
+    def _dispatch_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
+        """Dispatch-only plane search: returns (futures, spill, done).
+        futures are (gis, device-future) pairs for _plane_collect; spill
+        rows need the scalar path; done holds results of eagerly-collected
+        early groups.
 
         Rows are processed in groups bounded by LIVE plane bytes: the LRU
         budget only frees planes this method is not holding references to,
         and one 512-query batch at 8.8M docs can reference ~128 distinct
         terms x 141 MB of planes — building them all before any search
-        crashed the TPU worker (HBM exhaustion). Groups release their refs
-        before the next group builds."""
+        crashed the TPU worker (HBM exhaustion). All but the LAST group
+        collect eagerly so a deferred caller pins at most one group's
+        planes past this call."""
         from rucene_tpu.ops.phrase_plane import WORDS
         from rucene_tpu.search.searcher import build_leaf_cache
 
@@ -863,20 +941,26 @@ class PhrasePathMixin:
             groups.append(cur)
         done: dict = {}
         spill: list[int] = []
-        for grp in groups:
-            d2, s2 = self._plane_row_group(
+        futures: list = []
+        for n, grp in enumerate(groups):
+            futs, sp = self._plane_group_dispatch(
                 leaf, grp, rqs, sim, stats, doc_freqs, k, cache, mdp
             )
-            done.update(d2)
-            spill.extend(s2)
-        return done, spill
+            spill.extend(sp)
+            if n < len(groups) - 1:
+                d2, sp2 = self._plane_collect(futs)
+                done.update(d2)
+                spill.extend(sp2)
+            else:
+                futures.extend(futs)
+        return futures, spill, done
 
-    def _plane_row_group(
+    def _plane_group_dispatch(
         self, leaf, rows, rqs, sim, stats, doc_freqs, k, cache, mdp
     ):
-        """One bounded group: build/fetch planes, dispatch all chunks, then
-        collect. Plane refs die with this frame so the cache LRU can evict
-        before the next group builds."""
+        """One bounded group: build/fetch planes and dispatch all chunks;
+        returns ((gis, future) list, spill). Plane refs die with the
+        futures so the cache LRU can evict before the next group builds."""
         from rucene_tpu.ops.phrase_plane import phrase_plane_search_many
 
         spill: list[int] = []
@@ -940,18 +1024,28 @@ class PhrasePathMixin:
                     flat_o += chunk[0][2]
                     denoms.append(chunk[0][3])
                     ws.append(np.float32(0.0))
-                fut = phrase_plane_search_many(
+                from rucene_tpu.search.searcher import prefetch_result
+
+                fut = prefetch_result(phrase_plane_search_many(
                     tuple(flat_p), tuple(flat_o), leaf.device.live,
                     tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
                     k=k, n_terms=nt,
-                )
+                ))
                 futures.append((gis, fut))
-        done = {}
+        return futures, spill
+
+    @staticmethod
+    def _plane_collect(futures):
+        """Collect (gis, future) pairs from _plane_group_dispatch: returns
+        (done: gi -> (docs, scores, hits), spill rows whose planes
+        overflowed FMAX/PMAX — rare; they rerun on the scalar engine)."""
+        done: dict = {}
+        spill: list[int] = []
         for gis, fut in futures:
             s, d, h, ovc = jax.device_get(fut)
             for li, gi in enumerate(gis):
                 if int(ovc[li]) > 0:
-                    spill.append(gi)  # rare: some doc exceeded FMAX/PMAX
+                    spill.append(gi)
                     continue
                 keep = s[li] > -np.inf
                 done[gi] = (

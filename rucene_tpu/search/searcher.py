@@ -55,6 +55,21 @@ def work_has_ef(host_dbits, wi_block, wi_valid, dev=None) -> bool:
     return bool((np.asarray(host_dbits)[blk] >= EF_TAG).any())
 
 
+def prefetch_result(tree):
+    """Start the device->host copy of a dispatched result as soon as its
+    program finishes (non-blocking). The deferred finish()'s device_get
+    then finds the bytes already on the host — without this, every
+    deferred result pays a fresh ~40ms tunnel roundtrip AT collect time,
+    serializing the gets the deferral was meant to overlap."""
+    for arr in jax.tree.leaves(tree):
+        if hasattr(arr, "copy_to_host_async"):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # backend without async copies: harmless
+                pass
+    return tree
+
+
 class ScoreDoc(NamedTuple):
     # NamedTuple, not dataclass: ~5x cheaper to build, and result lists
     # hold batch_size * k of these on every search
@@ -505,6 +520,27 @@ class IndexSearcher(PhrasePathMixin):
         (pure disjunctions at large corpora, small k — the regime where
         skipping low-upper-bound blocks beats scoring them); True/False
         force it. RUCENE_PRUNE / RUCENE_PRUNE_AUTO_MIN_DOCS override."""
+        return self.search_batch_async(queries, k, timeout_s=timeout_s,
+                                       prune=prune)()
+
+    def search_batch_async(
+        self,
+        queries: list[Query],
+        k: int = 10,
+        timeout_s: float | None = None,
+        prune: bool | None = None,
+    ):
+        """Pipelined entry point: dispatches every device program for this
+        batch NOW and returns a collect() closure producing the TopDocs.
+        A serving loop keeps 2+ batches in flight and collects in dispatch
+        order — batch N+1's host-side build (rewrites, clause tables, work
+        lists) then overlaps batch N's device execution and tunnel RTT,
+        the TPU analog of the reference's pipelined leaf slices
+        (searcher.rs:527: leaf tasks queue ahead of collector reduction).
+
+        Concurrent in-flight batches share the searcher's caches (safe:
+        single-threaded dispatch assumed) but NOT timeout state — pass
+        timeout_s only when collecting before the next dispatch."""
         self._deadline = None if timeout_s is None else (time.monotonic() + timeout_s)
         self.timed_out = False
         METRICS.incr("search.queries", len(queries))
@@ -570,10 +606,13 @@ class IndexSearcher(PhrasePathMixin):
 
         from rucene_tpu.util.metrics import trace
 
-        # dispatch the device rows WITHOUT collecting, run the host-side
-        # phrase work while the device computes, then collect — heavy
-        # phrases (scalar leapfrog) overlap the device batch instead of
-        # serializing after it
+        # dispatch EVERY device path without collecting — term/bool groups,
+        # phrase candidate tables, position planes and mixed rows all queue
+        # on the device back-to-back; the phrase dispatch also runs the
+        # scalar C++ rows (host CPU) while those programs are in flight.
+        # Collection happens once, in dispatch order: over the ~40ms-RTT
+        # tunnel, serialized per-path gets were the whole dispatch tax
+        # (r3 profile: 3.77s of a 4.66s 4-batch run blocked in device_get).
         device_finish = None
         if device_idx:
             with trace("search.device.dispatch"):
@@ -581,46 +620,62 @@ class IndexSearcher(PhrasePathMixin):
                     [rewritten[i] for i in device_idx], k, prune=prune,
                     _defer=True,
                 )
+        phrase_finish = None
         if phrase_idx:
-            with trace("search.phrases"):
-                ph_res = self._search_phrases_device(
-                    [queries[i] for i in phrase_idx], [rewritten[i] for i in phrase_idx], k
+            with trace("search.phrases.dispatch"):
+                phrase_finish = self._search_phrases_device(
+                    [queries[i] for i in phrase_idx],
+                    [rewritten[i] for i in phrase_idx], k, _defer=True,
                 )
-            for i, td in zip(phrase_idx, ph_res):
-                results[i] = td
+        mixed_finish = None
         if mixed_idx:
-            with trace("search.mixed"):
-                mx_res = self._search_mixed_device(
+            with trace("search.mixed.dispatch"):
+                mixed_finish = self._search_mixed_device(
                     [queries[i] for i in mixed_idx],
-                    [rewritten[i] for i in mixed_idx], k,
+                    [rewritten[i] for i in mixed_idx], k, _defer=True,
                 )
-            for i, td in zip(mixed_idx, mx_res):
-                results[i] = td
-        if device_finish is not None:
-            with trace("search.device"):
-                batch_res = device_finish()
-            for i, td in zip(device_idx, batch_res):
-                results[i] = td
-        if syn_idx:
-            with trace("search.synonyms"):
-                sy_res = self._search_synonym_device(
-                    [queries[i] for i in syn_idx], k
-                )
-            for i, td in zip(syn_idx, sy_res):
-                results[i] = td
-        if spanu_idx:
-            with trace("search.span_unordered"):
-                su_res = self._search_span_unordered_device(
-                    [queries[i] for i in spanu_idx], k
-                )
-            for i, td in zip(spanu_idx, su_res):
-                results[i] = td
+        # host-only rows: CPU work — runs while the device programs above
+        # are in flight
         for i in host_idx:
             results[i] = self._search_host(queries[i], k)
-        METRICS.observe("search.batch", time.perf_counter() - t_start)
+
+        def collect() -> list[TopDocs]:
+            if device_finish is not None:
+                with trace("search.device"):
+                    batch_res = device_finish()
+                for i, td in zip(device_idx, batch_res):
+                    results[i] = td
+            if phrase_finish is not None:
+                with trace("search.phrases"):
+                    ph_res = phrase_finish()
+                for i, td in zip(phrase_idx, ph_res):
+                    results[i] = td
+            if mixed_finish is not None:
+                with trace("search.mixed"):
+                    mx_res = mixed_finish()
+                for i, td in zip(mixed_idx, mx_res):
+                    results[i] = td
+            if syn_idx:
+                with trace("search.synonyms"):
+                    sy_res = self._search_synonym_device(
+                        [queries[i] for i in syn_idx], k
+                    )
+                for i, td in zip(syn_idx, sy_res):
+                    results[i] = td
+            if spanu_idx:
+                with trace("search.span_unordered"):
+                    su_res = self._search_span_unordered_device(
+                        [queries[i] for i in spanu_idx], k
+                    )
+                for i, td in zip(spanu_idx, su_res):
+                    results[i] = td
+            METRICS.observe("search.batch", time.perf_counter() - t_start)
+            return results  # type: ignore[return-value]
+
         # per-batch routing summary (VERDICT r2 weak #7/#10: silent
         # path-routing): rows per execution path, inspectable via
-        # METRICS.snapshot() and printable with RUCENE_ROUTE_LOG=1
+        # METRICS.snapshot() and printable with RUCENE_ROUTE_LOG=1 —
+        # counted at DISPATCH time (routing is a dispatch decision)
         METRICS.incr("route.device", len(device_idx))
         METRICS.incr("route.phrase", len(phrase_idx))
         METRICS.incr("route.mixed", len(mixed_idx))
@@ -641,7 +696,7 @@ class IndexSearcher(PhrasePathMixin):
                 file=sys.stderr,
                 flush=True,
             )
-        return results  # type: ignore[return-value]
+        return collect
 
     # --- shared helpers ---
     def _gather_stats(self, rqs: list[RewrittenQuery]):
@@ -900,15 +955,20 @@ class IndexSearcher(PhrasePathMixin):
         disjunction of >=2 term clauses, the corpus is large and k small —
         the regime where skipping low-upper-bound blocks can beat scoring
         them (the skip lists' reason to exist, skip_writer.rs:21-40).
-        Measured on v5e (exp/wand_ab.py): below ~half a million docs the
-        two-pass host roundtrip costs more than the skipped blocks save.
-        RUCENE_PRUNE=0/1 forces; RUCENE_PRUNE_AUTO_MIN_DOCS tunes."""
+        Measured on the real chip (r3, 1M docs / k=100 / batch 256): the
+        two-pass WAND costs 513 ms/batch vs ~150 ms exhaustive — the extra
+        serialized device roundtrip dwarfs the skipped decode work, and the
+        whole-bench QPS drops 1.7x (233 vs 396). So auto only engages where
+        the pass-2 rerun is likely to stay empty AND the per-block work is
+        big enough to matter: >=4M docs and k<=32 (unmeasured win — the
+        8.8M A/B refines this). RUCENE_PRUNE=0/1 forces;
+        RUCENE_PRUNE_AUTO_MIN_DOCS tunes."""
         env = os.environ.get("RUCENE_PRUNE")
         if env in ("0", "1"):
             return env == "1"
         total = sum(lf.max_doc for lf in self.reader.leaves)
-        min_docs = int(os.environ.get("RUCENE_PRUNE_AUTO_MIN_DOCS", 1 << 19))
-        if total < min_docs or k > 128:
+        min_docs = int(os.environ.get("RUCENE_PRUNE_AUTO_MIN_DOCS", 1 << 22))
+        if total < min_docs or k > 32:
             return False
         return all(
             rq.n_required == 0
@@ -1047,16 +1107,13 @@ class IndexSearcher(PhrasePathMixin):
         # where the budget is checked between dispatches
         timed = getattr(self, "_deadline", None) is not None
         if self.combine_segments and len(self.reader.leaves) > 1 and not timed:
-            res_combined = self._search_device_combined(
+            return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
                 single=single, filter_tables=filter_tables, strategy=strategy,
                 n_required_terms=n_required_terms, extras=extras,
-                with_dismax=with_dismax,
+                with_dismax=with_dismax, defer=_defer,
             )
-            if _defer:
-                return lambda: res_combined
-            return res_combined
 
         pending: list[tuple[int, object, object]] = []  # (doc_base, main, ma)
         for leaf in self.reader.leaves:
@@ -1085,7 +1142,10 @@ class IndexSearcher(PhrasePathMixin):
                     defer=True,
                 )
             elif prune:
-                fut = self._run_pruned(leaf, work, cache, n_required, min_should, k, pure=pure)
+                fut = self._run_pruned(
+                    leaf, work, cache, n_required, min_should, k, pure=pure,
+                    defer=True,
+                )
             else:
                 fut = self._run_work(
                     leaf, work[:6], cache, n_required, min_should, k, pure=pure,
@@ -1093,7 +1153,7 @@ class IndexSearcher(PhrasePathMixin):
                     extras=extras, with_dismax=with_dismax,
                 )
             ma_fut = (
-                execute_match_all(leaf.device, jnp.asarray(boosts), k=k)
+                prefetch_result(execute_match_all(leaf.device, jnp.asarray(boosts), k=k))
                 if match_all_rows.any()
                 else None
             )
@@ -1104,8 +1164,10 @@ class IndexSearcher(PhrasePathMixin):
                 [] for _ in range(b_actual)
             ]
             for doc_base, fut, ma_fut in pending:
-                if isinstance(fut, tuple) and isinstance(fut[0], np.ndarray):
-                    s, d, h = fut  # already host (prune path)
+                if callable(fut):  # deferred prune closure
+                    s, d, h = fut()
+                elif isinstance(fut, tuple) and isinstance(fut[0], np.ndarray):
+                    s, d, h = fut  # already host
                 else:
                     s, d, h = (np.asarray(x) for x in jax.device_get(fut))
                 if ma_fut is not None:
@@ -1128,9 +1190,13 @@ class IndexSearcher(PhrasePathMixin):
         match_all_rows, boosts, b_pad, t_pad, prune: bool = False,
         pure: bool = False, single: bool = False, filter_tables=None,
         strategy: str = "auto", n_required_terms=None, extras=None,
-        with_dismax: bool = False,
-    ) -> list[TopDocs]:
-        """All leaves in ONE executor dispatch over the concatenated view."""
+        with_dismax: bool = False, defer: bool = False,
+    ):
+        """All leaves in ONE executor dispatch over the concatenated view.
+        defer=True returns a finish() closure: the dispatch happens now,
+        every device_get waits until finish() — so row-class sub-batches
+        and the phrase paths overlap on device instead of serializing on
+        the ~40ms tunnel roundtrip per get."""
         from rucene_tpu.index.combined import build_combined_tables
 
         leaves = self.reader.leaves
@@ -1178,46 +1244,59 @@ class IndexSearcher(PhrasePathMixin):
                     if rec is not None:
                         lane_cnt[i] += rec.doc_freq
             view_ef = work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device)
-            s, d, h = self._run_single_view(
+            fut = self._run_single_view(
                 view.device, work, lane_cnt, cache, n_required, min_should, k,
-                has_ef=view_ef,
+                has_ef=view_ef, defer=True,
             )
         elif prune:
-            s, d, h = self._run_pruned_view(
+            fut = self._run_pruned_view(
                 view.device, view.blk_max_freq, view.n_blocks,
                 work, cache, n_required, min_should, k, pure=pure,
                 has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device),
+                defer=True,
             )
         else:
-            s, d, h = self._run_work_view(
+            fut = self._run_work_view(
                 view.device, work[:6], cache, n_required, min_should, k, pure=pure,
                 has_ef=work_has_ef(view.blk_dbits_host, work[0], work[5], dev=view.device),
                 filters=filters, strategy=strategy,
                 blk_ranges=(view.blk_first_host, view.blk_last_host),
-                extras=extras, with_dismax=with_dismax,
+                extras=extras, with_dismax=with_dismax, defer=True,
             )
-        if match_all_rows.any():
-            ms, mdoc, mh = jax.device_get(
-                execute_match_all(view.device, jnp.asarray(boosts), k=k)
-            )
-            s = np.where(match_all_rows[:, None], ms, s)
-            d = np.where(match_all_rows[:, None], mdoc, d)
-            h = np.where(match_all_rows, mh, h)
+        ma_fut = (
+            prefetch_result(execute_match_all(view.device, jnp.asarray(boosts), k=k))
+            if match_all_rows.any()
+            else None
+        )
 
-        out: list[TopDocs] = []
-        for i in range(b_actual):
-            keep = s[i] > -np.inf
-            docs = view.map_docs(d[i][keep].astype(np.int64), leaves)
-            out.append(
-                TopDocs(
-                    total_hits=int(h[i]),
-                    score_docs=[
-                        ScoreDoc(int(doc), float(sc))
-                        for doc, sc in zip(docs, s[i][keep])
-                    ],
+        def finish() -> list[TopDocs]:
+            if callable(fut):  # deferred prune closure
+                s, d, h = fut()
+            else:
+                s, d, h = (np.asarray(x) for x in jax.device_get(fut))
+            if ma_fut is not None:
+                ms, mdoc, mh = jax.device_get(ma_fut)
+                s = np.where(match_all_rows[:, None], ms, s)
+                d = np.where(match_all_rows[:, None], mdoc, d)
+                h = np.where(match_all_rows, mh, h)
+            out: list[TopDocs] = []
+            for i in range(b_actual):
+                keep = s[i] > -np.inf
+                docs = view.map_docs(d[i][keep].astype(np.int64), leaves)
+                out.append(
+                    TopDocs(
+                        total_hits=int(h[i]),
+                        score_docs=[
+                            ScoreDoc(int(doc), float(sc))
+                            for doc, sc in zip(docs, s[i][keep])
+                        ],
+                    )
                 )
-            )
-        return out
+            return out
+
+        if defer:
+            return finish
+        return finish()
 
     def _run_single_view(
         self, device, work, lane_cnt, cache, n_required, min_should, k,
@@ -1243,7 +1322,7 @@ class IndexSearcher(PhrasePathMixin):
             has_ef=has_ef,
         )
         if defer:
-            return res
+            return prefetch_result(res)
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
@@ -1267,7 +1346,7 @@ class IndexSearcher(PhrasePathMixin):
             with_dismax=with_dismax,
         )
         if defer:
-            return res
+            return prefetch_result(res)
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
@@ -1283,17 +1362,19 @@ class IndexSearcher(PhrasePathMixin):
             defer=defer, extras=extras, with_dismax=with_dismax,
         )
 
-    def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False):
+    def _run_pruned(self, leaf, work, cache, n_required, min_should, k, pure=False,
+                    defer=False):
         """Per-leaf WAND entry point (see _run_pruned_view)."""
         return self._run_pruned_view(
             leaf.device, leaf.packed.blk_max_freq, leaf.packed.num_blocks,
             work, cache, n_required, min_should, k, pure=pure,
             has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
+            defer=defer,
         )
 
     def _run_pruned_view(
         self, device, blk_max_freq, n_blocks, work, cache, n_required, min_should, k,
-        pure=False, has_ef=False,
+        pure=False, has_ef=False, defer=False,
     ):
         """Block-max (WAND-style) two-pass pruning for pure disjunctions
         (the reference's skip-list role, SURVEY §5 'block-max metadata').
@@ -1351,31 +1432,49 @@ class IndexSearcher(PhrasePathMixin):
         if pass1.sum() == wi_valid.sum():  # nothing to prune
             return self._run_work_view(
                 device, (wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid), cache,
-                n_required, min_should, k, has_ef=has_ef,
+                n_required, min_should, k, has_ef=has_ef, defer=defer,
             )
 
         sub = self._subset_work(work, pass1)
-        s1, d1, h1 = self._run_work_view(
-            device, sub, cache, n_required, min_should, k, has_ef=has_ef
+        # pass 1 is DISPATCHED now; its device_get defers into finish() so
+        # the caller can launch other sub-batches before anything blocks
+        # (the pass-2 dependency on the pass-1 threshold is inherent — one
+        # serialized roundtrip per affected batch is WAND's minimum)
+        fut1 = self._run_work_view(
+            device, sub, cache, n_required, min_should, k, has_ef=has_ef,
+            defer=True,
         )
-        t = s1[:, k - 1] if k <= s1.shape[1] else np.full(s1.shape[0], -np.inf, np.float32)
 
-        survivors = (~pass1) & wi_valid & (bound >= t[wi_row])
-        affected = np.zeros(len(n_required), dtype=bool)
-        affected[wi_row[survivors]] = True
-        METRICS.incr("search.pruned_blocks", int(((~pass1) & wi_valid & ~survivors).sum()))
-        if not affected.any():
-            return s1, d1, h1
-        # rerun affected rows with their full work lists
-        full_mask = wi_valid & affected[wi_row]
-        sub2 = self._subset_work(work, full_mask)
-        s2, d2, h2 = self._run_work_view(
-            device, sub2, cache, n_required, min_should, k, has_ef=has_ef
-        )
-        out_s = np.where(affected[:, None], s2, s1)
-        out_d = np.where(affected[:, None], d2, d1)
-        out_h = np.where(affected, h2, h1)
-        return out_s, out_d, out_h
+        def finish():
+            s1, d1, h1 = (np.asarray(x) for x in jax.device_get(fut1))
+            t = (
+                s1[:, k - 1]
+                if k <= s1.shape[1]
+                else np.full(s1.shape[0], -np.inf, np.float32)
+            )
+            survivors = (~pass1) & wi_valid & (bound >= t[wi_row])
+            affected = np.zeros(len(n_required), dtype=bool)
+            affected[wi_row[survivors]] = True
+            METRICS.incr(
+                "search.pruned_blocks",
+                int(((~pass1) & wi_valid & ~survivors).sum()),
+            )
+            if not affected.any():
+                return s1, d1, h1
+            # rerun affected rows with their full work lists
+            full_mask = wi_valid & affected[wi_row]
+            sub2 = self._subset_work(work, full_mask)
+            s2, d2, h2 = self._run_work_view(
+                device, sub2, cache, n_required, min_should, k, has_ef=has_ef
+            )
+            out_s = np.where(affected[:, None], s2, s1)
+            out_d = np.where(affected[:, None], d2, d1)
+            out_h = np.where(affected, h2, h1)
+            return out_s, out_d, out_h
+
+        if defer:
+            return finish
+        return finish()
 
     @staticmethod
     def _subset_work(work, mask):
