@@ -469,6 +469,10 @@ class IndexReader:
             leaf.doc_base = base
             base += leaf.max_doc
         self.max_doc = base
+        # point-in-time reader: doc freqs are immutable (deletes don't
+        # change df, matching Lucene), so memoize across batches — hot
+        # query terms repeat and each lookup walks a front-coded term dict
+        self._df_cache: dict[tuple[str, str], int] = {}
 
     @property
     def num_docs(self) -> int:
@@ -490,11 +494,17 @@ class IndexReader:
         )
 
     def doc_freq(self, field: str, text: str) -> int:
-        return sum(
-            rec.doc_freq
-            for leaf in self.leaves
-            if (rec := leaf.term_record(field, text)) is not None
-        )
+        got = self._df_cache.get((field, text))
+        if got is None:
+            got = sum(
+                rec.doc_freq
+                for leaf in self.leaves
+                if (rec := leaf.term_record(field, text)) is not None
+            )
+            if len(self._df_cache) > 1 << 20:
+                self._df_cache.clear()
+            self._df_cache[(field, text)] = got
+        return got
 
     def document(self, doc: int) -> dict[str, object]:
         for leaf in reversed(self.leaves):

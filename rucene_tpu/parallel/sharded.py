@@ -1123,11 +1123,8 @@ class ShardedSearcher:
             gdocs = self.index.map_docs(docs[i][keep])
             out.append(
                 TopDocs(
-                    total_hits=int(hits[i]),
-                    score_docs=[
-                        ScoreDoc(int(d), float(sc))
-                        for d, sc in zip(gdocs, scores[i][keep])
-                    ],
+                    total_hits=int(hits[i]), docs=np.asarray(gdocs),
+                    scores=scores[i][keep],
                 )
             )
         return out
@@ -1309,11 +1306,8 @@ class ShardedSearcher:
             gdocs = self.index.map_docs(docs[i][keep])
             out.append(
                 TopDocs(
-                    total_hits=int(hits[i]),
-                    score_docs=[
-                        ScoreDoc(int(d), float(sc))
-                        for d, sc in zip(gdocs, scores[i][keep])
-                    ],
+                    total_hits=int(hits[i]), docs=np.asarray(gdocs),
+                    scores=scores[i][keep],
                 )
             )
         return out

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
@@ -450,10 +449,40 @@ def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarra
     return cache
 
 
-@dataclass
 class TopDocs:
-    total_hits: int
-    score_docs: list[ScoreDoc]
+    """Top-k results. score_docs materializes ScoreDoc objects lazily from
+    the merged (docs, scores) arrays — a 256-query batch at k=100 boxes
+    25,600 tuples, ~35 ms/batch of pure Python that most callers (serving
+    loops reading only a few rows) never use. The ordering/merge work is
+    always done eagerly; only the boxing is deferred."""
+
+    __slots__ = ("total_hits", "_docs", "_scores", "_sd")
+
+    def __init__(self, total_hits: int, score_docs: list[ScoreDoc] | None = None,
+                 docs=None, scores=None):
+        self.total_hits = total_hits
+        self._sd = score_docs
+        self._docs = docs
+        self._scores = scores
+
+    @property
+    def score_docs(self) -> list[ScoreDoc]:
+        if self._sd is None:
+            self._sd = [
+                ScoreDoc(d, s)
+                for d, s in zip(self._docs.tolist(), self._scores.tolist())
+            ]
+        return self._sd
+
+    def __repr__(self) -> str:  # tests compare reprs in a few places
+        return f"TopDocs(total_hits={self.total_hits}, score_docs={self.score_docs})"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, TopDocs)
+            and self.total_hits == other.total_hits
+            and self.score_docs == other.score_docs
+        )
 
 
 class IndexSearcher(PhrasePathMixin):
@@ -730,22 +759,18 @@ class IndexSearcher(PhrasePathMixin):
             # padding at the tail: no re-sort needed for a single leaf
             base, d, sc, _h = per_leaf[0]
             m = min(int((sc > -np.inf).sum()), k)
-            dl = (base + d[:m].astype(np.int64)).tolist()
-            sl = sc[:m].tolist()  # bulk conversion: ~5x faster than per-item
             return TopDocs(
                 total_hits=total,
-                score_docs=[ScoreDoc(dd, ss) for dd, ss in zip(dl, sl)],
+                docs=base + d[:m].astype(np.int64),
+                scores=sc[:m],
             )
         gdocs = np.concatenate([base + d.astype(np.int64) for base, d, _, _ in per_leaf])
         scores = np.concatenate([s for _, _, s, _ in per_leaf])
         keep = scores > -np.inf
         gdocs, scores = gdocs[keep], scores[keep]
         order = np.lexsort((gdocs, -scores))[:k]
-        dl = gdocs[order].tolist()
-        sl = scores[order].tolist()
         return TopDocs(
-            total_hits=total,
-            score_docs=[ScoreDoc(dd, ss) for dd, ss in zip(dl, sl)],
+            total_hits=total, docs=gdocs[order], scores=scores[order]
         )
 
     # --- range filters on device (reference point_range_query.rs constant-
@@ -983,14 +1008,15 @@ class IndexSearcher(PhrasePathMixin):
 
     def _search_device(
         self, rqs: list[RewrittenQuery], k: int, prune: bool | None = None,
-        _defer: bool = False,
+        _defer: bool = False, _stats=None,
     ):
         """_defer=True returns a finish() closure instead of results, so
         several sub-batches can be DISPATCHED before any device_get — the
         row-class split's programs then overlap on device instead of
-        paying dispatch+RTT serially."""
+        paying dispatch+RTT serially. _stats: (doc_freqs, stats) computed
+        by the caller (the row-class recursion passes them down)."""
         sim = self.similarity
-        doc_freqs, stats = self._gather_stats(rqs)
+        doc_freqs, stats = _stats if _stats is not None else self._gather_stats(rqs)
         b_actual = len(rqs)
         b_pad = next_pow2(b_actual, 1)
         t_pad = next_pow2(max((len(rq.all_slots()) for rq in rqs), default=1), 1)
@@ -1081,7 +1107,8 @@ class IndexSearcher(PhrasePathMixin):
                 # dispatch every group's program(s) first, then collect
                 starters = [
                     (idxs, self._search_device(
-                        [rqs[i] for i in idxs], k, prune=prune, _defer=True
+                        [rqs[i] for i in idxs], k, prune=prune, _defer=True,
+                        _stats=(doc_freqs, stats),
                     ))
                     for idxs in groups.values()
                 ]
@@ -1284,13 +1311,7 @@ class IndexSearcher(PhrasePathMixin):
                 keep = s[i] > -np.inf
                 docs = view.map_docs(d[i][keep].astype(np.int64), leaves)
                 out.append(
-                    TopDocs(
-                        total_hits=int(h[i]),
-                        score_docs=[
-                            ScoreDoc(int(doc), float(sc))
-                            for doc, sc in zip(docs, s[i][keep])
-                        ],
-                    )
+                    TopDocs(total_hits=int(h[i]), docs=docs, scores=s[i][keep])
                 )
             return out
 
