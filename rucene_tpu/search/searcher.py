@@ -1071,6 +1071,26 @@ class IndexSearcher(PhrasePathMixin):
         ]
         single = all(single_rows) and not prune and no_deletes and not match_all_rows.any()
 
+        # pair-gallop eligibility: 2-term-clause AND/OR rows on decoded-
+        # residency devices skip dense accumulators AND the lane sort —
+        # owner lanes + binary-search membership (executor.execute_flat_pair)
+        pair_ok_dev = (
+            os.environ.get("RUCENE_PAIR", "1") != "0"
+            and prune is not True
+            and all(
+                lf.device.docs_dec is not None for lf in self.reader.leaves
+            )
+        )
+        if pair_ok_dev:
+            from rucene_tpu.search.pair_path import pair2_eligible
+
+            pair2_rows = [
+                pair2_eligible(rq, weight[i]) for i, rq in enumerate(rqs)
+            ]
+        else:
+            pair2_rows = [False] * b_actual
+        pair2 = bool(pair2_rows) and all(pair2_rows) and not single
+
         # range clauses ride as device filter planes; WAND bounds don't
         # cover their constant scores, so pruning is disabled for such
         # batches, and candidate-strategy completeness decides the shape
@@ -1099,8 +1119,9 @@ class IndexSearcher(PhrasePathMixin):
             and sum(lf.max_doc for lf in self.reader.leaves) >= (1 << 19)
         ):
             cls = [
-                0 if (s and not prune and no_deletes) else (1 if p else 2)
-                for s, p in zip(single_rows, pure_rows)
+                0 if (s and not prune and no_deletes)
+                else (3 if pr2 else (1 if p else 2))
+                for s, p, pr2 in zip(single_rows, pure_rows, pair2_rows)
             ]
             groups = {c: [i for i, ci in enumerate(cls) if ci == c] for c in set(cls)}
             if len(groups) > 1:
@@ -1125,7 +1146,7 @@ class IndexSearcher(PhrasePathMixin):
                 return finish_split()
 
         if prune is None:
-            prune = self._auto_prune_decision(rqs, k)
+            prune = (not pair2) and self._auto_prune_decision(rqs, k)
             if prune:
                 METRICS.incr("search.auto_prune_batches")
 
@@ -1133,7 +1154,10 @@ class IndexSearcher(PhrasePathMixin):
         # it (VERDICT r2 weak #9), so timed batches take the per-leaf loop
         # where the budget is checked between dispatches
         timed = getattr(self, "_deadline", None) is not None
-        if self.combine_segments and len(self.reader.leaves) > 1 and not timed:
+        if (
+            self.combine_segments and len(self.reader.leaves) > 1
+            and not timed and not pair2
+        ):
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
                 match_all_rows, boosts, b_pad, t_pad, prune=prune, pure=pure,
@@ -1148,6 +1172,13 @@ class IndexSearcher(PhrasePathMixin):
                 break
             cache = build_leaf_cache(leaf, sim, stats)
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
+            if pair2:
+                fut = self._run_pair(
+                    leaf, rqs, weight, field_id, block_start, block_count,
+                    cache, n_required, min_should, k, b_pad,
+                )
+                pending.append((leaf.doc_base, fut, None))
+                continue
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
             work, _ = prune_conjunctions(
                 work, n_required_terms,
@@ -1347,10 +1378,38 @@ class IndexSearcher(PhrasePathMixin):
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
+    def _run_pair(self, leaf, rqs, weight, field_id, block_start, block_count,
+                  cache, n_required, min_should, k, b_pad):
+        """Pair-gallop dispatch for 2-term-clause boolean rows (AND2/OR2):
+        owner lanes + binary-search membership against the other clause's
+        decoded blocks — no dense accumulator, no lane sort
+        (executor.execute_flat_pair; the leapfrog analog of
+        conjunction_scorer.rs over skip_reader.rs:118)."""
+        from rucene_tpu.search.executor import PairBatch, execute_flat_pair
+        from rucene_tpu.search.pair_path import build_pair_work
+
+        work, ph = build_pair_work(
+            leaf, rqs, weight, field_id, block_start, block_count, b_pad
+        )
+        METRICS.incr("route.pair_rows", len(rqs))
+        METRICS.incr("search.flat_lanes", int(work[6]) * 128)
+        fq = make_flat_batch(
+            work, n_required, min_should, cache, dedupe=False, dev=leaf.device
+        )
+        mla = ph.pop("max_lanes_a")
+        mlb = ph.pop("max_lanes_b")
+        pb = jax.device_put(PairBatch(**ph))
+        res = execute_flat_pair(
+            leaf.device, fq, pb, k=k, max_lanes_a=mla, max_lanes_b=mlb
+        )
+        return prefetch_result(res)
+
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
                        pure=False, has_ef=False, filters=None, strategy="auto",
                        blk_ranges=None, defer=False, extras=None,
                        with_dismax=False):
+        strategy = os.environ.get("RUCENE_STRATEGY", strategy)  # A/B knob
+        METRICS.incr("search.flat_lanes", int(arrays[5].sum()) * 128)
         combine = None
         if blk_ranges is not None and strategy in ("auto", "dense"):
             combine = build_combine_batch(

@@ -70,6 +70,9 @@ def test_auto_rule(monkeypatch):
 def test_auto_prune_parity_and_engagement(monkeypatch):
     monkeypatch.setenv("RUCENE_PRUNE_AUTO_MIN_DOCS", "100")
     monkeypatch.delenv("RUCENE_PRUNE", raising=False)
+    # the pair-gallop path outranks WAND for 2-clause OR rows (exact hits,
+    # no second pass); disable it here — this test pins the prune RULE
+    monkeypatch.setenv("RUCENE_PAIR", "0")
     reader = _reader()
     s = rt.IndexSearcher(reader)
     qs = _or_queries()
