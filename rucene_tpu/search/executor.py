@@ -808,106 +808,118 @@ def execute_mixed_planes(
 class PairBatch(NamedTuple):
     """Device tables for the pair-gallop executor (execute_flat_pair) —
     the batched TPU analog of the reference's doc-at-a-time leapfrog
-    (conjunction_scorer.rs leapfrog via skip_reader.rs:118), for rows of
-    exactly two term clauses (AND2 / OR2, the dominant boolean shapes).
+    (conjunction_scorer.rs over skip_reader.rs:118), for rows of exactly
+    two positive term clauses (AND2 / OR2, the dominant boolean shapes).
 
-    Owner work items are blocks whose lanes CANDIDATE the row's matches:
-    for AND2 the smaller clause's blocks (docs must appear in both lists);
-    for OR2 both clauses' blocks (each doc owned by the clause that sees
-    it first). Every owner lane resolves its membership in the row's
-    OTHER clause by binary search within the probe blocks that overlap
-    its own block — the pair list ((owner item, probe block), built on
-    the host from block doc ranges) bounds that search to <=128 entries
-    per pair, so the device never sorts lanes or builds [B, max_doc]
-    accumulators. Exact: scores combine per doc exactly once, total_hits
-    counts owned matching lanes, and top-k ties resolve (score desc,
-    doc asc) via per-extent top_k + a tiny 2k merge."""
+    Owner work items are blocks whose lanes CANDIDATE the row's matches.
+    The owner is always the DENSER clause (more blocks): its blocks span
+    narrow doc ranges, so the number of probe (other-clause) blocks
+    overlapping any owner block is small — each owner item carries a
+    fixed [MAXP] slot table of overlapping probe block ids, and every
+    owner lane resolves membership + the probe clause's BM25 contribution
+    with a pure-VPU broadcast compare over those slots. No [B, max_doc]
+    accumulator, no lane sort, no scatter (the flat pair-list + segment
+    sum formulation measured 0.6-1.2 s/batch at 1M docs — scatter-bound).
+
+    OR2 keeps a second extent of the SPARSER clause's lanes carrying
+    partial scores (own clause only, possibly duplicating intersection
+    docs); the merge takes top-k of the probing extent (full scores) +
+    top-2k of the partial extent and dedups by doc, which is exact: if
+    2k partial entries outrank a non-duplicate candidate, their 2k full
+    counterparts outrank it too, so it was never in the top-k. Exact
+    total_hits via inclusion-exclusion counted on owner lanes."""
 
     # owner-item tables (aligned with the FlatQueryBatch work list)
-    oi_mode: jax.Array  # i32[W] 1=OR-first 2=OR-second 3=AND-owner
+    oi_mode: jax.Array  # i32[W] 1=OR-probing 2=OR-partial 3=AND-probing
     oi_pw: jax.Array  # f32[W] probe clause weight (0 if probe absent)
-    # pair tables
-    pr_item: jax.Array  # i32[PP] owner work-item index (-1 pad)
-    pr_pblk: jax.Array  # i32[PP] probe global block id
-    # per-row lane extents (owner items contiguous per row, A then B)
-    row_a_start: jax.Array  # i32[B] first owner item of the A extent
-    row_a_items: jax.Array  # i32[B] item count of the A extent
-    row_b_start: jax.Array  # i32[B]
-    row_b_items: jax.Array  # i32[B]
+    pr_slots: jax.Array  # i32[W, MAXP] probe global block ids (-1 inert)
+    # per-row lane extents (owner items contiguous per extent, rows asc)
+    row_p_start: jax.Array  # i32[B] first owner item, probing extent
+    row_p_items: jax.Array  # i32[B]
+    row_s_start: jax.Array  # i32[B] partial (OR sparse) extent
+    row_s_items: jax.Array  # i32[B]
 
 
-@partial(jax.jit, static_argnames=("k", "max_lanes_a", "max_lanes_b"))
+@partial(jax.jit, static_argnames=("k", "max_lanes_p", "max_lanes_s",
+                                   "with_live"))
 def execute_flat_pair(
     dev: DeviceSegment,
     q: FlatQueryBatch,
     p: PairBatch,
     k: int,
-    max_lanes_a: int,
-    max_lanes_b: int,
+    max_lanes_p: int,
+    max_lanes_s: int,
+    with_live: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Two-term-clause boolean rows via pair gallop (see PairBatch).
     Decoded-residency only (dev.docs_dec is not None — the caller
-    guarantees it). Returns (scores f32[B,k], docs i32[B,k],
+    guarantees it). with_live: gather the live mask per lane (segments
+    with deletes). Returns (scores f32[B,k], docs i32[B,k],
     total_hits i32[B])."""
-    md = dev.max_doc_padded
-    b = p.row_a_start.shape[0]
-    target, _rows, sc, valid, _ = decode_score_lanes(dev, q, False, False)
-    w = target.shape[0]
+    from rucene_tpu.ops.decode import INVALID_DOC
 
-    # --- pair phase: per owner lane, membership + BM25 contribution of
-    # the probe clause. Pure-VPU broadcast compare over the probe block's
-    # 128 lanes (each owner doc matches at most one): no sort, no gather
-    # — the [128x128] compare never materializes (accumulated per column)
-    safe_item = jnp.clip(p.pr_item, 0, w - 1)
-    od = target[safe_item]  # [PP,128] owner docs (md+1 invalid)
-    pd = dev.docs_dec[p.pr_pblk]  # [PP,128] probe docs (INVALID pad)
-    pf = dev.freqs_dec[p.pr_pblk].astype(jnp.float32)
-    pc = q.cval_dec[p.pr_pblk]
-    ptf = jnp.zeros_like(od, jnp.float32)
-    pcv = jnp.zeros_like(od, jnp.float32)
-    for j in range(128):
-        m = od == pd[:, j : j + 1]
-        ptf = ptf + jnp.where(m, pf[:, j : j + 1], 0.0)
-        pcv = pcv + jnp.where(m, pc[:, j : j + 1], 0.0)
-    live_pair = p.pr_item >= 0
-    hit = (ptf > 0.0) & live_pair[:, None]
-    pw = p.oi_pw[safe_item][:, None]
-    contrib = jnp.where(hit, pw * ptf / (ptf + pcv), 0.0)
-    seg = jnp.where(live_pair, p.pr_item, w)  # pad -> dropped row
-    # pairs arrive sorted by owner item (host order): sorted segment sums
-    psc = jax.ops.segment_sum(
-        contrib, seg, num_segments=w + 1, indices_are_sorted=True
-    )[:w]
-    pmem = jax.ops.segment_sum(
-        hit.astype(jnp.int32), seg, num_segments=w + 1, indices_are_sorted=True
-    )[:w]
+    md = dev.max_doc_padded
+    b = p.row_p_start.shape[0]
+    target, _rows, sc, valid, _ = decode_score_lanes(dev, q, False, False)
+    w, maxp = p.pr_slots.shape
+
+    # --- probe phase: [W, MAXP*128] windows of probe docs/freqs/denoms;
+    # per owner lane, membership resolves by broadcast compare (each doc
+    # appears in at most one probe block, so sums == selects) ---
+    nbr = dev.docs_dec.shape[0]
+    slot_ok = p.pr_slots >= 0
+    sb = jnp.clip(p.pr_slots, 0, nbr - 1)
+    pdw = jnp.where(
+        slot_ok[:, :, None], dev.docs_dec[sb], INVALID_DOC
+    ).reshape(w, maxp * 128)
+    pfw = jnp.where(
+        slot_ok[:, :, None], dev.freqs_dec[sb].astype(jnp.float32), 0.0
+    ).reshape(w, maxp * 128)
+    pcw = q.cval_dec[sb].reshape(w, maxp * 128)
+    ptf_cols = []
+    pcv_cols = []
+    for i in range(128):
+        m = pdw == target[:, i : i + 1]  # [W, MAXP*128]
+        ptf_cols.append(jnp.sum(jnp.where(m, pfw, 0.0), axis=1))
+        pcv_cols.append(jnp.sum(jnp.where(m, pcw, 0.0), axis=1))
+    ptf = jnp.stack(ptf_cols, axis=1)  # [W,128]
+    pcv = jnp.stack(pcv_cols, axis=1)
+    member = ptf > 0.0  # real postings always have tf >= 1
+    pw = p.oi_pw[:, None]
+    psc = jnp.where(member, pw * ptf / jnp.where(member, ptf + pcv, 1.0), 0.0)
 
     # --- owner-lane resolution ---
-    safe_t = jnp.clip(target, 0, md - 1)
-    alive = valid & dev.live[safe_t]
+    if with_live:
+        alive = valid & dev.live[jnp.clip(target, 0, md - 1)]
+    else:
+        alive = valid
     mode = p.oi_mode[:, None]  # [W,1] broadcasts over lanes
-    member = pmem > 0
-    match = alive & jnp.where(
-        mode == 3, member, jnp.where(mode == 2, ~member, True)
-    )
+    match = alive & jnp.where(mode == 3, member, True)
     score = jnp.where(
         match, sc + jnp.where(mode == 2, 0.0, psc), -jnp.inf
     )
+    # exact union counts: probing extent counts alive & ~member (for OR;
+    # AND counts alive & member), partial extent counts alive — summing
+    # both extents yields |A| + |B| - |A∩B| (OR) / |A∩B| (AND)
+    count_lane = jnp.where(
+        mode == 1, alive & ~member, jnp.where(mode == 2, alive, match)
+    ).astype(jnp.int32)
 
     # --- per-row top-k: per-extent top_k (lanes ascend by doc within an
-    # extent, so lower-index tie-break IS doc-asc), then a 2k merge ---
-    mflat = jnp.concatenate([match.reshape(-1), jnp.zeros(1, bool)])
+    # extent, so top_k's lower-index tie-break IS doc-asc), then a small
+    # dedup + merge over <= 3k candidates ---
+    pad = max(max_lanes_p, max_lanes_s, 1)
     sflat = jnp.concatenate(
-        [score.reshape(-1), jnp.full(max(max_lanes_a, max_lanes_b), -jnp.inf)]
+        [score.reshape(-1), jnp.full(pad, -jnp.inf, jnp.float32)]
     )
     dflat = jnp.concatenate(
         [
             jnp.where(match, target, jnp.int32(2**31 - 1)).reshape(-1),
-            jnp.full(max(max_lanes_a, max_lanes_b), jnp.int32(2**31 - 1)),
+            jnp.full(pad, jnp.int32(2**31 - 1)),
         ]
     )
 
-    def extent_topk(start, items, max_lanes):
+    def extent_topk(start, items, max_lanes, kk):
         def row(s, n):
             sc_v = jax.lax.dynamic_slice(sflat, (s * 128,), (max_lanes,))
             dc_v = jax.lax.dynamic_slice(dflat, (s * 128,), (max_lanes,))
@@ -918,46 +930,54 @@ def execute_flat_pair(
             )
 
         sc_rows, dc_rows = jax.vmap(row)(start, items)
-        kk = min(k, max_lanes)
-        ts, tj = jax.lax.top_k(sc_rows, kk)
+        k_eff = min(kk, max_lanes)
+        ts, tj = jax.lax.top_k(sc_rows, k_eff)
         td = jnp.take_along_axis(dc_rows, jnp.clip(tj, 0, max_lanes - 1), axis=1)
         got = ts > -jnp.inf
         td = jnp.where(got, td, jnp.int32(2**31 - 1))
-        if kk < k:
+        if k_eff < kk:
             ts = jnp.concatenate(
-                [ts, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+                [ts, jnp.full((b, kk - k_eff), -jnp.inf, jnp.float32)], axis=1
             )
             td = jnp.concatenate(
-                [td, jnp.full((b, k - kk), jnp.int32(2**31 - 1))], axis=1
+                [td, jnp.full((b, kk - k_eff), jnp.int32(2**31 - 1))], axis=1
             )
         return ts, td
 
-    ts_a, td_a = extent_topk(p.row_a_start, p.row_a_items, max_lanes_a)
-    if max_lanes_b > 0:
-        ts_b, td_b = extent_topk(p.row_b_start, p.row_b_items, max_lanes_b)
-        cs = jnp.concatenate([ts_a, ts_b], axis=1)
-        cd = jnp.concatenate([td_a, td_b], axis=1)
-        # exact (score desc, doc asc) over <=2k candidates per row
-        ns, sd = jax.lax.sort((-cs, cd), num_keys=2, dimension=-1)
-        top_scores, top_docs = -ns[:, :k], sd[:, :k]
+    ts_p, td_p = extent_topk(p.row_p_start, p.row_p_items, max_lanes_p, k)
+    if max_lanes_s > 0:
+        ts_s, td_s = extent_topk(p.row_s_start, p.row_s_items, max_lanes_s, 2 * k)
+        cs = jnp.concatenate([ts_p, ts_s], axis=1)
+        cd = jnp.concatenate([td_p, td_s], axis=1)
+        # dedup duplicate docs (keep the higher score = the full entry):
+        # sort by (doc, -score), kill adjacent repeats, re-sort by
+        # (-score, doc), take k — all at <= 3k width
+        d1, ns1 = jax.lax.sort((cd, -cs), num_keys=2, dimension=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), d1[:, 1:] == d1[:, :-1]], axis=1
+        ) & (d1 != jnp.int32(2**31 - 1))
+        ns1 = jnp.where(dup, jnp.inf, ns1)
+        d1 = jnp.where(dup, jnp.int32(2**31 - 1), d1)
+        ns2, d2 = jax.lax.sort((ns1, d1), num_keys=2, dimension=-1)
+        top_scores, top_docs = -ns2[:, :k], d2[:, :k]
     else:
-        top_scores, top_docs = ts_a, td_a
+        top_scores, top_docs = ts_p, td_p
 
-    # exact total hits: count matched lanes per row via both extents
-    match_cnt = jnp.concatenate(
-        [jnp.cumsum(match.sum(axis=1)), jnp.zeros(1, jnp.int32)]
+    # exact total hits: prefix sums of per-item counts, read per extent
+    cnt = jnp.concatenate(
+        [jnp.cumsum(count_lane.sum(axis=1)), jnp.zeros(1, jnp.int32)]
     )
 
     def ext_hits(start, items):
-        lo = jnp.where(start > 0, match_cnt[jnp.clip(start - 1, 0, w)], 0)
+        lo = jnp.where(start > 0, cnt[jnp.clip(start - 1, 0, w)], 0)
         hi = jnp.where(
-            items > 0, match_cnt[jnp.clip(start + items - 1, 0, w)], lo
+            items > 0, cnt[jnp.clip(start + items - 1, 0, w)], lo
         )
         return hi - lo
 
     total_hits = (
-        ext_hits(p.row_a_start, p.row_a_items)
-        + ext_hits(p.row_b_start, p.row_b_items)
+        ext_hits(p.row_p_start, p.row_p_items)
+        + ext_hits(p.row_s_start, p.row_s_items)
     ).astype(jnp.int32)
     return top_scores, top_docs, total_hits
 

@@ -4,16 +4,18 @@ The reference evaluates AND/OR of two terms with a doc-at-a-time
 iterator leapfrog over skip lists (rucene
 src/core/search/scorer/conjunction_scorer.rs, disjunction_scorer.rs:24,
 skip_reader.rs:118). The batched TPU analog (executor.execute_flat_pair)
-keeps owner lanes (AND: the smaller list; OR: both lists) and resolves
-each lane's membership in the other list by binary search inside the
-probe blocks that overlap its own block. This module builds, per leaf,
-the owner work list + (owner item, probe block) pair list from the
-host-resident block doc-range metadata — the same structure skip lists
-encode — entirely with vectorized numpy.
+keeps owner lanes — the DENSER clause's blocks, plus the sparser
+clause's blocks for OR — and resolves each owner lane's membership in
+the other list with a broadcast compare against the few probe blocks
+overlapping its own block. This module builds the owner work list and
+the per-item [MAXP] probe-slot table from host-resident block doc-range
+metadata (the same structure skip lists encode), with vectorized numpy.
 
 Eligibility (pair2_eligible): rows of exactly two positive term clauses
-(MUST+MUST or SHOULD+SHOULD with min_should <= 1), plain (no dismax /
-const / demote), no ranges, decoded-residency devices.
+(MUST+MUST, or SHOULD+SHOULD with effective min_should <= 1), plain (no
+dismax/const/demote), no ranges/phrases/groups, decoded-residency
+devices. Rows whose probe-slot count exceeds MAXP_CAP (pathological
+local density inversion) are reported back for old-path fallback.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import numpy as np
 
 from rucene_tpu.search.query import Occur
 from rucene_tpu.util import next_pow2
+
+MAXP_CAP = 16  # per-owner-block probe-slot cap; beyond -> row falls back
 
 
 def pair2_eligible(rq, weight_row) -> bool:
@@ -52,87 +56,79 @@ def pair2_eligible(rq, weight_row) -> bool:
 
 def build_pair_work(leaf, rqs, weight, field_id, block_start, block_count,
                     b_pad: int | None = None):
-    """Owner work list + pair tables for one leaf.
+    """Owner work list + probe-slot tables for one leaf.
 
-    Returns (work_tuple, pair_host) where work_tuple feeds
-    make_flat_batch (wi_block..wi_valid, n, wi_tslot) and pair_host is a
-    dict of numpy arrays matching executor.PairBatch plus the static
-    max_lanes_a / max_lanes_b."""
+    Returns (work_tuple, pair_host, bad_rows): work_tuple feeds
+    make_flat_batch (wi_block..wi_valid, n, wi_tslot); pair_host is a
+    dict matching executor.PairBatch plus static max_lanes_p/max_lanes_s;
+    bad_rows lists row indices whose slot count exceeded MAXP_CAP (their
+    extents are omitted — the caller must serve them another way)."""
     b = b_pad or next_pow2(max(len(rqs), 1), 1)
     blk_first = leaf.packed.blk_first_doc
     blk_last = leaf.packed.blk_last_doc
 
-    oi_block: list[np.ndarray] = []
-    oi_row: list[np.ndarray] = []
-    oi_weight: list[np.ndarray] = []
-    oi_fid: list[np.ndarray] = []
-    oi_mode: list[np.ndarray] = []
-    oi_pw: list[np.ndarray] = []
-    pr_item: list[np.ndarray] = []
-    pr_pblk: list[np.ndarray] = []
-    row_a = np.zeros((b, 2), np.int32)  # start, items
-    row_b = np.zeros((b, 2), np.int32)
-    n_items = 0
-
-    def emit(row, s, c, w, f, mode, pw, ps, pc):
-        """One extent: owner blocks [s, s+c) probing probe blocks
-        [ps, ps+pc); returns item count."""
-        nonlocal n_items
-        blocks = np.arange(s, s + c, dtype=np.int32)
-        oi_block.append(blocks)
-        oi_row.append(np.full(c, row, np.int32))
-        oi_weight.append(np.full(c, w, np.float32))
-        oi_fid.append(np.full(c, f, np.int32))
-        oi_mode.append(np.full(c, mode, np.int32))
-        oi_pw.append(np.full(c, pw, np.float32))
-        if pc > 0:
-            pfirst = blk_first[ps : ps + pc]
-            plast = blk_last[ps : ps + pc]
-            lo = np.searchsorted(plast, blk_first[s : s + c], side="left")
-            hi = np.searchsorted(pfirst, blk_last[s : s + c], side="right")
-            cnt = np.maximum(hi - lo, 0)
-            total = int(cnt.sum())
-            if total:
-                item_of = np.repeat(np.arange(c), cnt)
-                offs = np.arange(total) - np.repeat(
-                    np.concatenate([[0], np.cumsum(cnt)])[:-1], cnt
-                )
-                pr_item.append((n_items + item_of).astype(np.int32))
-                pr_pblk.append((ps + lo[item_of] + offs).astype(np.int32))
-        n_items += c
-        return c
-
+    ext = []  # (row, start_blk, count, weight, fid, mode, pw, ps, pc)
+    bad_rows: list[int] = []
     for i, rq in enumerate(rqs):
-        slots = []
-        for j, c in enumerate(rq.clauses):
-            slots.append(
-                (
-                    int(block_start[i, j]),
-                    int(block_count[i, j]),
-                    float(weight[i, j]),
-                    int(field_id[i, j]),
-                )
-            )
-        (s0, c0, w0, f0), (s1, c1, w1, f1) = slots
+        s0 = int(block_start[i, 0])
+        c0 = int(block_count[i, 0])
+        s1 = int(block_start[i, 1])
+        c1 = int(block_count[i, 1])
+        w0 = float(weight[i, 0])
+        w1 = float(weight[i, 1])
+        f0 = int(field_id[i, 0])
+        f1 = int(field_id[i, 1])
         is_and = rq.clauses[0].occur == Occur.MUST
+        # denser clause owns the probing extent (narrow block spans bound
+        # the probe-slot count); the sparser is the probe / partial side
+        if c1 > c0:
+            (sd, cd, wd, fd), (ss, cs, ws, fs) = (s1, c1, w1, f1), (s0, c0, w0, f0)
+        else:
+            (sd, cd, wd, fd), (ss, cs, ws, fs) = (s0, c0, w0, f0), (s1, c1, w1, f1)
         if is_and:
             if c0 == 0 or c1 == 0:
                 continue  # a required term is absent: row matches nothing
-            # owner = smaller list; probe contributes the other's score
-            if c0 <= c1:
-                row_a[i] = (n_items, emit(i, s0, c0, w0, f0, 3, w1, s1, c1))
-            else:
-                row_a[i] = (n_items, emit(i, s1, c1, w1, f1, 3, w0, s0, c0))
+            ext.append((i, sd, cd, wd, fd, 3, ws, ss, cs))
         else:
-            if c0 > 0:
-                row_a[i] = (
-                    n_items,
-                    emit(i, s0, c0, w0, f0, 1, w1 if c1 else 0.0, s1, c1),
-                )
-            if c1 > 0:
-                # second extent owns docs NOT in the first list
-                row_b[i] = (n_items, emit(i, s1, c1, w1, f1, 2, 0.0, s0, c0))
+            if cd > 0:
+                ext.append((i, sd, cd, wd, fd, 1, ws if cs else 0.0, ss, cs))
+            if cs > 0:
+                ext.append((i, ss, cs, ws, fs, 2, 0.0, 0, 0))
 
+    # probe-slot ranges per probing extent (vectorized per extent)
+    slot_lo = []
+    slot_n = []
+    maxp = 1
+    for (_i, s, c, _w, _f, _mode, _pw, ps, pc) in ext:
+        if pc > 0:
+            lo = np.searchsorted(blk_last[ps : ps + pc], blk_first[s : s + c],
+                                 side="left")
+            hi = np.searchsorted(blk_first[ps : ps + pc], blk_last[s : s + c],
+                                 side="right")
+            n = np.maximum(hi - lo, 0).astype(np.int32)
+            slot_lo.append(ps + lo.astype(np.int32))
+            slot_n.append(n)
+            mx = int(n.max()) if c else 0
+            maxp = max(maxp, min(mx, MAXP_CAP + 1))
+        else:
+            slot_lo.append(np.zeros(c, np.int32))
+            slot_n.append(np.zeros(c, np.int32))
+    overflow = [
+        e[0] for e, n in zip(ext, slot_n) if len(n) and int(n.max()) > MAXP_CAP
+    ]
+    if overflow:
+        bad = set(overflow)
+        bad_rows = sorted(bad)
+        keep = [j for j, e in enumerate(ext) if e[0] not in bad]
+        ext = [ext[j] for j in keep]
+        slot_lo = [slot_lo[j] for j in keep]
+        slot_n = [slot_n[j] for j in keep]
+        maxp = max(
+            [1] + [int(n.max()) for n in slot_n if len(n)]
+        )
+    maxp = next_pow2(max(maxp, 1), 1)
+
+    n_items = sum(e[2] for e in ext)
     w_pad = next_pow2(max(n_items, 1), 8)
     work = (
         np.zeros(w_pad, np.int32),
@@ -144,37 +140,45 @@ def build_pair_work(leaf, rqs, weight, field_id, block_start, block_count,
         n_items,
         np.zeros(w_pad, np.int32),
     )
-    if n_items:
-        work[0][:n_items] = np.concatenate(oi_block)
-        work[1][:n_items] = np.concatenate(oi_row)
-        work[2][:n_items] = np.concatenate(oi_weight)
-        work[3][:n_items] = np.concatenate(oi_fid)
-        work[5][:n_items] = True
-    mode_arr = np.zeros(w_pad, np.int32)
-    pw_arr = np.zeros(w_pad, np.float32)
-    if n_items:
-        mode_arr[:n_items] = np.concatenate(oi_mode)
-        pw_arr[:n_items] = np.concatenate(oi_pw)
-    np_pairs = int(sum(len(x) for x in pr_item))
-    pp_pad = next_pow2(max(np_pairs, 1), 8)
-    pr_item_arr = np.full(pp_pad, -1, np.int32)
-    pr_pblk_arr = np.zeros(pp_pad, np.int32)
-    if np_pairs:
-        pr_item_arr[:np_pairs] = np.concatenate(pr_item)
-        pr_pblk_arr[:np_pairs] = np.concatenate(pr_pblk)
+    oi_mode = np.zeros(w_pad, np.int32)
+    oi_pw = np.zeros(w_pad, np.float32)
+    pr_slots = np.full((w_pad, maxp), -1, np.int32)
+    row_p = np.zeros((b, 2), np.int32)
+    row_s = np.zeros((b, 2), np.int32)
+    pos = 0
+    for (ri, s, c, wgt, fid, mode, pw, _ps, _pc), lo, n in zip(
+        ext, slot_lo, slot_n
+    ):
+        work[0][pos : pos + c] = np.arange(s, s + c, dtype=np.int32)
+        work[1][pos : pos + c] = ri
+        work[2][pos : pos + c] = wgt
+        work[3][pos : pos + c] = fid
+        work[5][pos : pos + c] = True
+        oi_mode[pos : pos + c] = mode
+        oi_pw[pos : pos + c] = pw
+        if len(n) and n.max() > 0:
+            # slots: lo[j] .. lo[j]+n[j) per item j, padded -1
+            cols = np.arange(maxp, dtype=np.int32)[None, :]
+            mat = lo[:, None] + cols
+            mat = np.where(cols < n[:, None], mat, -1)
+            pr_slots[pos : pos + c] = mat
+        if mode == 2:
+            row_s[ri] = (pos, c)
+        else:
+            row_p[ri] = (pos, c)
+        pos += c
 
-    max_a = int(row_a[:, 1].max()) if b else 0
-    max_b = int(row_b[:, 1].max()) if b else 0
+    max_p = int(row_p[:, 1].max()) if len(ext) else 0
+    max_s = int(row_s[:, 1].max()) if len(ext) else 0
     pair_host = dict(
-        oi_mode=mode_arr,
-        oi_pw=pw_arr,
-        pr_item=pr_item_arr,
-        pr_pblk=pr_pblk_arr,
-        row_a_start=row_a[:, 0].copy(),
-        row_a_items=row_a[:, 1].copy(),
-        row_b_start=row_b[:, 0].copy(),
-        row_b_items=row_b[:, 1].copy(),
-        max_lanes_a=next_pow2(max(max_a, 1), 1) * 128,
-        max_lanes_b=next_pow2(max_b, 1) * 128 if max_b else 0,
+        oi_mode=oi_mode,
+        oi_pw=oi_pw,
+        pr_slots=pr_slots,
+        row_p_start=row_p[:, 0].copy(),
+        row_p_items=row_p[:, 1].copy(),
+        row_s_start=row_s[:, 0].copy(),
+        row_s_items=row_s[:, 1].copy(),
+        max_lanes_p=next_pow2(max(max_p, 1), 1) * 128,
+        max_lanes_s=next_pow2(max_s, 1) * 128 if max_s else 0,
     )
-    return work, pair_host
+    return work, pair_host, bad_rows

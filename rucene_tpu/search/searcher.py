@@ -1175,7 +1175,7 @@ class IndexSearcher(PhrasePathMixin):
             if pair2:
                 fut = self._run_pair(
                     leaf, rqs, weight, field_id, block_start, block_count,
-                    cache, n_required, min_should, k, b_pad,
+                    cache, n_required, min_should, occur, k, b_pad,
                 )
                 pending.append((leaf.doc_base, fut, None))
                 continue
@@ -1379,30 +1379,53 @@ class IndexSearcher(PhrasePathMixin):
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
     def _run_pair(self, leaf, rqs, weight, field_id, block_start, block_count,
-                  cache, n_required, min_should, k, b_pad):
+                  cache, n_required, min_should, occur, k, b_pad):
         """Pair-gallop dispatch for 2-term-clause boolean rows (AND2/OR2):
-        owner lanes + binary-search membership against the other clause's
-        decoded blocks — no dense accumulator, no lane sort
+        owner lanes + broadcast-compare membership against the other
+        clause's decoded blocks — no dense accumulator, no lane sort
         (executor.execute_flat_pair; the leapfrog analog of
-        conjunction_scorer.rs over skip_reader.rs:118)."""
+        conjunction_scorer.rs over skip_reader.rs:118). Rows whose probe
+        slot count overflows MAXP_CAP rerun on the flat executor."""
         from rucene_tpu.search.executor import PairBatch, execute_flat_pair
         from rucene_tpu.search.pair_path import build_pair_work
 
-        work, ph = build_pair_work(
+        work, ph, bad_rows = build_pair_work(
             leaf, rqs, weight, field_id, block_start, block_count, b_pad
         )
-        METRICS.incr("route.pair_rows", len(rqs))
+        METRICS.incr("route.pair_rows", len(rqs) - len(bad_rows))
         METRICS.incr("search.flat_lanes", int(work[6]) * 128)
         fq = make_flat_batch(
             work, n_required, min_should, cache, dedupe=False, dev=leaf.device
         )
-        mla = ph.pop("max_lanes_a")
-        mlb = ph.pop("max_lanes_b")
+        mlp = ph.pop("max_lanes_p")
+        mls = ph.pop("max_lanes_s")
         pb = jax.device_put(PairBatch(**ph))
-        res = execute_flat_pair(
-            leaf.device, fq, pb, k=k, max_lanes_a=mla, max_lanes_b=mlb
+        res = prefetch_result(execute_flat_pair(
+            leaf.device, fq, pb, k=k, max_lanes_p=mlp, max_lanes_s=mls,
+            with_live=leaf.live is not None,
+        ))
+        if not bad_rows:
+            return res
+        # overflow rows: zero every other row's block counts and rerun on
+        # the general flat executor (rare — local density inversions)
+        METRICS.incr("search.pair_overflow_rows", len(bad_rows))
+        badmask = np.zeros(b_pad, bool)
+        badmask[bad_rows] = True
+        bc2 = np.where(badmask[:, None], block_count, 0)
+        work2 = build_flat_work(block_start, bc2, weight, field_id, occur)
+        fut2 = self._run_work(
+            leaf, work2[:6], cache, n_required, min_should, k, defer=True
         )
-        return prefetch_result(res)
+
+        def merged():
+            s, d, h = (np.asarray(x) for x in jax.device_get(res))
+            s2, d2, h2 = (np.asarray(x) for x in jax.device_get(fut2))
+            s = np.where(badmask[:, None], s2, s)
+            d = np.where(badmask[:, None], d2, d)
+            h = np.where(badmask, h2, h)
+            return s, d, h
+
+        return merged
 
     def _run_work_view(self, device, arrays, cache, n_required, min_should, k,
                        pure=False, has_ef=False, filters=None, strategy="auto",

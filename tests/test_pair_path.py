@@ -120,6 +120,45 @@ def test_pair_parity_with_deletes():
     _assert_equal(got, ref)
 
 
+def test_pair_slot_overflow_fallback():
+    """A sparse-but-block-rich owner whose block spans cover many probe
+    blocks overflows MAXP_CAP and must rerun on the flat executor with
+    identical results."""
+    buf = SegmentBuffer()
+    n = 64 * 1024
+    a_docs = set(range(0, n, 20))          # wide spans, many blocks
+    b_docs = set(range(30000, 32900))      # packed: many narrow blocks
+    for i in range(n):
+        toks = ["filler"]
+        if i in a_docs:
+            toks.append("ta")
+        if i in b_docs:
+            toks.append("tb")
+        d = rt.Document()
+        d.add(rt.TextField("body", " ".join(toks)))
+        buf.add_document(d)
+    reader = IndexReader([SegmentSnapshot("s0", pack_segment(buf.finish()))])
+    qs = []
+    for mk in ("must", "should"):
+        q = rt.BooleanQuery()
+        getattr(q, mk)(rt.TermQuery(rt.Term("body", "ta")))
+        getattr(q, mk)(rt.TermQuery(rt.Term("body", "tb")))
+        qs.append(q)
+    s = IndexSearcher(reader)
+    METRICS.reset()
+    got = s.search_batch(qs, k=20)
+    snap = METRICS.snapshot()["counters"]
+    assert snap.get("search.pair_overflow_rows", 0) > 0, (
+        "overflow fallback did not trigger — tighten the corpus shape"
+    )
+    os.environ["RUCENE_PAIR"] = "0"
+    try:
+        ref = IndexSearcher(reader).search_batch(qs, k=20)
+    finally:
+        os.environ.pop("RUCENE_PAIR", None)
+    _assert_equal(got, ref)
+
+
 def test_pair_mixed_batch_with_other_classes():
     """Pair rows split out of a mixed batch (terms + phrases + AND2/OR2)."""
     reader, words = _index()
