@@ -1,21 +1,47 @@
 """Exact vectorized top-k with Lucene tie-breaking (score desc, doc id asc).
 
 Replaces the reference's scalar binary-heap HitQueue
-(rucene src/core/search/collector/top_docs.rs:68-77) with a single
-jax.lax.top_k pass: XLA's TopK is documented to break ties in favor of the
-LOWER index, and the column index IS the doc id — so (score desc, doc asc)
-falls out directly. tests/test_ops_topk.py pins this tie behavior against a
-numpy oracle on heavy-duplicate inputs (and the 1M-doc TPU run was verified
-explicitly); if a backend ever broke it, those tests fail loudly.
+(rucene src/core/search/collector/top_docs.rs:68-77) with vectorized
+selection.
 
-The previous implementation resolved ties manually (cumsum + searchsorted);
-at [256, 1M] dense shapes that tie pass cost ~5x the top_k itself (577ms of
-694ms on a v5e chip), so it was removed.
+IMPORTANT: jax.lax.top_k's documented lower-index tie-break is NOT honored
+by the TPU backend at every shape — measured on v5e, the TopK custom call
+returns arbitrary tied indices at e.g. [16, 32768] k=256 and [256, 1M]
+k=1000 (stable at neighboring shapes; the lowering choice is
+unpredictable). BM25 score ties are routine (equal tf + equal norm byte
+quantize to identical f32; constant-score rows tie EVERYWHERE), so raw
+lax.top_k indices must never reach results. stable_top_k below synthesizes
+an exact top-k from primitives whose output is deterministic regardless of
+tie handling:
+
+  1. value pass: lax.top_k values are set-correct whatever the index
+     order; take the k-th value as the threshold.
+  2. selection pass: build a DISTINCT key per column
+     (2N-i for scores > kth, N-i for scores == kth, 0 otherwise);
+     distinct keys make the top-k set unique, so any conforming top-k
+     returns exactly the k columns Lucene's heap would keep. Keys are f32
+     (exact integers while 2N < 2^24 — TPU's fast TopK path; i32 TopK
+     measured ~10x slower at [256, 1M]).
+  3. order pass: lax.sort over the [B, k] survivors with
+     num_keys=2 (-score, index) — exact (score desc, doc asc).
+
+Wide rows go through exact_top_k: a block-max candidate-selection pass
+(the top-k analog of the skip lists' block-max metadata,
+skip_writer.rs:21-40) that shrinks the stable selection to ~k*chunk
+candidate columns. Because the chunk selection is itself tie-broken by
+(chunk max desc, chunk index asc), the candidate set PROVABLY contains
+the true (score desc, doc asc) top-k — no fallback branch is needed:
+if a winner w sat in an unselected chunk, each of the k selected chunks
+would hold an element with a higher score than w, or an equal score at a
+lower index (the whole selected chunk precedes w's chunk), i.e. k
+distinct elements all beating w — contradiction.
 
 Non-matching docs carry -inf.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +50,98 @@ import jax.numpy as jnp
 # initialize the jax backend (and grab the axon TPU tunnel) at import time
 NEG_INF = float("-inf")
 _DOC_PAD = 2**31 - 1
+
+# fast path engages above this width (full top_k at [256, 1M] costs
+# ~126 ms on a v5e chip — it dominates every wide-row path's device time;
+# lax.approx_max_k was measured NO faster at these shapes, hence this
+# hand-rolled selection)
+_FAST_MIN_N = 32_768
+_CHUNK = 256  # docs per block-max chunk (lane-aligned reduce)
+
+
+def _distinct_keys(scores: jax.Array, kth: jax.Array) -> jax.Array:
+    """Distinct selection keys ordered by (score band desc, index asc):
+    columns > kth get 2N-i, == kth get N-i, rest 0. f32 while exact
+    (2N < 2^24), else i32 (slower TopK lowering, used only on very wide
+    rows where the chunked path bounds N anyway)."""
+    b, n = scores.shape
+    dt = jnp.float32 if 2 * n < (1 << 24) else jnp.int32
+    iota = jax.lax.broadcasted_iota(dt, (b, n), 1)
+    two_n = jnp.asarray(2 * n, dt)
+    nn = jnp.asarray(n, dt)
+    zero = jnp.asarray(0, dt)
+    return jnp.where(
+        scores > kth, two_n - iota, jnp.where(scores == kth, nn - iota, zero)
+    )
+
+
+def stable_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over f32[B, N] with GUARANTEED (value desc, index asc)
+    ordering on every backend (see module docstring: TPU lax.top_k breaks
+    its documented tie order at some shapes). Cost: two [B, N] top-k
+    passes + one [B, k] two-key sort. Returns (vals f32[B,kk],
+    idx i32[B,kk]) with kk = min(k, N)."""
+    b, n = scores.shape
+    kk = min(k, n)
+    vals = jax.lax.top_k(scores, kk)[0]  # values are tie-order-free
+    kth = vals[:, -1:]
+    sel = _distinct_keys(scores, kth)
+    idx = jax.lax.top_k(sel, kk)[1].astype(jnp.int32)
+    sv = jnp.take_along_axis(scores, idx, axis=1)
+    negs, si = jax.lax.sort((-sv, idx), num_keys=2, dimension=-1)
+    return -negs, si
+
+
+def exact_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Drop-in stable_top_k that is fast on wide rows, via block-max chunk
+    selection:
+
+      1. reduce scores to per-chunk maxes [B, C] (chunk = 256, or 128 at
+         k > 128 to bound the candidate width);
+      2. take the top-k chunks per row, tie-broken by (max desc, chunk
+         index asc) — the tiny [B, C] stable selection; sort the chosen
+         ids ASCENDING so the gathered candidate layout preserves
+         original index order;
+      3. run the stable selection over just the candidates [B, k*chunk]
+         and map candidate positions back to original columns.
+
+    Completeness holds with NO fallback (module docstring has the
+    one-line proof); the trailing n % chunk columns form a pseudo-chunk
+    that is always appended to the candidates.
+
+    RUCENE_FAST_TOPK=0 forces plain stable_top_k."""
+    b, n = scores.shape
+    kk = min(k, n)
+    chunk = _CHUNK if kk <= 128 else 128
+    c = n // chunk
+    if (
+        n < _FAST_MIN_N
+        or kk >= c
+        or kk * chunk * 2 >= n
+        or os.environ.get("RUCENE_FAST_TOPK", "1") == "0"
+    ):
+        return stable_top_k(scores, kk)
+    r = n - c * chunk
+    chunks = scores[:, : c * chunk].reshape(b, c, chunk)
+    cmax = jnp.max(chunks, axis=2)  # [B, C]
+    # stable chunk selection: (max desc, chunk index asc), via the same
+    # distinct-key trick on the tiny [B, C] array
+    cthr = jax.lax.top_k(cmax, kk)[0][:, -1:]
+    cidx = jax.lax.top_k(_distinct_keys(cmax, cthr), kk)[1]
+    cidx_sorted = jnp.sort(cidx, axis=1)  # ascending -> index-order layout
+    cand = jnp.take_along_axis(
+        chunks, cidx_sorted[:, :, None].astype(jnp.int32), axis=1
+    ).reshape(b, kk * chunk)
+    if r:
+        cand = jnp.concatenate([cand, scores[:, c * chunk :]], axis=1)
+    cvals, cj = stable_top_k(cand, kk)  # exact within the candidates
+    # map candidate-local position back to the original column
+    cj_main = jnp.clip(cj, 0, kk * chunk - 1)
+    base = jnp.take_along_axis(cidx_sorted, cj_main // chunk, axis=1)
+    cols = (base * chunk + cj_main % chunk).astype(jnp.int32)
+    if r:
+        cols = jnp.where(cj >= kk * chunk, c * chunk + (cj - kk * chunk), cols)
+    return cvals, cols
 
 
 def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -34,7 +152,7 @@ def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """
     b, n = scores.shape
     kk = min(k, n)
-    vals, idx = jax.lax.top_k(scores, kk)  # ties -> lower index first
+    vals, idx = exact_top_k(scores, kk)  # ties -> lower index first
     got = vals > NEG_INF
     out_docs = jnp.where(got, idx.astype(jnp.int32), _DOC_PAD)
     if kk < k:

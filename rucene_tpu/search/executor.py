@@ -43,7 +43,7 @@ from rucene_tpu.ops.decode import (
     decode_freq_blocks,
     decode_norm_blocks,
 )
-from rucene_tpu.ops.topk import topk_score_doc
+from rucene_tpu.ops.topk import exact_top_k, topk_score_doc
 
 OCC_SHOULD = 0
 OCC_MUST = 1
@@ -565,7 +565,8 @@ def execute_flat_single(
     each row's lanes are one posting list in doc order, so no cross-clause
     combine OR dense [B, max_doc] accumulator is needed — top-k runs
     directly over a padded per-row lane view. Within a row, lanes ascend by
-    doc id, so lax.top_k's lower-index tie-break IS the doc-asc tie-break.
+    doc id, so exact_top_k's lower-index tie-break IS the doc-asc tie-break
+    (raw lax.top_k is NOT tie-stable on TPU at every shape — ops/topk.py).
     Memory and time are independent of max_doc (the path that makes
     many-million-doc corpora cheap for the most common query shape).
 
@@ -595,7 +596,7 @@ def execute_flat_single(
     j = jnp.arange(max_lanes, dtype=jnp.int32)[None, :]
     in_row = (j < row_item_count[:, None] * 128) & (sc_rows > 0.0)
     sc_rows = jnp.where(in_row, sc_rows, -jnp.inf)
-    top_scores, top_j = jax.lax.top_k(sc_rows, min(k, max_lanes))
+    top_scores, top_j = exact_top_k(sc_rows, min(k, max_lanes))
     got = top_scores > -jnp.inf
     top_docs = jnp.where(
         got,
@@ -931,7 +932,7 @@ def execute_flat_pair(
 
         sc_rows, dc_rows = jax.vmap(row)(start, items)
         k_eff = min(kk, max_lanes)
-        ts, tj = jax.lax.top_k(sc_rows, k_eff)
+        ts, tj = exact_top_k(sc_rows, k_eff)
         td = jnp.take_along_axis(dc_rows, jnp.clip(tj, 0, max_lanes - 1), axis=1)
         got = ts > -jnp.inf
         td = jnp.where(got, td, jnp.int32(2**31 - 1))
