@@ -821,18 +821,77 @@ class ShardedSearcher:
 
     def _fallback_searcher(self):
         """Cached single-process searcher for query types the shard program
-        does not cover yet (mixed phrase+term booleans/groups/host-eval)."""
-        if self.index.partial:
-            raise NotImplementedError(
-                "partial-mode sharded search covers term/boolean/match-all/"
-                "range/phrase queries; mixed phrase booleans, groups and "
-                "host-eval types need the full-reader mode"
-            )
+        does not cover (mixed phrase+term booleans/groups/host-eval) in
+        full-reader mode; partial mode serves them via
+        _search_exact_local instead (never called there)."""
         if self._fallback is None:
             from rucene_tpu.search.searcher import IndexSearcher
 
             self._fallback = IndexSearcher(self.reader, self.similarity)
         return self._fallback
+
+    def _search_exact_local(self, query, k: int) -> TopDocs:
+        """Partial-mode coverage for shapes outside the shard program
+        (mixed phrase+term booleans, groups, dismax, spans): each process
+        evaluates the query EXACTLY over its owned leaves with GLOBAL
+        collection stats (psum'd doc freqs), then the per-process top-k
+        merges with one tiny allgather — the distributed analog of the
+        reference's per-slice parallel search + collector merge
+        (searcher.rs:527-630, collector/top_docs.rs:120)."""
+        from rucene_tpu.search import host_engine
+
+        sim = self.similarity
+        terms = host_engine.extract_terms_of(query)
+        keys = []
+        fields = set()
+        for t in terms:
+            fields.add(t.field)
+            if (t.field, t.text) not in keys:
+                keys.append((t.field, t.text))
+        doc_freqs = self._doc_freqs_global(keys)
+        stats = {f: self.collection_stats(f) for f in fields}
+
+        cand = []  # (score, global_doc)
+        total = 0
+        for lf in self.index.leaves:
+            m, acc = host_engine.evaluate_query(lf, query, sim, stats, doc_freqs)
+            hh = host_engine.hits_from_dense(lf, m, acc, k)
+            total += hh.total_hits
+            base = getattr(lf, "doc_base", 0)
+            cand.extend(
+                (float(s2), int(base + d)) for d, s2 in zip(hh.docs, hh.scores)
+            )
+        return self._allgather_topk(cand, total, k)
+
+    def _allgather_topk(self, cand, total: int, k: int) -> TopDocs:
+        """Merge per-process (score, global_doc) candidates + hit counts
+        across processes (no-op single-process)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            pad_docs = np.full(k, -1, np.int64)
+            pad_scores = np.zeros(k, np.float32)
+            loc = sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
+            for x, (s2, d) in enumerate(loc):
+                pad_scores[x], pad_docs[x] = s2, d
+            g_docs = multihost_utils.process_allgather(pad_docs)
+            g_scores = multihost_utils.process_allgather(pad_scores)
+            g_total = multihost_utils.process_allgather(
+                np.asarray([total], np.int64)
+            )
+            total = int(np.asarray(g_total).sum())
+            cand = [
+                (float(s2), int(d))
+                for s2, d in zip(
+                    np.asarray(g_scores).reshape(-1), np.asarray(g_docs).reshape(-1)
+                )
+                if d >= 0
+            ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return TopDocs(
+            total_hits=total,
+            score_docs=[ScoreDoc(d, s2) for s2, d in cand[:k]],
+        )
 
     @staticmethod
     def _phrase_mesh_eligible(rq) -> bool:
@@ -892,9 +951,17 @@ class ShardedSearcher:
                 )
                 sub_results.update(zip(phrase_idx, ph_list))
             if fallback_idx:
-                fb_list = self._fallback_searcher().search_batch(
-                    [queries[i] for i in fallback_idx], k=k
-                )
+                if self.index.partial:
+                    # every shape has exact partial-mode coverage: local
+                    # evaluation with global stats + allgather merge
+                    fb_list = [
+                        self._search_exact_local(queries[i], k)
+                        for i in fallback_idx
+                    ]
+                else:
+                    fb_list = self._fallback_searcher().search_batch(
+                        [queries[i] for i in fallback_idx], k=k
+                    )
                 sub_results.update(zip(fallback_idx, fb_list))
             keep = [i for i in range(len(queries)) if i not in sub_results]
             if not keep:
@@ -1343,29 +1410,4 @@ class ShardedSearcher:
             cand.extend(
                 (float(s2), int(base + d)) for d, s2 in zip(hh.docs, hh.scores)
             )
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            pad_docs = np.full(k, -1, np.int64)
-            pad_scores = np.zeros(k, np.float32)
-            loc = sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
-            for x, (s2, d) in enumerate(loc):
-                pad_scores[x], pad_docs[x] = s2, d
-            g_docs = multihost_utils.process_allgather(pad_docs)
-            g_scores = multihost_utils.process_allgather(pad_scores)
-            g_total = multihost_utils.process_allgather(
-                np.asarray([total], np.int64)
-            )
-            total = int(np.asarray(g_total).sum())
-            cand = [
-                (float(s2), int(d))
-                for s2, d in zip(
-                    np.asarray(g_scores).reshape(-1), np.asarray(g_docs).reshape(-1)
-                )
-                if d >= 0
-            ]
-        cand.sort(key=lambda t: (-t[0], t[1]))
-        return TopDocs(
-            total_hits=total,
-            score_docs=[ScoreDoc(d, s2) for s2, d in cand[:k]],
-        )
+        return self._allgather_topk(cand, total, k)

@@ -821,14 +821,19 @@ class PairBatch(NamedTuple):
     with a pure-VPU broadcast compare over those slots. No [B, max_doc]
     accumulator, no lane sort, no scatter (the flat pair-list + segment
     sum formulation measured 0.6-1.2 s/batch at 1M docs — scatter-bound).
+    The compare runs as a lax.scan over owner-item chunks: unrolled, XLA
+    materialized every [chunk,128,MAXP*128] predicate at once (30 GB of
+    HBM temps at 1M docs); per-lane binary search instead of the compare
+    measured 10-40x SLOWER (TPU per-lane gathers serialize, ~50M/s).
 
     OR2 keeps a second extent of the SPARSER clause's lanes carrying
     partial scores (own clause only, possibly duplicating intersection
     docs); the merge takes top-k of the probing extent (full scores) +
     top-2k of the partial extent and dedups by doc, which is exact: if
-    2k partial entries outrank a non-duplicate candidate, their 2k full
-    counterparts outrank it too, so it was never in the top-k. Exact
-    total_hits via inclusion-exclusion counted on owner lanes."""
+    2k partial entries outrank a non-duplicate candidate, at most k are
+    intersection dupes and the rest outrank it with exact scores, so it
+    was never in the top-k. Exact total_hits via inclusion-exclusion
+    counted on owner lanes."""
 
     # owner-item tables (aligned with the FlatQueryBatch work list)
     oi_mode: jax.Array  # i32[W] 1=OR-probing 2=OR-partial 3=AND-probing
@@ -864,27 +869,39 @@ def execute_flat_pair(
     target, _rows, sc, valid, _ = decode_score_lanes(dev, q, False, False)
     w, maxp = p.pr_slots.shape
 
-    # --- probe phase: [W, MAXP*128] windows of probe docs/freqs/denoms;
-    # per owner lane, membership resolves by broadcast compare (each doc
-    # appears in at most one probe block, so sums == selects) ---
+    # --- probe phase: per owner-item chunk, [CH, MAXP*128] windows of
+    # probe docs/freqs/denoms resolve every lane's membership by a
+    # broadcast compare (each doc appears in at most one probe block, so
+    # the masked sums ARE selects — float-exact). lax.scan bounds the
+    # predicate temps to one chunk (~2^27 elements) at a time ---
     nbr = dev.docs_dec.shape[0]
-    slot_ok = p.pr_slots >= 0
-    sb = jnp.clip(p.pr_slots, 0, nbr - 1)
-    pdw = jnp.where(
-        slot_ok[:, :, None], dev.docs_dec[sb], INVALID_DOC
-    ).reshape(w, maxp * 128)
-    pfw = jnp.where(
-        slot_ok[:, :, None], dev.freqs_dec[sb].astype(jnp.float32), 0.0
-    ).reshape(w, maxp * 128)
-    pcw = q.cval_dec[sb].reshape(w, maxp * 128)
-    ptf_cols = []
-    pcv_cols = []
-    for i in range(128):
-        m = pdw == target[:, i : i + 1]  # [W, MAXP*128]
-        ptf_cols.append(jnp.sum(jnp.where(m, pfw, 0.0), axis=1))
-        pcv_cols.append(jnp.sum(jnp.where(m, pcw, 0.0), axis=1))
-    ptf = jnp.stack(ptf_cols, axis=1)  # [W,128]
-    pcv = jnp.stack(pcv_cols, axis=1)
+    slot_ok_all = p.pr_slots >= 0
+    sb_all = jnp.clip(p.pr_slots, 0, nbr - 1)
+    ch = min(w, max(8, 8192 // maxp))  # both pow2 -> ch divides w
+    steps = w // ch
+
+    def probe_chunk(_, ci):
+        o = ci * ch
+        sb = jax.lax.dynamic_slice_in_dim(sb_all, o, ch)  # [ch, maxp]
+        ok = jax.lax.dynamic_slice_in_dim(slot_ok_all, o, ch)
+        tg = jax.lax.dynamic_slice_in_dim(target, o, ch)  # [ch, 128]
+        pd = jnp.where(
+            ok[:, :, None], dev.docs_dec[sb], INVALID_DOC
+        ).reshape(ch, 1, maxp * 128)
+        pf = jnp.where(
+            ok[:, :, None], dev.freqs_dec[sb].astype(jnp.float32), 0.0
+        ).reshape(ch, 1, maxp * 128)
+        pc = q.cval_dec[sb].reshape(ch, 1, maxp * 128)
+        m = pd == tg[:, :, None]  # [ch, 128, maxp*128]
+        ptf_c = jnp.sum(jnp.where(m, pf, 0.0), axis=2)  # [ch, 128]
+        pcv_c = jnp.sum(jnp.where(m, pc, 0.0), axis=2)
+        return None, (ptf_c, pcv_c)
+
+    _, (ptf, pcv) = jax.lax.scan(
+        probe_chunk, None, jnp.arange(steps, dtype=jnp.int32)
+    )
+    ptf = ptf.reshape(w, 128)
+    pcv = pcv.reshape(w, 128)
     member = ptf > 0.0  # real postings always have tf >= 1
     pw = p.oi_pw[:, None]
     psc = jnp.where(member, pw * ptf / jnp.where(member, ptf + pcv, 1.0), 0.0)

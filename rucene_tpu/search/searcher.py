@@ -75,378 +75,21 @@ class ScoreDoc(NamedTuple):
     doc: int  # global doc id (doc_base + segment-local id)
     score: float
 
-
-def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int):
-    """Segment-independent per-batch tables: weights, occur kinds, boolean
-    controls. Padding rows (i >= len(rqs)) match nothing."""
-    weight = np.zeros((b_pad, t_pad), dtype=np.float32)
-    occur = np.zeros((b_pad, t_pad), dtype=np.int32)
-    n_required = np.zeros(b_pad, dtype=np.int32)
-    min_should = np.ones(b_pad, dtype=np.int32)
-    match_all_rows = np.zeros(b_pad, dtype=bool)
-    boosts = np.ones(b_pad, dtype=np.float32)
-    for i, rq in enumerate(rqs):
-        n_required[i] = rq.n_required
-        min_should[i] = rq.effective_min_should()
-        match_all_rows[i] = rq.match_all
-        boosts[i] = rq.boost
-        for j, (occ, c) in enumerate(rq.all_slots()):
-            occur[i, j] = occ
-            if occ in (int(Occur.SHOULD), int(Occur.MUST)):
-                weight[i, j] = sim.term_weight(
-                    doc_freqs[(c.term.field, c.term.text)], stats[c.term.field], c.boost
-                )
-    return weight, occur, n_required, min_should, match_all_rows, boosts
-
-
-def build_leaf_tables(leaf, rqs, b_pad: int, t_pad: int):
-    """Per-segment term resolution: block ranges + norms-row ids."""
-    block_start = np.zeros((b_pad, t_pad), dtype=np.int32)
-    block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
-    field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
-    for i, rq in enumerate(rqs):
-        for j, (_occ, c) in enumerate(rq.all_slots()):
-            rec = leaf.term_record(c.term.field, c.term.text)
-            if rec is not None:
-                block_start[i, j] = rec.block_start
-                block_count[i, j] = rec.block_count
-                field_id[i, j] = leaf.packed.fields[c.term.field].field_id
-    return block_start, block_count, field_id
-
-
-def build_flat_work(
-    block_start: np.ndarray,
-    block_count: np.ndarray,
-    weight: np.ndarray,
-    field_id: np.ndarray,
-    occur: np.ndarray,
-    w_pad: int | None = None,
-):
-    """Flatten [B,T] slot tables into the executor's block work list:
-    one entry per (query, clause, block). Fully vectorized numpy."""
-    from rucene_tpu.search.executor import (
-        ENC_DEMOTE,
-        ENC_NOT,
-        ENC_REQUIRED,
-        ENC_SHOULD,
-        OCC_DEMOTE,
-    )
-
-    b, t = block_start.shape
-    enc_slot = (
-        np.where((occur == int(Occur.MUST)) | (occur == int(Occur.FILTER)), ENC_REQUIRED, 0)
-        + np.where(occur == int(Occur.SHOULD), ENC_SHOULD, 0)
-        + np.where(occur == int(Occur.MUST_NOT), ENC_NOT, 0)
-        + np.where(occur == OCC_DEMOTE, ENC_DEMOTE, 0)
-    ).astype(np.int32)
-
-    bs = block_start.ravel()
-    bc = block_count.ravel()
-    sel = bc > 0
-    bs, bc = bs[sel], bc[sel]
-    rows = np.repeat(np.arange(b, dtype=np.int32), t)[sel]
-    wsl = weight.ravel()[sel]
-    fid = field_id.ravel()[sel]
-    enc = enc_slot.ravel()[sel]
-
-    n = int(bc.sum())
-    item_slot = np.repeat(np.arange(len(bc)), bc)
-    start_of = np.concatenate([[0], np.cumsum(bc)])[:-1]
-    within = np.arange(n) - start_of[item_slot]
-    slot_flat = np.flatnonzero(sel)  # original (row*t + tslot) per slot
-
-    w = next_pow2(max(n, 1), 8) if w_pad is None else w_pad  # floor 8: pallas G
-    if n > w:
-        raise ValueError(f"work list {n} exceeds pad {w}")
-    wi_block = np.zeros(w, np.int32)
-    wi_row = np.zeros(w, np.int32)
-    wi_weight = np.zeros(w, np.float32)
-    wi_fid = np.zeros(w, np.int32)
-    wi_enc = np.zeros(w, np.int32)
-    wi_valid = np.zeros(w, bool)
-    wi_tslot = np.zeros(w, np.int32)  # clause index (for block-max bounds)
-    wi_block[:n] = bs[item_slot] + within
-    wi_row[:n] = rows[item_slot]
-    wi_weight[:n] = wsl[item_slot]
-    wi_fid[:n] = fid[item_slot]
-    wi_enc[:n] = enc[item_slot]
-    wi_valid[:n] = True
-    wi_tslot[:n] = (slot_flat % t)[item_slot]
-    return wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n, wi_tslot
-
-
-def dedupe_work(wi_block, wi_valid, wi_fid):
-    """Distinct-block decode tables for FlatQueryBatch: Zipf query mixes
-    repeat hot terms across rows, so the same blocks appear in many work
-    items — decode each once ([D] axis) and let per-item lanes gather.
-    Returns (wi_ublock, wi_uvalid, wi_ufid, wi_inv) or None when the
-    distinct count pads to the same size as the work list (no saving,
-    and skipping keeps the single-program shape)."""
-    n = int(wi_valid.sum())
-    if n == 0:
-        return None
-    vb = wi_block[:n]
-    ub, first_idx = np.unique(vb, return_index=True)
-    d_pad = next_pow2(max(len(ub), 1), 8)  # floor 8: pallas G
-    if d_pad >= len(wi_block):
-        return None
-    ublock = np.zeros(d_pad, np.int32)
-    uvalid = np.zeros(d_pad, bool)
-    ufid = np.zeros(d_pad, np.int32)
-    ublock[: len(ub)] = ub
-    uvalid[: len(ub)] = True
-    ufid[: len(ub)] = wi_fid[:n][first_idx]
-    inv = np.zeros(len(wi_block), np.int32)
-    inv[:n] = np.searchsorted(ub, vb).astype(np.int32)
-    METRICS.incr("search.decode_dedup_items", int(n - len(ub)))
-    return ublock, uvalid, ufid, inv
-
-
-_CVAL_CACHE: dict = {}  # (id(norm_dec), cache bytes) -> (norm_dec ref, table)
-
-
-def _build_cval_table(norm_dec, blk_fid, cache_flat):
-    """f32[NBr,128] BM25 denominators = cache[fid, norm_byte] per lane.
-    The same per-lane small-table gather the packed path runs per
-    dispatch — here it runs ONCE per (device, stats) build, so the
-    decoded-mode hot path never touches it. Values are bit-identical to
-    the packed path's (same table, same indices)."""
-    idx = blk_fid[:, None] * 256 + norm_dec.astype(jnp.int32)
-    return cache_flat[idx]
-
-
-_build_cval_jit = None
-
-
-def cval_table_for(dev, cache: np.ndarray):
-    """Cached decoded-mode denominator table; None for packed-only views.
-    Entries hold a strong ref to the keyed array so a recycled id() can
-    never serve a stale table (the _view_filters uid lesson)."""
-    global _build_cval_jit
-    if dev is None or dev.norm_dec is None:
-        return None
-    key = (id(dev.norm_dec), cache.tobytes())
-    ent = _CVAL_CACHE.get(key)
-    if ent is not None and ent[0] is dev.norm_dec:
-        return ent[1]
-    if _build_cval_jit is None:
-        _build_cval_jit = jax.jit(_build_cval_table)
-    tbl = _build_cval_jit(
-        dev.norm_dec, dev.blk_fid, jnp.asarray(cache.reshape(-1))
-    )
-    _CVAL_CACHE[key] = (dev.norm_dec, tbl)
-    while len(_CVAL_CACHE) > 8:
-        _CVAL_CACHE.pop(next(iter(_CVAL_CACHE)))
-    return tbl
-
-
-def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False,
-                    dev=None):
-    """Device FlatQueryBatch from a host work tuple (build_flat_work /
-    prune_conjunctions / _subset_work output). The ONE place executor
-    inputs are assembled — every entry point (flat/single/sorted/collapse/
-    synonym/probe) routes through here (VERDICT r2 weak #6: six hand-rolled
-    copies made each new batch field a five-site edit). dedupe=True attaches
-    distinct-block decode tables (dedupe_work). dev: the DeviceSegment the
-    batch will execute against — decoded-residency views get their cval
-    table attached here."""
-    wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = work[:6]
-    if dedupe and dev is not None and dev.docs_dec is not None:
-        # decode-dedup exists to skip EXPENSIVE repeated block unpacks; in
-        # decoded mode a decode is one row gather, so the per-dispatch
-        # host np.unique/searchsorted costs more than it saves
-        dedupe = os.environ.get("RUCENE_DEDUP") == "1"
-    dd = dedupe_work(wi_block, wi_valid, wi_fid) if dedupe else None
-    cval_dec = cval_table_for(dev, cache)
-    return jax.device_put(
-        FlatQueryBatch(
-            wi_block=wi_block, wi_row=wi_row, wi_weight=wi_weight,
-            wi_fid=wi_fid, wi_enc=wi_enc, wi_valid=wi_valid,
-            n_required=n_required, min_should=min_should, cache=cache,
-            wi_ublock=None if dd is None else dd[0],
-            wi_uvalid=None if dd is None else dd[1],
-            wi_ufid=None if dd is None else dd[2],
-            wi_inv=None if dd is None else dd[3],
-            cval_dec=cval_dec,
-        )
-    )
-
-
-def prune_conjunctions(work, n_required: np.ndarray, blk_ranges):
-    """EXACT conjunction pruning: drop work items whose block doc-range
-    cannot overlap some required (MUST/FILTER) clause of the same query.
-
-    The reference leapfrogs skip lists on advance() (skip_reader.rs:118,
-    conjunction_scorer.rs); the batched analog intersects block doc
-    intervals on the host BEFORE any decode. Sound for every clause kind:
-    a doc in a dropped block fails that required clause, so it can neither
-    match nor contribute score/counts to a match — results are bit-identical.
-
-    work: the 8-tuple from build_flat_work; blk_ranges = (blk_first_doc,
-    blk_last_doc) host arrays. Returns a (possibly) smaller 8-tuple plus
-    the number of dropped items."""
-    wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid, n_items, wi_tslot = work
-
-    if n_items == 0 or not (np.asarray(n_required) >= 1).any():
-        return work, 0
-    blk_first, blk_last = blk_ranges
-    n = n_items
-    blk = wi_block[:n]
-    row = wi_row[:n]
-    slot = wi_tslot[:n]
-    enc = wi_enc[:n]
-
-    starts = blk_first[blk].astype(np.int64)
-    ends = blk_last[blk].astype(np.int64)
-
-    is_req = (enc >> 16) > 0  # bits 16+ carry the required count
-    keep = np.ones(n, bool)
-    # wi_row ascending (build_flat_work order): row segments are contiguous
-    row_starts = np.searchsorted(row, np.arange(len(n_required)), side="left")
-    row_ends = np.searchsorted(row, np.arange(len(n_required)), side="right")
-    for r in np.flatnonzero(np.asarray(n_required) >= 1):
-        lo, hi = int(row_starts[r]), int(row_ends[r])
-        if hi - lo < 1:
-            continue
-        slots_r = slot[lo:hi]
-        req_slots = np.unique(slots_r[is_req[lo:hi]])
-        if len(req_slots) < int(n_required[r]):
-            # a required term is absent from this view: the row cannot match
-            keep[lo:hi] = False
-            continue
-        if len(req_slots) == 0 or hi - lo <= 1:
-            continue
-        for t in req_slots:
-            m = slots_r == t
-            f = starts[lo:hi][m]  # ascending (runs are block/doc ordered)
-            lmax = np.maximum.accumulate(ends[lo:hi][m])
-            others = np.flatnonzero(~m)
-            if len(others) == 0:
-                continue
-            # survive iff some interval of clause t overlaps [start, end]:
-            # last interval with f <= end must reach back past start
-            j = np.searchsorted(f, ends[lo:hi][others], side="right") - 1
-            ok = (j >= 0) & (lmax[np.maximum(j, 0)] >= starts[lo:hi][others])
-            keep[lo + others] &= ok
-    dropped = int(n - keep.sum())
-    if dropped == 0:
-        return work, 0
-    METRICS.incr("search.conj_pruned_blocks", dropped)
-    idx = np.flatnonzero(keep)
-    m = len(idx)
-    w = next_pow2(max(m, 1), 8)
-    out = (
-        np.zeros(w, np.int32),
-        np.zeros(w, np.int32),
-        np.zeros(w, np.float32),
-        np.zeros(w, np.int32),
-        np.zeros(w, np.int32),
-        np.zeros(w, bool),
-    )
-    out[0][:m] = wi_block[idx]
-    out[1][:m] = wi_row[idx]
-    out[2][:m] = wi_weight[idx]
-    out[3][:m] = wi_fid[idx]
-    out[4][:m] = wi_enc[idx]
-    out[5][:m] = True
-    tslot = np.zeros(w, np.int32)
-    tslot[:m] = wi_tslot[idx]
-    return out + (m, tslot), dropped
-
-
-def build_combine_batch(arrays, b_pad, blk_first, blk_last, mdp, enabled):
-    """Host-side CombineBatch for the hist-matmul dense combine kernel —
-    built exactly when the executor's auto heuristic will take the dense
-    branch and the batch fits the kernel's 32-row capacity."""
-    import os
-
-    from rucene_tpu.ops.combine_tables import (
-        C_BUCKET,
-        MAX_ROWS,
-        build_combine_tables,
-    )
-    from rucene_tpu.search.executor import CombineBatch
-
-    if os.environ.get("RUCENE_NO_COMBINE") == "1":  # A/B + debug
-        return None
-    if not enabled and os.environ.get("RUCENE_COMBINE_INTERPRET") != "1":
-        return None
-    wi_block, wi_row, wi_weight, wi_fid, wi_enc, wi_valid = arrays
-    w = len(wi_block)
-    if mdp % C_BUCKET or b_pad * mdp > 12 * (w * 128):
-        return None  # candidate strategy will be taken
-    # measured: one kernel call at [<=32 rows, >=256K docs] beats the
-    # scatter 2.6x, and 8 chunked calls at [256 rows, 50K docs] LOSE to
-    # it (1273 vs 1419 QPS) — per-call fixed costs dominate small tiles.
-    # At >=256K docs each chunk's tile is large enough that chunking wins
-    # too (the [256 rows, 1M docs] scatter alone costs ~0.9s/batch).
-    if mdp < (1 << 18):
-        return None
-    blk_first = np.asarray(blk_first, np.int64)
-    blk_last = np.asarray(blk_last, np.int64)
-    out = []
-    n_chunks = (b_pad + MAX_ROWS - 1) // MAX_ROWS
-    for ci in range(n_chunks):
-        lo, hi = ci * MAX_ROWS, (ci + 1) * MAX_ROWS
-        in_chunk = (wi_row >= lo) & (wi_row < hi)
-        tbl = build_combine_tables(
-            wi_block, wi_row - lo, wi_enc, wi_valid & in_chunk, w,
-            blk_first, blk_last, mdp,
-        )
-        r_pad = next_pow2(max(len(tbl.residue_items), 1), 8)
-        residue = np.full(r_pad, -1, np.int32)
-        residue[: len(tbl.residue_items)] = tbl.residue_items
-        out.append(
-            CombineBatch(
-                g_bucket=tbl.g_bucket, g_first=tbl.g_first, e_item=tbl.e_item,
-                e_row=tbl.e_row, e_enc=tbl.e_enc.astype(np.float32),
-                residue=residue,
-            )
-        )
-    return tuple(out)
-
-
-def build_range_filter_tables(rqs, b_pad: int):
-    """Dedup a batch's range/exists clauses into distinct filter keys and
-    per-row slot tables (plane index / occur encoding / constant score).
-    Rows without ranges carry idx == -1 (inert)."""
-    from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
-
-    keys: list = []  # representative RangeClause per distinct filter
-    key_pos: dict[tuple, int] = {}
-    for rq in rqs:
-        for r in rq.ranges:
-            if r.cache_key not in key_pos:
-                key_pos[r.cache_key] = len(keys)
-                keys.append(r)
-    r_slots = next_pow2(max((len(rq.ranges) for rq in rqs), default=1), 1)
-    idx = np.full((b_pad, r_slots), -1, np.int32)
-    enc = np.zeros((b_pad, r_slots), np.int32)
-    boost = np.zeros((b_pad, r_slots), np.float32)
-    for i, rq in enumerate(rqs):
-        for j, r in enumerate(rq.ranges):
-            idx[i, j] = key_pos[r.cache_key]
-            if r.occur in (Occur.MUST, Occur.FILTER):
-                enc[i, j] = ENC_REQUIRED
-            elif r.occur == Occur.SHOULD:
-                enc[i, j] = ENC_SHOULD
-            else:
-                enc[i, j] = ENC_NOT
-            if r.occur in (Occur.MUST, Occur.SHOULD):
-                boost[i, j] = np.float32(r.boost)  # constant-score
-    return keys, idx, enc, boost
-
-
-def build_leaf_cache(leaf, sim, stats, n_fields: int | None = None) -> np.ndarray:
-    """Per-segment [F,256] norm-byte -> BM25 denominator cache."""
-    packed = leaf.packed
-    if n_fields is None:
-        n_fields = max(leaf.device.num_norm_fields, 1)
-    cache = np.zeros((n_fields, 256), dtype=np.float32)
-    for name, pf in packed.fields.items():
-        has_norms = name in packed.norms
-        cache[pf.field_id] = sim.cache_row(stats.get(name) if has_norms else None)
-    return cache
+# table builders live in flat_tables.py; re-exported here because every
+# call site historically imports them from searcher (phrase_path, sharded,
+# tools) — the names are part of this module's de-facto interface
+from rucene_tpu.search.flat_tables import (  # noqa: F401,E402 (re-export)
+    build_clause_tables,
+    build_combine_batch,
+    build_flat_work,
+    build_leaf_cache,
+    build_leaf_tables,
+    build_range_filter_tables,
+    cval_table_for,
+    dedupe_work,
+    make_flat_batch,
+    prune_conjunctions,
+)
 
 
 class TopDocs:
@@ -1073,7 +716,7 @@ class IndexSearcher(PhrasePathMixin):
 
         # pair-gallop eligibility: 2-term-clause AND/OR rows on decoded-
         # residency devices skip dense accumulators AND the lane sort —
-        # owner lanes + binary-search membership (executor.execute_flat_pair)
+        # owner lanes + block-probe membership (executor.execute_flat_pair)
         pair_ok_dev = (
             os.environ.get("RUCENE_PAIR", "1") != "0"
             and prune is not True
@@ -1381,9 +1024,9 @@ class IndexSearcher(PhrasePathMixin):
     def _run_pair(self, leaf, rqs, weight, field_id, block_start, block_count,
                   cache, n_required, min_should, occur, k, b_pad):
         """Pair-gallop dispatch for 2-term-clause boolean rows (AND2/OR2):
-        owner lanes + broadcast-compare membership against the other
-        clause's decoded blocks — no dense accumulator, no lane sort
-        (executor.execute_flat_pair; the leapfrog analog of
+        denser-clause owner lanes + chunked broadcast-compare membership
+        against the other clause's decoded blocks — no dense accumulator,
+        no lane sort (executor.execute_flat_pair; the leapfrog analog of
         conjunction_scorer.rs over skip_reader.rs:118). Rows whose probe
         slot count overflows MAXP_CAP rerun on the flat executor."""
         from rucene_tpu.search.executor import PairBatch, execute_flat_pair
@@ -1968,186 +1611,12 @@ class IndexSearcher(PhrasePathMixin):
 
     # --- explain (reference Weight::explain, term_query.rs:183-215) ---
     def explain(self, query: Query, doc: int) -> "Explanation":
-        from rucene_tpu.search.explanation import Explanation, no_match
-        from rucene_tpu.search.query import _NeedsHostEval
+        """Per-child explanation tree (reference Weight::explain,
+        term_query.rs:183-215, disjunction_max_query.rs:43-74); the
+        structured builders live in search/explain.py."""
+        from rucene_tpu.search.explain import explain as _explain
 
-        leaf = None
-        for lf in reversed(self.reader.leaves):
-            if doc >= lf.doc_base:
-                leaf = lf
-                break
-        if leaf is None:
-            return no_match(f"doc {doc} out of range")
-        local = doc - leaf.doc_base
-
-        def _generic() -> "Explanation":
-            """Spans / dismax / excluded-phrase / nested-special queries:
-            the value from the exact recursive evaluator, one node (the
-            reference nests full trees; the VALUE is what must be right)."""
-            dfq, stq = self._gather_stats_query(query)
-            m, acc = host_engine.evaluate_query(
-                leaf, query, self.similarity, stq, dfq
-            )
-            if not m[local]:
-                return no_match("no matching clause (generic evaluation)")
-            return Explanation(
-                True, float(acc[local]),
-                f"{type(query).__name__} score, generic recursive evaluation",
-            )
-
-        if hasattr(query, "host_eval"):  # span family
-            return _generic()
-        try:
-            rq = query.rewrite()
-        except (_NeedsHostEval, NotImplementedError):
-            return _generic()
-        if not rq.plain:  # dismax / const-score / boosting combines
-            return _generic()
-        doc_freqs, stats = self._gather_stats([rq])
-        hits = host_engine.execute_on_segment(
-            leaf, rq, self.similarity, stats, doc_freqs, None
-        )
-        matched = local in set(hits.docs.tolist())
-        sim = self.similarity
-        details: list[Explanation] = []
-
-        def tf_norm_expl(field: str, freq: float):
-            """tfNorm node shared by term/phrase weights."""
-            st = stats[field]
-            if field in leaf.packed.norms:
-                avgdl = float(sim.avg_field_length(st))
-                from rucene_tpu.util.small_float import norm_table
-
-                dl = float(norm_table()[int(leaf.packed.norms[field][local])])
-                val = (freq * (float(sim.k1) + 1.0)) / (
-                    freq
-                    + float(sim.k1) * (1.0 - float(sim.b) + float(sim.b) * dl / avgdl)
-                )
-                return val, Explanation(
-                    True,
-                    val,
-                    "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1 * "
-                    "(1 - b + b * fieldLength / avgFieldLength)) from:",
-                    [
-                        Explanation(True, freq, "termFreq"),
-                        Explanation(True, float(sim.k1), "parameter k1"),
-                        Explanation(True, float(sim.b), "parameter b"),
-                        Explanation(True, avgdl, "avgFieldLength"),
-                        Explanation(True, dl, "fieldLength"),
-                    ],
-                )
-            val = (freq * (float(sim.k1) + 1.0)) / (freq + float(sim.k1))
-            return val, Explanation(
-                True,
-                val,
-                "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1) from:",
-                [Explanation(True, freq, "termFreq")],
-            )
-
-        def idf_expl_of(field: str, text: str):
-            st = stats[field]
-            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
-            df = doc_freqs[(field, text)]
-            idf = float(sim.idf(df, doc_count))
-            return idf, Explanation(
-                True,
-                idf,
-                "idf, computed as log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5)) from:",
-                [
-                    Explanation(True, float(df), "docFreq"),
-                    Explanation(True, float(doc_count), "docCount"),
-                ],
-            )
-
-        def term_detail(field: str, text: str, boost: float):
-            """weight(...) node for one term at this doc, or None if absent."""
-            p = leaf.read_postings(field, text)
-            if p is None:
-                return None
-            pdocs, pfreqs, _ = p
-            idx = np.searchsorted(pdocs, local)
-            if idx >= len(pdocs) or pdocs[idx] != local:
-                return None
-            freq = float(pfreqs[idx])
-            idf, idf_node = idf_expl_of(field, text)
-            _, tf_node = tf_norm_expl(field, freq)
-            weight_val = idf * float(boost) * tf_node.value
-            return Explanation(
-                True,
-                weight_val,
-                f"weight({field}:{text} in {doc}) [BM25Similarity], product of:",
-                [idf_node, tf_node],
-            )
-
-        for c in rq.clauses:
-            if c.occur == Occur.MUST_NOT:
-                continue
-            node = term_detail(c.term.field, c.term.text, c.boost)
-            if node is not None and c.occur in (Occur.SHOULD, Occur.MUST):
-                details.append(node)
-
-        # nested pure-SHOULD groups score their matching members
-        # (boolean_query.rs nested BooleanWeight explain)
-        for occ, members in rq.groups:
-            if occ == Occur.MUST_NOT:
-                continue
-            for c in members:
-                node = term_detail(c.term.field, c.term.text, c.boost)
-                if node is not None and occ in (Occur.SHOULD, Occur.MUST):
-                    details.append(node)
-
-        # point ranges: constant-score contributions
-        # (point_range_query.rs explain)
-        for rcl in rq.ranges:
-            if rcl.occur == Occur.MUST_NOT:
-                continue
-            docs_in = rcl.doc_set(leaf)
-            if local in set(int(x) for x in docs_in) and rcl.occur in (
-                Occur.SHOULD,
-                Occur.MUST,
-            ):
-                label = (
-                    f"ConstantScore(_exists_:{rcl.field})"
-                    if rcl.kind == "exists"
-                    else f"ConstantScore({rcl.field}:[{rcl.lower} TO {rcl.upper}])"
-                )
-                details.append(Explanation(True, float(rcl.boost), label))
-
-        # phrases: weight = boost * sum(idf) with tf = phrase freq
-        # (phrase_query.rs explain)
-        for field, terms, boost, slop in rq.phrases:
-            pdocs, pfreqs = host_engine.phrase_postings(leaf, field, terms, slop)
-            idx = np.searchsorted(pdocs, local) if len(pdocs) else 0
-            if len(pdocs) == 0 or idx >= len(pdocs) or pdocs[idx] != local:
-                continue
-            freq = float(pfreqs[idx])
-            idf_nodes = []
-            idf_sum = 0.0
-            for t in terms:
-                one, node = idf_expl_of(field, t)
-                idf_sum += one
-                idf_nodes.append(node)
-            _, tf_node = tf_norm_expl(field, freq)
-            phrase_txt = " ".join(terms)
-            details.append(
-                Explanation(
-                    True,
-                    idf_sum * float(boost) * tf_node.value,
-                    f'weight({field}:"{phrase_txt}" in {doc}) [BM25Similarity], product of:',
-                    [
-                        Explanation(True, idf_sum, "idf(), sum of:", idf_nodes),
-                        tf_node,
-                    ],
-                )
-            )
-
-        if rq.match_all and not details:
-            details.append(Explanation(True, float(rq.boost), "*:*, product of:"))
-
-        if not matched:
-            return no_match(f"doc {doc} does not match the query")
-        total = float(np.float32(sum(np.float32(d.value) for d in details)))
-        return Explanation(True, total, "sum of:", details)
+        return _explain(self, query, doc)
 
     # --- host path (phrases, ranges, groups, spans, dismax) ---
     def _search_host(self, query: Query, k: int) -> TopDocs:

@@ -101,8 +101,9 @@ def test_explain(feature_searcher):
     ex = s.explain(q, top.doc)
     assert ex.match
     assert ex.value == pytest.approx(top.score, rel=1e-5)
-    assert "sum of" in ex.description
-    assert any("idf" in d.description for d in ex.details[0].details)
+    # single-clause query: the weight node IS the tree (term_query.rs:183)
+    assert "weight(body:apple" in ex.description
+    assert any("idf" in d.description for d in ex.details)
     # non-matching doc
     ex2 = s.explain(q, 2)
     assert not ex2.match
@@ -118,7 +119,7 @@ def test_explain_phrase_range_group(feature_searcher):
     ex = s.explain(qp, td.score_docs[0].doc)
     assert ex.match
     assert ex.value == pytest.approx(td.score_docs[0].score, rel=1e-5)
-    assert any('"apple pie"' in d.description for d in ex.details)
+    assert '"apple pie"' in ex.description  # unwrapped single weight node
     # range mixed with a term (constant-score node appears)
     qr = parse_query_string("apple AND price:[10 TO 25]", "body")
     tdr = s.search(qr, k=10)

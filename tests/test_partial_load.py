@@ -6,7 +6,7 @@ import pytest
 
 import jax
 
-from rucene_tpu import Document, StringField, Term, TermQuery, TextField
+from rucene_tpu import Document, IndexSearcher, StringField, Term, TermQuery, TextField
 from rucene_tpu.index.reader import open_directory_reader
 from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig
 from rucene_tpu.parallel.sharded import ShardedIndex, ShardedSearcher, make_mesh
@@ -139,3 +139,60 @@ def test_partial_local_doc_freq(committed_dir):
     word = texts[0].split()[0]
     reader = open_directory_reader(FSDirectory(path))
     assert full.local_doc_freq("body", word) == reader.doc_freq("body", word)
+
+
+def test_partial_covers_full_algebra(committed_dir):
+    """Mixed phrase+term booleans, groups, dismax and spans serve in
+    partial mode (previously NotImplementedError — VERDICT r2 item 4):
+    local exact evaluation with global stats + allgather top-k merge."""
+    from rucene_tpu import (
+        BooleanQuery,
+        DisjunctionMaxQuery,
+        PhraseQuery,
+        Term,
+        TermQuery,
+    )
+    from rucene_tpu.search.spans import SpanNearQuery, SpanTermQuery
+
+    path, texts = committed_dir
+    mesh = make_mesh(4, 2)
+    plain = IndexSearcher(open_directory_reader(FSDirectory(path)))
+    partial = ShardedSearcher(ShardedIndex.from_directory(mesh, FSDirectory(path)))
+    assert partial.index.partial
+
+    ws = texts[0].split()
+    w0, w1 = ws[0], ws[1]
+    queries = []
+    mixed = BooleanQuery()  # phrase + term in one boolean
+    mixed.must(PhraseQuery("body", [w0, w1]))
+    mixed.should(TermQuery(Term("body", "the")))
+    queries.append(mixed)
+    grouped = BooleanQuery()  # nested pure-SHOULD group
+    inner = BooleanQuery()
+    inner.should(TermQuery(Term("body", w0)))
+    inner.should(TermQuery(Term("body", "the")))
+    grouped.must(inner)
+    grouped.must(TermQuery(Term("body", w1)))
+    queries.append(grouped)
+    queries.append(
+        DisjunctionMaxQuery(
+            [TermQuery(Term("body", w0)), TermQuery(Term("body", "the"))],
+            tie_breaker=0.4,
+        )
+    )
+    queries.append(
+        SpanNearQuery(
+            [SpanTermQuery(Term("body", w0)), SpanTermQuery(Term("body", w1))],
+            slop=2,
+            in_order=False,
+        )
+    )
+    r1 = plain.search_batch(queries, k=10)
+    r2 = partial.search_batch(queries, k=10)
+    assert any(td.total_hits > 0 for td in r1), "algebra rows matched nothing"
+    for a, b in zip(r1, r2):
+        assert a.total_hits == b.total_hits
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in a.score_docs],
+            [(sd.doc, sd.score) for sd in b.score_docs],
+        )
