@@ -144,6 +144,69 @@ def exact_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return cvals, cols
 
 
+def extent_top_k_lanes(
+    score: jax.Array,
+    docm: jax.Array,
+    start: jax.Array,
+    items: jax.Array,
+    max_items: int,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact per-row top-k over contiguous work-item extents of flat lane
+    arrays — the wide-row path for executors whose rows own disjoint
+    slices of a [W, 128] lane grid (single-term rows, pair-gallop
+    extents). Never materializes the [B, max_items*128] dense row layout
+    (537 MB at 1M docs, the measured dominant cost of the old
+    vmap-dynamic-slice formulation): selection runs at ITEM granularity
+    first, then only k items' lanes are gathered per row.
+
+      1. cmax[W] = per-item lane max (one [W,128] reduce);
+      2. per row, a stable (max desc, item asc) top-min(k, max_items)
+         chunk selection over its [max_items] item-max view — the same
+         block-max argument as exact_top_k proves the selected items
+         contain the true (score desc, doc asc) top-k;
+      3. gather the selected items' lanes ([B, ksel, 128]) and run the
+         stable selection over just those candidates.
+
+    Requirements: per extent, items ascend by doc and lanes ascend by doc
+    within an item (so index-asc tie-break == doc-asc); non-matching
+    lanes carry score == -inf and docm == 2^31-1; extents are disjoint.
+    score/docm: [W, 128]; start/items: i32[B]. Returns
+    (scores f32[B, k], docs i32[B, k]) padded with (-inf, 2^31-1)."""
+    w = score.shape[0]
+    b = start.shape[0]
+    mi = max(max_items, 1)
+    cmax = jnp.max(score, axis=1)  # [W]
+    cflat = jnp.concatenate([cmax, jnp.full(mi, NEG_INF, cmax.dtype)])
+
+    def row_view(s, n):
+        v = jax.lax.dynamic_slice(cflat, (s,), (mi,))
+        j = jnp.arange(mi, dtype=jnp.int32)
+        return jnp.where(j < n, v, NEG_INF)
+
+    crows = jax.vmap(row_view)(start, items)  # [B, mi]
+    ksel = min(k, mi)
+    cthr = jax.lax.top_k(crows, ksel)[0][:, -1:]
+    cidx = jax.lax.top_k(_distinct_keys(crows, cthr), ksel)[1].astype(jnp.int32)
+    cidx = jnp.sort(cidx, axis=1)  # ascending -> doc-asc candidate layout
+    sel_ok = cidx < items[:, None]
+    gi = jnp.clip(start[:, None] + cidx, 0, w - 1)
+    cs = jnp.where(sel_ok[:, :, None], score[gi], NEG_INF).reshape(b, ksel * 128)
+    cd = jnp.where(sel_ok[:, :, None], docm[gi], _DOC_PAD).reshape(b, ksel * 128)
+    kk = min(k, ksel * 128)
+    ts, tj = stable_top_k(cs, kk)
+    got = ts > NEG_INF
+    td = jnp.where(got, jnp.take_along_axis(cd, tj, axis=1), _DOC_PAD)
+    if kk < k:
+        ts = jnp.concatenate(
+            [ts, jnp.full((b, k - kk), NEG_INF, jnp.float32)], axis=1
+        )
+        td = jnp.concatenate(
+            [td, jnp.full((b, k - kk), jnp.int32(_DOC_PAD))], axis=1
+        )
+    return ts, td
+
+
 def topk_score_doc(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """scores: f32[B, N] with -inf for non-matching docs; doc id == column.
 

@@ -43,7 +43,7 @@ from rucene_tpu.ops.decode import (
     decode_freq_blocks,
     decode_norm_blocks,
 )
-from rucene_tpu.ops.topk import exact_top_k, topk_score_doc
+from rucene_tpu.ops.topk import topk_score_doc
 
 OCC_SHOULD = 0
 OCC_MUST = 1
@@ -573,45 +573,18 @@ def execute_flat_single(
     Caller guarantees: one scoring clause per row with positive weight, no
     MUST_NOT/FILTER, dev.live all-true over real docs, and every row's
     work items contiguous in the flat list."""
+    from rucene_tpu.ops.topk import extent_top_k_lanes
+
     target, rows, sc, valid, _ = decode_score_lanes(dev, q, use_pallas, has_ef)
-    # trailing pad so the last row's dynamic_slice never clamps (a clamped
-    # start would silently shift that row's lanes)
-    sc_flat = jnp.concatenate(
-        [jnp.where(valid, sc, 0.0).reshape(-1), jnp.zeros(max_lanes, jnp.float32)]
+    # a real posting always scores > 0 here (single positive-weight clause,
+    # tf >= 1); invalid tail lanes carry score 0 and may be interleaved at
+    # leaf boundaries in a combined view
+    matched = valid & (sc > 0.0)
+    score_l = jnp.where(matched, sc, -jnp.inf)
+    docm = jnp.where(matched, target, jnp.int32(2**31 - 1))
+    top_scores, top_docs = extent_top_k_lanes(
+        score_l, docm, row_item_start, row_item_count, max_lanes // 128, k
     )
-    doc_flat = jnp.concatenate(
-        [target.reshape(-1), jnp.full(max_lanes, jnp.int32(2**31 - 1))]
-    )
-    b = row_item_start.shape[0]
-
-    def row_view(arr, start):
-        return jax.lax.dynamic_slice(arr, (start * 128,), (max_lanes,))
-
-    sc_rows = jax.vmap(lambda s: row_view(sc_flat, s))(row_item_start)  # [B,max_lanes]
-    doc_rows = jax.vmap(lambda s: row_view(doc_flat, s))(row_item_start)
-    # mask: inside the row's item extent AND a real posting (invalid tail
-    # lanes carry score 0 and may be interleaved at leaf boundaries in a
-    # combined view; real postings always score > 0 here since the single
-    # clause has positive weight and tf >= 1)
-    j = jnp.arange(max_lanes, dtype=jnp.int32)[None, :]
-    in_row = (j < row_item_count[:, None] * 128) & (sc_rows > 0.0)
-    sc_rows = jnp.where(in_row, sc_rows, -jnp.inf)
-    top_scores, top_j = exact_top_k(sc_rows, min(k, max_lanes))
-    got = top_scores > -jnp.inf
-    top_docs = jnp.where(
-        got,
-        jnp.take_along_axis(doc_rows, jnp.clip(top_j, 0, max_lanes - 1), axis=1),
-        jnp.int32(2**31 - 1),
-    )
-    top_scores = jnp.where(got, top_scores, -jnp.inf)
-    kk = top_scores.shape[1]
-    if kk < k:
-        top_scores = jnp.concatenate(
-            [top_scores, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
-        )
-        top_docs = jnp.concatenate(
-            [top_docs, jnp.full((b, k - kk), jnp.int32(2**31 - 1))], axis=1
-        )
     total_hits = row_hits.astype(jnp.int32)
     return top_scores, top_docs, total_hits
 
@@ -923,44 +896,16 @@ def execute_flat_pair(
         mode == 1, alive & ~member, jnp.where(mode == 2, alive, match)
     ).astype(jnp.int32)
 
-    # --- per-row top-k: per-extent top_k (lanes ascend by doc within an
-    # extent, so top_k's lower-index tie-break IS doc-asc), then a small
-    # dedup + merge over <= 3k candidates ---
-    pad = max(max_lanes_p, max_lanes_s, 1)
-    sflat = jnp.concatenate(
-        [score.reshape(-1), jnp.full(pad, -jnp.inf, jnp.float32)]
-    )
-    dflat = jnp.concatenate(
-        [
-            jnp.where(match, target, jnp.int32(2**31 - 1)).reshape(-1),
-            jnp.full(pad, jnp.int32(2**31 - 1)),
-        ]
-    )
+    # --- per-row top-k: item-level block-max chunk selection per extent
+    # (ops.topk.extent_top_k_lanes — lanes ascend by doc within an extent,
+    # so index-asc tie-break IS doc-asc), then a small dedup + merge over
+    # <= 3k candidates ---
+    from rucene_tpu.ops.topk import extent_top_k_lanes
+
+    docm = jnp.where(match, target, jnp.int32(2**31 - 1))
 
     def extent_topk(start, items, max_lanes, kk):
-        def row(s, n):
-            sc_v = jax.lax.dynamic_slice(sflat, (s * 128,), (max_lanes,))
-            dc_v = jax.lax.dynamic_slice(dflat, (s * 128,), (max_lanes,))
-            j = jnp.arange(max_lanes, dtype=jnp.int32)
-            in_row = j < n * 128
-            return jnp.where(in_row, sc_v, -jnp.inf), jnp.where(
-                in_row, dc_v, jnp.int32(2**31 - 1)
-            )
-
-        sc_rows, dc_rows = jax.vmap(row)(start, items)
-        k_eff = min(kk, max_lanes)
-        ts, tj = exact_top_k(sc_rows, k_eff)
-        td = jnp.take_along_axis(dc_rows, jnp.clip(tj, 0, max_lanes - 1), axis=1)
-        got = ts > -jnp.inf
-        td = jnp.where(got, td, jnp.int32(2**31 - 1))
-        if k_eff < kk:
-            ts = jnp.concatenate(
-                [ts, jnp.full((b, kk - k_eff), -jnp.inf, jnp.float32)], axis=1
-            )
-            td = jnp.concatenate(
-                [td, jnp.full((b, kk - k_eff), jnp.int32(2**31 - 1))], axis=1
-            )
-        return ts, td
+        return extent_top_k_lanes(score, docm, start, items, max_lanes // 128, kk)
 
     ts_p, td_p = extent_topk(p.row_p_start, p.row_p_items, max_lanes_p, k)
     if max_lanes_s > 0:
