@@ -41,6 +41,14 @@ class DeviceSegment(NamedTuple):
     freqs_dec: jnp.ndarray | None = None  # u16|i32[NBr,128], 0 pad
     norm_dec: jnp.ndarray | None = None  # u8[NBr,128] norm bytes (cval rebuilds)
     blk_fid: jnp.ndarray | None = None  # i32[NBr] norms/cache row per block
+    # --- dense tf planes (add_tf_planes) ---
+    # one u8 row per HOT term: tf_planes[slot, doc] = term freq (0 absent).
+    # Boolean rows whose terms all have planes score as fused dense
+    # elementwise math over [B, md] — no probe compares, no scatter, no
+    # per-block host tables (the TPU answer to skip-list leapfrog for
+    # high-df conjunctions/disjunctions). Term -> slot lives host-side
+    # (SegmentSnapshot.plane_slots, keyed by the term's block_start).
+    tf_planes: jnp.ndarray | None = None  # u8[P, MDp]
 
     @property
     def max_doc_padded(self) -> int:
@@ -248,6 +256,116 @@ def add_decoded_planes(
         # HBM (2 GB at 8.8M docs) — swap in a stub and let it be freed
         out = out._replace(data=jnp.zeros(2048, dev.data.dtype))
     return out
+
+
+# --- dense tf planes --------------------------------------------------------
+
+
+def plane_policy(mdp: int) -> tuple[int, int]:
+    """(budget_bytes, df_min) for dense tf planes under RUCENE_PLANES.
+
+    auto: plane terms with df >= mdp/512 (the density where probe-compare
+    volume beats a dense [md] u8 stream), capped by RUCENE_PLANES_MAX_MB
+    (default 4 GB — one plane costs mdp bytes). "1" planes every term that
+    fits (tests); "0" disables."""
+    import os
+
+    env = os.environ.get("RUCENE_PLANES", "auto")
+    if env == "0":
+        return 0, 0
+    budget = int(os.environ.get("RUCENE_PLANES_MAX_MB", 4096)) << 20
+    if env == "1":
+        return budget, 1
+    if mdp < (1 << 19):
+        # small segments: the lane paths are already near-free, and NRT
+        # refreshes would pay the plane scatter per new segment
+        return 0, 0
+    return budget, max(mdp // 512, 4)
+
+
+def select_plane_terms(packed: PackedSegment, mdp: int, budget_bytes: int,
+                       df_min: int):
+    """Pick the plane-resident terms: df >= df_min, per-block max freq
+    <= 255 (u8 exactness), ordered by (-df, block_start), capped by the
+    byte budget. Returns (blk_ids i32[NBsel], slot_ids i32[NBsel],
+    slots {block_start -> slot}) or None."""
+    cap = budget_bytes // max(mdp, 1)
+    if cap <= 0:
+        return None
+    bmf = np.asarray(packed.blk_max_freq)
+    rows: list[tuple[int, int, int]] = []  # (df, block_start, block_count)
+    for pf in packed.fields.values():
+        df = np.asarray(pf.doc_freq)
+        bs = np.asarray(pf.block_start)
+        bc = np.asarray(pf.block_count)
+        for t in np.flatnonzero((df >= df_min) & (bc > 0)):
+            s, c = int(bs[t]), int(bc[t])
+            if int(bmf[s : s + c].max()) > 255:
+                continue
+            rows.append((int(df[t]), s, c))
+    if not rows:
+        return None
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    rows = rows[: int(cap)]
+    slots = {s: i for i, (_df, s, _c) in enumerate(rows)}
+    blk_ids = np.concatenate(
+        [np.arange(s, s + c, dtype=np.int32) for _df, s, c in rows]
+    )
+    slot_ids = np.repeat(
+        np.arange(len(rows), dtype=np.int32),
+        np.asarray([c for _df, _s, c in rows]),
+    )
+    return blk_ids, slot_ids, slots
+
+
+_scatter_planes_jit = None
+
+PLANE_CHUNK = 65536  # blocks per scatter dispatch
+
+
+def add_tf_planes(dev: DeviceSegment, packed: PackedSegment):
+    """Build the hot-term u8 tf planes from the decoded residency
+    (requires docs_dec). Returns (dev', {block_start -> plane slot});
+    ({} when disabled / nothing qualifies). One scatter pass per segment —
+    the serving path then reads planes with plain row gathers."""
+    global _scatter_planes_jit
+    import jax
+
+    if dev.docs_dec is None or not packed.num_blocks:
+        return dev, {}
+    mdp = dev.max_doc_padded
+    budget, df_min = plane_policy(mdp)
+    if budget <= 0:
+        return dev, {}
+    sel = select_plane_terms(packed, mdp, budget, df_min)
+    if sel is None:
+        return dev, {}
+    blk_ids, slot_ids, slots = sel
+    p = next_pow2(len(slots), 8)
+    if _scatter_planes_jit is None:
+        def _scatter_chunk(planes, docs_dec, freqs_dec, blk, slot):
+            nbr = docs_dec.shape[0]
+            d = docs_dec[jnp.clip(blk, 0, nbr - 1)]  # [C,128] INVALID pad
+            f = freqs_dec[jnp.clip(blk, 0, nbr - 1)].astype(planes.dtype)
+            rows = jnp.broadcast_to(slot[:, None], d.shape)
+            # INVALID_DOC (2^31-1) and padding slot==P are out of bounds ->
+            # dropped; real (slot, doc) pairs are unique across blocks
+            return planes.at[rows, d].set(f, mode="drop")
+
+        _scatter_planes_jit = jax.jit(_scatter_chunk, donate_argnums=(0,))
+    planes = jnp.zeros((p, mdp), jnp.uint8)
+    for s in range(0, len(blk_ids), PLANE_CHUNK):
+        e = min(s + PLANE_CHUNK, len(blk_ids))
+        w = next_pow2(e - s, 8)
+        blk = np.zeros(w, np.int32)
+        slot = np.full(w, p, np.int32)  # pad rows scatter out of bounds
+        blk[: e - s] = blk_ids[s:e]
+        slot[: e - s] = slot_ids[s:e]
+        planes = _scatter_planes_jit(
+            planes, dev.docs_dec, dev.freqs_dec, jnp.asarray(blk),
+            jnp.asarray(slot),
+        )
+    return dev._replace(tf_planes=planes), slots
 
 
 def decoded_policy(n_blocks: int, max_freq: int) -> tuple[bool, object]:

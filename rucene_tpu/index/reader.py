@@ -72,6 +72,9 @@ class SegmentSnapshot:
         # (reference doc_values_update.rs — update by term without reindex)
         self.dv_updates: dict[str, dict[int, int]] = {}
         self.bdv_updates: dict[str, dict[int, bytes]] = {}
+        # hot-term tf-plane slots {term block_start -> plane row}; filled
+        # when the device segment is built (codec/device.add_tf_planes)
+        self.plane_slots: dict[int, int] = {}
 
     @property
     def device(self) -> DeviceSegment:
@@ -81,6 +84,7 @@ class SegmentSnapshot:
             dev = build_device_segment(self.packed, self.live)
             from rucene_tpu.codec.device import (
                 add_decoded_planes,
+                add_tf_planes,
                 blk_fid_host,
                 decoded_policy,
             )
@@ -92,6 +96,7 @@ class SegmentSnapshot:
                     dev, self.packed.num_blocks, blk_fid_host(self.packed),
                     freq_dtype=fdt,
                 )
+                dev, self.plane_slots = add_tf_planes(dev, self.packed)
             self._device = dev
         return self._device
 
@@ -118,6 +123,7 @@ class SegmentSnapshot:
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
         snap.bdv_updates = {f: dict(m) for f, m in self.bdv_updates.items()}
+        snap.plane_slots = self.plane_slots  # postings-derived: share
         return snap
 
     def with_dv_updates(self, field: str, by_doc: dict[int, int]) -> "SegmentSnapshot":
@@ -144,6 +150,7 @@ class SegmentSnapshot:
         snap.doc_base = 0
         snap.dv_updates = {f: dict(m) for f, m in self.dv_updates.items()}
         snap.bdv_updates = {f: dict(m) for f, m in self.bdv_updates.items()}
+        snap.plane_slots = self.plane_slots
         return snap
 
     # --- term dictionary ---

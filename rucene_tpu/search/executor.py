@@ -779,6 +779,74 @@ def execute_mixed_planes(
     return top_scores, top_docs, hits, ov_count
 
 
+class PlaneBatch(NamedTuple):
+    """Device tables for the dense tf-plane executor (execute_planes):
+    boolean rows whose term clauses ALL live as resident u8 tf planes
+    (codec/device.add_tf_planes). Each row is up to T slots; slot -1 is
+    inert (padding, or a term absent from this segment — which for a
+    required clause correctly matches nothing)."""
+
+    slot: jax.Array  # i32[B, T] plane row per clause; -1 inert
+    kindenc: jax.Array  # i32[B, T] ENC_REQUIRED/ENC_SHOULD/ENC_NOT; 0 pad
+    weight: jax.Array  # f32[B, T] boost*idf*(k1+1); 0 for non-scoring
+    fid: jax.Array  # i32[B, T] norms/cache row per clause
+    n_required: jax.Array  # i32[B]
+    min_should: jax.Array  # i32[B]
+
+
+@partial(jax.jit, static_argnames=("k", "same_fid"))
+def execute_planes(
+    planes: jax.Array,  # u8[P, md]
+    cval_planes: jax.Array,  # f32[F, md] BM25 denominators per doc
+    live: jax.Array,  # bool[md]
+    pb: PlaneBatch,
+    k: int,
+    same_fid: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fully dense boolean/BM25 evaluation over resident tf planes: for
+    each row, T gathered u8 rows + fused elementwise math over [B, md] —
+    the TPU inversion of skip-list leapfrog for HIGH-DF clauses (rucene
+    conjunction_scorer.rs / disjunction_scorer.rs): at df >= md/512 the
+    postings of a clause approach a dense column anyway, so streaming the
+    column at HBM rate beats any sparse intersection. Scores are
+    bit-identical to the lane executor: (weight*tf)/(tf+cval) per clause,
+    commutative f32 adds, same match composition as execute_flat_impl.
+
+    same_fid (STATIC): >= 0 when every clause in the batch shares that
+    norms row — cval broadcasts from one [md] row (read once per tile)
+    instead of a per-row [B, md] gather. Returns (scores f32[B,k],
+    docs i32[B,k], total_hits i32[B])."""
+    p, md = planes.shape
+    b, t = pb.slot.shape
+    nf = cval_planes.shape[0]
+    acc = jnp.zeros((b, md), jnp.float32)
+    cnt = jnp.zeros((b, md), jnp.int32)
+    cv_shared = cval_planes[same_fid][None, :] if same_fid >= 0 else None
+    for i in range(t):  # T is tiny and static: unrolled, XLA fuses the loop
+        sl = pb.slot[:, i]
+        on = sl >= 0
+        tf = jnp.where(
+            on[:, None], planes[jnp.clip(sl, 0, p - 1)].astype(jnp.float32), 0.0
+        )
+        cv = (
+            cv_shared
+            if cv_shared is not None
+            else cval_planes[jnp.clip(pb.fid[:, i], 0, nf - 1)]
+        )
+        acc = acc + (pb.weight[:, i][:, None] * tf) / (tf + cv)
+        cnt = cnt + jnp.where(tf > 0.0, pb.kindenc[:, i][:, None], 0)
+    match = (
+        ((cnt >> 16) == pb.n_required[:, None])
+        & (((cnt >> 8) & 0xFF) >= pb.min_should[:, None])
+        & ((cnt & 0xF) == 0)
+        & live[None, :]
+    )
+    scores = jnp.where(match, acc, -jnp.inf)
+    top_scores, top_docs = topk_score_doc(scores, k)
+    total_hits = jnp.sum(match, axis=1).astype(jnp.int32)
+    return top_scores, top_docs, total_hits
+
+
 class PairBatch(NamedTuple):
     """Device tables for the pair-gallop executor (execute_flat_pair) —
     the batched TPU analog of the reference's doc-at-a-time leapfrog

@@ -189,6 +189,37 @@ def cval_table_for(dev, cache: np.ndarray):
     return tbl
 
 
+_CVAL_PLANE_CACHE: dict = {}  # (id(norms), cache bytes) -> (norms ref, planes)
+
+
+def _build_cval_planes(norms, cache):
+    """f32[F, MDp] per-doc BM25 denominators from the resident norms rows:
+    cval_planes[f, d] = cache[f, norms[f, d]] — bit-identical values to the
+    lane path's per-lane cache lookup (same table, same byte)."""
+    return jnp.take_along_axis(cache, norms.astype(jnp.int32), axis=1)
+
+
+_build_cval_planes_jit = None
+
+
+def cval_plane_for(dev, cache: np.ndarray):
+    """Cached dense denominator planes for the tf-plane executor; keyed by
+    (norms identity, stats bytes) with a strong ref pin (recycled-id()
+    safety, same as _CVAL_CACHE)."""
+    global _build_cval_planes_jit
+    key = (id(dev.norms), cache.tobytes())
+    ent = _CVAL_PLANE_CACHE.get(key)
+    if ent is not None and ent[0] is dev.norms:
+        return ent[1]
+    if _build_cval_planes_jit is None:
+        _build_cval_planes_jit = jax.jit(_build_cval_planes)
+    planes = _build_cval_planes_jit(dev.norms, jnp.asarray(cache))
+    _CVAL_PLANE_CACHE[key] = (dev.norms, planes)
+    while len(_CVAL_PLANE_CACHE) > 8:
+        _CVAL_PLANE_CACHE.pop(next(iter(_CVAL_PLANE_CACHE)))
+    return planes
+
+
 def make_flat_batch(work, n_required, min_should, cache, dedupe: bool = False,
                     dev=None):
     """Device FlatQueryBatch from a host work tuple (build_flat_work /

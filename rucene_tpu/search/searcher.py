@@ -85,6 +85,7 @@ from rucene_tpu.search.flat_tables import (  # noqa: F401,E402 (re-export)
     build_leaf_cache,
     build_leaf_tables,
     build_range_filter_tables,
+    cval_plane_for,
     cval_table_for,
     dedupe_work,
     make_flat_batch,
@@ -732,7 +733,27 @@ class IndexSearcher(PhrasePathMixin):
             ]
         else:
             pair2_rows = [False] * b_actual
-        pair2 = bool(pair2_rows) and all(pair2_rows) and not single
+
+        # dense tf-plane eligibility: plain boolean rows whose terms are
+        # all resident as u8 planes stream [B, md] fused math instead of
+        # any lane machinery (search/plane_path.py). Single-clause rows
+        # stay on the single path unless RUCENE_PLANE_TERMS=1 (A/B).
+        if prune is not True and extras is None:
+            from rucene_tpu.search.plane_path import plane_eligible_rows
+
+            plane_base = plane_eligible_rows(rqs, self.reader.leaves)
+            plane_terms = os.environ.get("RUCENE_PLANE_TERMS", "0") == "1"
+            plane_rows = [
+                e and (len(rq.clauses) >= 2 or plane_terms
+                       or not (s and no_deletes))
+                for e, rq, s in zip(plane_base, rqs, single_rows)
+            ]
+        else:
+            plane_rows = [False] * b_actual
+        plane = bool(plane_rows) and all(plane_rows)
+        pair2 = (
+            bool(pair2_rows) and all(pair2_rows) and not single and not plane
+        )
 
         # range clauses ride as device filter planes; WAND bounds don't
         # cover their constant scores, so pruning is disabled for such
@@ -762,9 +783,12 @@ class IndexSearcher(PhrasePathMixin):
             and sum(lf.max_doc for lf in self.reader.leaves) >= (1 << 19)
         ):
             cls = [
-                0 if (s and not prune and no_deletes)
+                4 if pl
+                else 0 if (s and not prune and no_deletes)
                 else (3 if pr2 else (1 if p else 2))
-                for s, p, pr2 in zip(single_rows, pure_rows, pair2_rows)
+                for s, p, pr2, pl in zip(
+                    single_rows, pure_rows, pair2_rows, plane_rows
+                )
             ]
             groups = {c: [i for i, ci in enumerate(cls) if ci == c] for c in set(cls)}
             if len(groups) > 1:
@@ -799,7 +823,7 @@ class IndexSearcher(PhrasePathMixin):
         timed = getattr(self, "_deadline", None) is not None
         if (
             self.combine_segments and len(self.reader.leaves) > 1
-            and not timed and not pair2
+            and not timed and not pair2 and not plane
         ):
             return self._search_device_combined(
                 rqs, k, stats, weight, occur, n_required, min_should,
@@ -814,6 +838,13 @@ class IndexSearcher(PhrasePathMixin):
             if self._past_deadline():
                 break
             cache = build_leaf_cache(leaf, sim, stats)
+            if plane:
+                fut = self._run_planes(
+                    leaf, rqs, weight, cache, n_required, min_should, k,
+                    b_pad, t_pad,
+                )
+                pending.append((leaf.doc_base, fut, None))
+                continue
             block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
             if pair2:
                 fut = self._run_pair(
@@ -1021,6 +1052,59 @@ class IndexSearcher(PhrasePathMixin):
             return prefetch_result(res)
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
+
+    def _run_planes(self, leaf, rqs, weight, cache, n_required, min_should,
+                    k, b_pad, t_pad):
+        """Dense tf-plane dispatch (executor.execute_planes): boolean rows
+        whose term clauses all live as resident u8 planes. Row-chunked so
+        the [B, md] accumulator stays within budget at many-million-doc
+        segments (plane_path.plane_row_chunk)."""
+        from rucene_tpu.search.executor import PlaneBatch, execute_planes
+        from rucene_tpu.search.plane_path import (
+            build_plane_batch,
+            plane_row_chunk,
+        )
+
+        dev = leaf.device
+        slot, kind, same_fid, active = build_plane_batch(
+            leaf, rqs, b_pad, t_pad
+        )
+        METRICS.incr("route.plane_rows", len(rqs))
+        METRICS.incr("search.plane_bytes", int(active) * dev.max_doc_padded)
+        cvp = cval_plane_for(dev, cache)
+        # clause fids ride only through same_fid when uniform; the general
+        # per-slot gather needs the table — derive it from the slots' terms
+        fid = np.zeros((b_pad, t_pad), np.int32)
+        if same_fid < 0:
+            for i, rq in enumerate(rqs):
+                for j, c in enumerate(rq.clauses):
+                    pf = leaf.packed.fields.get(c.term.field)
+                    if pf is not None:
+                        fid[i, j] = pf.field_id
+        rows_per = plane_row_chunk(b_pad, dev.max_doc_padded)
+        futs = []
+        for s in range(0, b_pad, rows_per):
+            e = s + rows_per
+            pb = jax.device_put(PlaneBatch(
+                slot=slot[s:e], kindenc=kind[s:e],
+                weight=weight[s:e, :t_pad].astype(np.float32),
+                fid=fid[s:e],
+                n_required=n_required[s:e], min_should=min_should[s:e],
+            ))
+            futs.append(prefetch_result(execute_planes(
+                dev.tf_planes, cvp, dev.live, pb, k=k, same_fid=same_fid,
+            )))
+        if len(futs) == 1:
+            return futs[0]
+
+        def merged():
+            parts = [tuple(np.asarray(x) for x in jax.device_get(f)) for f in futs]
+            s_ = np.concatenate([p[0] for p in parts])
+            d_ = np.concatenate([p[1] for p in parts])
+            h_ = np.concatenate([p[2] for p in parts])
+            return s_, d_, h_
+
+        return merged
 
     def _run_pair(self, leaf, rqs, weight, field_id, block_start, block_count,
                   cache, n_required, min_should, occur, k, b_pad):
