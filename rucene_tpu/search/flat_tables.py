@@ -25,9 +25,53 @@ from rucene_tpu.util import next_pow2
 from rucene_tpu.util.metrics import METRICS
 
 
-def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int):
+class QueryPlan:
+    """Per-(searcher, query) cached host work — the TPU-serving analog of
+    the reference's per-reader Weight construction + query cache
+    (rucene src/core/search/searcher.rs:234, query_cache.rs:229): rewrite,
+    per-clause weights, per-leaf term resolution and routing flags are all
+    reader-stable, so a repeated query re-pays NONE of them (profile r4a:
+    ~60 ms/batch of the dispatch tax was exactly this recomputation).
+    Entries pin the query object (identity-keyed caches must hold a strong
+    ref so a recycled id() can never serve a stale plan)."""
+
+    __slots__ = ("q", "rq", "clause_row", "stats_terms", "leaf_rows", "flags")
+
+    def __init__(self, q, rq):
+        self.q = q
+        self.rq = rq
+        self.clause_row = None  # (w[T], occ[T], nreq, msm, match_all, boost)
+        self.stats_terms = None  # [(field, text)] for _gather_stats
+        self.leaf_rows: dict = {}  # id(leaf) -> per-leaf resolution dict
+        self.flags: dict = {}  # routing flags (pure/single/pair2/plane)
+
+
+def clause_row_for(rq, sim, doc_freqs, stats, plan=None):
+    """One row's segment-independent tables, cached on the plan."""
+    if plan is not None and plan.clause_row is not None:
+        return plan.clause_row
+    slots = rq.all_slots()
+    wrow = np.zeros(len(slots), np.float32)
+    orow = np.zeros(len(slots), np.int32)
+    for j, (occ, c) in enumerate(slots):
+        orow[j] = occ
+        if occ in (int(Occur.SHOULD), int(Occur.MUST)):
+            wrow[j] = sim.term_weight(
+                doc_freqs[(c.term.field, c.term.text)], stats[c.term.field],
+                c.boost,
+            )
+    row = (wrow, orow, rq.n_required, rq.effective_min_should(),
+           rq.match_all, rq.boost)
+    if plan is not None:
+        plan.clause_row = row
+    return row
+
+
+def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int,
+                        plans=None):
     """Segment-independent per-batch tables: weights, occur kinds, boolean
-    controls. Padding rows (i >= len(rqs)) match nothing."""
+    controls. Padding rows (i >= len(rqs)) match nothing. plans: aligned
+    QueryPlan list — cached rows skip the per-slot weight math."""
     weight = np.zeros((b_pad, t_pad), dtype=np.float32)
     occur = np.zeros((b_pad, t_pad), dtype=np.int32)
     n_required = np.zeros(b_pad, dtype=np.int32)
@@ -35,31 +79,67 @@ def build_clause_tables(rqs, sim, doc_freqs, stats, b_pad: int, t_pad: int):
     match_all_rows = np.zeros(b_pad, dtype=bool)
     boosts = np.ones(b_pad, dtype=np.float32)
     for i, rq in enumerate(rqs):
-        n_required[i] = rq.n_required
-        min_should[i] = rq.effective_min_should()
-        match_all_rows[i] = rq.match_all
-        boosts[i] = rq.boost
-        for j, (occ, c) in enumerate(rq.all_slots()):
-            occur[i, j] = occ
-            if occ in (int(Occur.SHOULD), int(Occur.MUST)):
-                weight[i, j] = sim.term_weight(
-                    doc_freqs[(c.term.field, c.term.text)], stats[c.term.field], c.boost
-                )
+        wrow, orow, nreq, msm, ma, bo = clause_row_for(
+            rq, sim, doc_freqs, stats, plans[i] if plans else None
+        )
+        n_required[i] = nreq
+        min_should[i] = msm
+        match_all_rows[i] = ma
+        boosts[i] = bo
+        weight[i, : len(wrow)] = wrow
+        occur[i, : len(orow)] = orow
     return weight, occur, n_required, min_should, match_all_rows, boosts
 
 
-def build_leaf_tables(leaf, rqs, b_pad: int, t_pad: int):
+def leaf_rows_for(leaf, rq, plan=None):
+    """One row's per-segment term resolution (block ranges, norms rows,
+    doc freqs, plane slots), cached on the plan per leaf identity."""
+    lid = id(leaf)
+    if plan is not None:
+        row = plan.leaf_rows.get(lid)
+        if row is not None:
+            return row
+    slots = rq.all_slots()
+    bs = np.zeros(len(slots), np.int32)
+    bc = np.zeros(len(slots), np.int32)
+    fid = np.zeros(len(slots), np.int32)
+    df = np.zeros(len(slots), np.int32)
+    pslot = np.full(len(slots), -1, np.int32)
+    plane_slots = getattr(leaf, "plane_slots", None)
+    plane_ok = True
+    for j, (_occ, c) in enumerate(slots):
+        rec = leaf.term_record(c.term.field, c.term.text)
+        if rec is None:
+            continue
+        bs[j] = rec.block_start
+        bc[j] = rec.block_count
+        df[j] = rec.doc_freq
+        fid[j] = leaf.packed.fields[c.term.field].field_id
+        if plane_slots:
+            ps = plane_slots.get(rec.block_start)
+            if ps is None:
+                plane_ok = False
+            else:
+                pslot[j] = ps
+        else:
+            plane_ok = False
+    row = dict(bs=bs, bc=bc, fid=fid, df=df, pslot=pslot, plane_ok=plane_ok)
+    if plan is not None:
+        plan.leaf_rows[lid] = row
+    return row
+
+
+def build_leaf_tables(leaf, rqs, b_pad: int, t_pad: int, plans=None):
     """Per-segment term resolution: block ranges + norms-row ids."""
     block_start = np.zeros((b_pad, t_pad), dtype=np.int32)
     block_count = np.zeros((b_pad, t_pad), dtype=np.int32)
     field_id = np.zeros((b_pad, t_pad), dtype=np.int32)
     for i, rq in enumerate(rqs):
-        for j, (_occ, c) in enumerate(rq.all_slots()):
-            rec = leaf.term_record(c.term.field, c.term.text)
-            if rec is not None:
-                block_start[i, j] = rec.block_start
-                block_count[i, j] = rec.block_count
-                field_id[i, j] = leaf.packed.fields[c.term.field].field_id
+        row = leaf_rows_for(leaf, rq, plans[i] if plans else None)
+        n = len(row["bs"])
+        block_start[i, :n] = row["bs"]
+        block_count[i, :n] = row["bc"]
+        field_id[i, :n] = row["fid"]
     return block_start, block_count, field_id
 
 

@@ -20,10 +20,6 @@ nothing in that segment).
 
 from __future__ import annotations
 
-import numpy as np
-
-from rucene_tpu.search.query import Occur
-
 PLANE_T_CAP = 8  # max clauses per row (ENC_NOT nibble caps MUST_NOT at 15)
 
 
@@ -37,63 +33,6 @@ def plane_structural(rq) -> bool:
         and not rq.groups
         and 1 <= len(rq.clauses) <= PLANE_T_CAP
     )
-
-
-def plane_eligible_rows(rqs, leaves) -> list[bool]:
-    """Per-row eligibility across ALL leaves: structural shape + every
-    term that exists in a leaf has a plane slot there. Requires every
-    leaf to carry planes (mixed-residency readers fall back wholesale —
-    rows must take one class on every leaf)."""
-    for lf in leaves:
-        if (
-            getattr(lf, "plane_slots", None) is None
-            or lf.device.tf_planes is None
-            or not lf.plane_slots
-        ):
-            return [False] * len(rqs)
-    flags = []
-    for rq in rqs:
-        ok = plane_structural(rq)
-        if ok:
-            for lf in leaves:
-                for c in rq.clauses:
-                    rec = lf.term_record(c.term.field, c.term.text)
-                    if rec is not None and rec.block_start not in lf.plane_slots:
-                        ok = False
-                        break
-                if not ok:
-                    break
-        flags.append(ok)
-    return flags
-
-
-def build_plane_batch(leaf, rqs, b_pad: int, t_pad: int):
-    """(slot i32[b_pad,t_pad], kindenc i32[b_pad,t_pad], same_fid,
-    active_slots) for one leaf. same_fid: the shared norms row when every
-    present clause in the batch targets one field, else -1 (STATIC jit
-    arg selecting the broadcast-cval program)."""
-    from rucene_tpu.search.executor import ENC_NOT, ENC_REQUIRED, ENC_SHOULD
-
-    slot = np.full((b_pad, t_pad), -1, np.int32)
-    kind = np.zeros((b_pad, t_pad), np.int32)
-    fids: set[int] = set()
-    active = 0
-    for i, rq in enumerate(rqs):
-        for j, c in enumerate(rq.clauses):
-            rec = leaf.term_record(c.term.field, c.term.text)
-            if rec is None:
-                continue
-            slot[i, j] = leaf.plane_slots[rec.block_start]
-            if c.occur in (Occur.MUST, Occur.FILTER):
-                kind[i, j] = ENC_REQUIRED
-            elif c.occur == Occur.SHOULD:
-                kind[i, j] = ENC_SHOULD
-            else:
-                kind[i, j] = ENC_NOT
-            fids.add(leaf.packed.fields[c.term.field].field_id)
-            active += 1
-    same_fid = fids.pop() if len(fids) == 1 else -1
-    return slot, kind, same_fid, active
 
 
 def plane_row_chunk(b_pad: int, mdp: int) -> int:

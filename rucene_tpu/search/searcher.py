@@ -146,6 +146,14 @@ class IndexSearcher(PhrasePathMixin):
         self._combined = None
         self._scalar_engines: dict = {}  # leaf id -> (ScalarSearcher, live)
         self._stats: dict[str, CollectionStats] = {}
+        # per-(searcher, query) plan cache + doc-freq memo: everything in a
+        # plan is reader-stable (this searcher is a point-in-time view), so
+        # repeated queries skip rewrite/weights/term-resolution/routing —
+        # the reference's per-reader Weight + QueryCache analog
+        # (searcher.rs:234, query_cache.rs:229). Identity-keyed with a
+        # strong query ref pinned in the entry (stale-id safety).
+        self._plan_cache: dict[int, object] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
         # fused Mosaic decode kernel only lowers on real TPU backends
         self._use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -218,23 +226,8 @@ class IndexSearcher(PhrasePathMixin):
         self.timed_out = False
         METRICS.incr("search.queries", len(queries))
         t_start = time.perf_counter()
-        from rucene_tpu.search.query import _NeedsHostEval
-
-        def _safe_rewrite(q):
-            de = getattr(q, "device_equivalent", None)
-            if de is not None:
-                eq = de()  # span-term -> term, ordered span-near -> phrase
-                if eq is not None:
-                    return eq.rewrite()
-            # try the flat form first: dismax/const-score/boosting now
-            # rewrite to executor rows (VERDICT r2 item 4); host_eval
-            # remains the fallback for inexpressible shapes
-            try:
-                return q.rewrite()
-            except (_NeedsHostEval, NotImplementedError):
-                return None  # generic host boolean path / host_eval
-
-        rewritten = [_safe_rewrite(q) for q in queries]
+        plans = [self._plan_for(q) for q in queries]
+        rewritten = [p.rq for p in plans]
         results: list[TopDocs | None] = [None] * len(queries)
 
         device_idx = [
@@ -291,7 +284,7 @@ class IndexSearcher(PhrasePathMixin):
             with trace("search.device.dispatch"):
                 device_finish = self._search_device(
                     [rewritten[i] for i in device_idx], k, prune=prune,
-                    _defer=True,
+                    _defer=True, _plans=[plans[i] for i in device_idx],
                 )
         phrase_finish = None
         if phrase_idx:
@@ -372,21 +365,63 @@ class IndexSearcher(PhrasePathMixin):
         return collect
 
     # --- shared helpers ---
-    def _gather_stats(self, rqs: list[RewrittenQuery]):
+    def _rewrite_query(self, q):
+        from rucene_tpu.search.query import _NeedsHostEval
+
+        de = getattr(q, "device_equivalent", None)
+        if de is not None:
+            eq = de()  # span-term -> term, ordered span-near -> phrase
+            if eq is not None:
+                return eq.rewrite()
+        # try the flat form first: dismax/const-score/boosting rewrite to
+        # executor rows (VERDICT r2 item 4); host_eval remains the
+        # fallback for inexpressible shapes
+        try:
+            return q.rewrite()
+        except (_NeedsHostEval, NotImplementedError):
+            return None  # generic host boolean path / host_eval
+
+    def _plan_for(self, q):
+        from rucene_tpu.search.flat_tables import QueryPlan
+
+        pc = self._plan_cache
+        ent = pc.get(id(q))
+        if ent is not None and ent.q is q:
+            return ent
+        plan = QueryPlan(q, self._rewrite_query(q))
+        if len(pc) >= 16384:  # bounded: drop the oldest quarter
+            for key in list(pc.keys())[:4096]:
+                pc.pop(key, None)
+        pc[id(q)] = plan
+        return plan
+
+    def _gather_stats(self, rqs: list[RewrittenQuery], plans=None):
         doc_freqs: dict[tuple[str, str], int] = {}
         fields: set[str] = set()
-        for rq in rqs:
-            group_clauses = [c for _, members in rq.groups for c in members]
-            for c in list(rq.clauses) + group_clauses:
-                fields.add(c.term.field)
-                key = (c.term.field, c.term.text)
+        dfc = self._df_cache
+        for idx, rq in enumerate(rqs):
+            plan = plans[idx] if plans is not None else None
+            terms = plan.stats_terms if plan is not None else None
+            if terms is None:
+                terms = []
+                group_clauses = [c for _, members in rq.groups for c in members]
+                for c in list(rq.clauses) + group_clauses:
+                    terms.append((c.term.field, c.term.text))
+                for f, ph_terms, _b, _s in rq.phrases:
+                    for t in ph_terms:
+                        if t is not None:
+                            terms.append((f, t))
+                if plan is not None:
+                    plan.stats_terms = terms
+            for key in terms:
+                fields.add(key[0])
                 if key not in doc_freqs:
-                    doc_freqs[key] = self.reader.doc_freq(*key)
-            for f, terms, _b, _s in rq.phrases:
-                fields.add(f)
-                for t in terms:
-                    if t is not None and (f, t) not in doc_freqs:
-                        doc_freqs[(f, t)] = self.reader.doc_freq(f, t)
+                    df = dfc.get(key)
+                    if df is None:
+                        df = self.reader.doc_freq(*key)
+                        dfc[key] = df
+                    doc_freqs[key] = df
+            fields.update(f for f, _t, _b, _s in rq.phrases)
         stats = {f: self.collection_stats(f) for f in fields}
         return doc_freqs, stats
 
@@ -652,21 +687,25 @@ class IndexSearcher(PhrasePathMixin):
 
     def _search_device(
         self, rqs: list[RewrittenQuery], k: int, prune: bool | None = None,
-        _defer: bool = False, _stats=None,
+        _defer: bool = False, _stats=None, _plans=None,
     ):
         """_defer=True returns a finish() closure instead of results, so
         several sub-batches can be DISPATCHED before any device_get — the
         row-class split's programs then overlap on device instead of
         paying dispatch+RTT serially. _stats: (doc_freqs, stats) computed
-        by the caller (the row-class recursion passes them down)."""
+        by the caller (the row-class recursion passes them down). _plans:
+        aligned QueryPlan list (cached rewrite/weights/leaf resolution)."""
         sim = self.similarity
-        doc_freqs, stats = _stats if _stats is not None else self._gather_stats(rqs)
+        doc_freqs, stats = (
+            _stats if _stats is not None
+            else self._gather_stats(rqs, plans=_plans)
+        )
         b_actual = len(rqs)
         b_pad = next_pow2(b_actual, 1)
         t_pad = next_pow2(max((len(rq.all_slots()) for rq in rqs), default=1), 1)
 
         weight, occur, n_required, min_should, match_all_rows, boosts = build_clause_tables(
-            rqs, sim, doc_freqs, stats, b_pad, t_pad
+            rqs, sim, doc_freqs, stats, b_pad, t_pad, plans=_plans
         )
         # per-row score-combine overrides (dismax / const-score / demote)
         extras = None
@@ -692,27 +731,45 @@ class IndexSearcher(PhrasePathMixin):
                 demote=demote,
             )
             prune = False  # WAND bounds don't model the combine overrides
-        # STATIC whole-batch property: all rows pure positive disjunctions
-        # => the executor can skip the clause-count accumulator (a BM25 hit
-        # always scores > 0, so match == score > 0)
-        pure_rows = [
-            rq.n_required == 0
-            and rq.effective_min_should() <= 1
-            and not rq.match_all
-            and not rq.ranges
-            and rq.plain
-            and bool(rq.clauses)
-            and all(c.occur == Occur.SHOULD for c in rq.clauses)
-            and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
-            for i, rq in enumerate(rqs)
-        ]
-        pure = all(pure_rows)
+        # per-row routing flags, cached on the plan (reader-stable): pure
+        # (all-SHOULD rows skip the clause-count accumulator), single
+        # (combine-free term path), pair2 structural (pair-gallop), plane
+        # structural (dense tf planes)
         no_deletes = all(lf.live is None for lf in self.reader.leaves)
+        from rucene_tpu.search.flat_tables import leaf_rows_for
+        from rucene_tpu.search.pair_path import pair2_eligible
+        from rucene_tpu.search.plane_path import plane_structural
+
+        def route_flags(i, rq):
+            plan = _plans[i] if _plans is not None else None
+            f = plan.flags.get("route") if plan is not None else None
+            if f is None:
+                pure0 = (
+                    rq.n_required == 0
+                    and rq.effective_min_should() <= 1
+                    and not rq.match_all
+                    and not rq.ranges
+                    and rq.plain
+                    and bool(rq.clauses)
+                    and all(c.occur == Occur.SHOULD for c in rq.clauses)
+                    and all(weight[i, j] > 0 for j in range(len(rq.clauses)))
+                )
+                f = (
+                    pure0,
+                    pure0 and len(rq.clauses) == 1,
+                    pair2_eligible(rq, weight[i]),
+                    plane_structural(rq),
+                )
+                if plan is not None:
+                    plan.flags["route"] = f
+            return f
+
+        flags = [route_flags(i, rq) for i, rq in enumerate(rqs)]
+        pure_rows = [f[0] for f in flags]
+        pure = all(pure_rows)
         # single-clause pure rows (plain term queries) have a dedicated
         # combine-free executor path when no segment carries deletes
-        single_rows = [
-            p and len(rq.clauses) == 1 for p, rq in zip(pure_rows, rqs)
-        ]
+        single_rows = [f[1] for f in flags]
         single = all(single_rows) and not prune and no_deletes and not match_all_rows.any()
 
         # pair-gallop eligibility: 2-term-clause AND/OR rows on decoded-
@@ -725,28 +782,34 @@ class IndexSearcher(PhrasePathMixin):
                 lf.device.docs_dec is not None for lf in self.reader.leaves
             )
         )
-        if pair_ok_dev:
-            from rucene_tpu.search.pair_path import pair2_eligible
-
-            pair2_rows = [
-                pair2_eligible(rq, weight[i]) for i, rq in enumerate(rqs)
-            ]
-        else:
-            pair2_rows = [False] * b_actual
+        pair2_rows = [f[2] and pair_ok_dev for f in flags]
 
         # dense tf-plane eligibility: plain boolean rows whose terms are
         # all resident as u8 planes stream [B, md] fused math instead of
         # any lane machinery (search/plane_path.py). Single-clause rows
         # stay on the single path unless RUCENE_PLANE_TERMS=1 (A/B).
-        if prune is not True and extras is None:
-            from rucene_tpu.search.plane_path import plane_eligible_rows
-
-            plane_base = plane_eligible_rows(rqs, self.reader.leaves)
+        planes_on = (
+            prune is not True
+            and extras is None
+            and all(
+                lf.device.tf_planes is not None
+                and getattr(lf, "plane_slots", None)
+                for lf in self.reader.leaves
+            )
+        )
+        if planes_on:
             plane_terms = os.environ.get("RUCENE_PLANE_TERMS", "0") == "1"
             plane_rows = [
-                e and (len(rq.clauses) >= 2 or plane_terms
-                       or not (s and no_deletes))
-                for e, rq, s in zip(plane_base, rqs, single_rows)
+                f[3]
+                and (len(rq.clauses) >= 2 or plane_terms
+                     or not (f[1] and no_deletes))
+                and all(
+                    leaf_rows_for(
+                        lf, rq, _plans[i] if _plans is not None else None
+                    )["plane_ok"]
+                    for lf in self.reader.leaves
+                )
+                for i, (rq, f) in enumerate(zip(rqs, flags))
             ]
         else:
             plane_rows = [False] * b_actual
@@ -797,6 +860,10 @@ class IndexSearcher(PhrasePathMixin):
                     (idxs, self._search_device(
                         [rqs[i] for i in idxs], k, prune=prune, _defer=True,
                         _stats=(doc_freqs, stats),
+                        _plans=(
+                            None if _plans is None
+                            else [_plans[i] for i in idxs]
+                        ),
                     ))
                     for idxs in groups.values()
                 ]
@@ -840,12 +907,14 @@ class IndexSearcher(PhrasePathMixin):
             cache = build_leaf_cache(leaf, sim, stats)
             if plane:
                 fut = self._run_planes(
-                    leaf, rqs, weight, cache, n_required, min_should, k,
-                    b_pad, t_pad,
+                    leaf, rqs, weight, occur, cache, n_required, min_should,
+                    k, b_pad, t_pad, plans=_plans,
                 )
                 pending.append((leaf.doc_base, fut, None))
                 continue
-            block_start, block_count, field_id = build_leaf_tables(leaf, rqs, b_pad, t_pad)
+            block_start, block_count, field_id = build_leaf_tables(
+                leaf, rqs, b_pad, t_pad, plans=_plans
+            )
             if pair2:
                 fut = self._run_pair(
                     leaf, rqs, weight, field_id, block_start, block_count,
@@ -865,9 +934,11 @@ class IndexSearcher(PhrasePathMixin):
             if single:
                 lane_cnt = np.zeros(b_pad, np.int32)
                 for i, rq in enumerate(rqs):
-                    rec = leaf.term_record(rq.clauses[0].term.field, rq.clauses[0].term.text)
-                    if rec is not None:
-                        lane_cnt[i] = rec.doc_freq
+                    row = leaf_rows_for(
+                        leaf, rq, _plans[i] if _plans is not None else None
+                    )
+                    if len(row["df"]):
+                        lane_cnt[i] = row["df"][0]
                 fut = self._run_single_view(
                     leaf.device, work, lane_cnt, cache, n_required, min_should, k,
                     has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
@@ -1053,41 +1124,55 @@ class IndexSearcher(PhrasePathMixin):
         s, d, h = jax.device_get(res)
         return np.asarray(s), np.asarray(d), np.asarray(h)
 
-    def _run_planes(self, leaf, rqs, weight, cache, n_required, min_should,
-                    k, b_pad, t_pad):
+    def _run_planes(self, leaf, rqs, weight, occur, cache, n_required,
+                    min_should, k, b_pad, t_pad, plans=None):
         """Dense tf-plane dispatch (executor.execute_planes): boolean rows
         whose term clauses all live as resident u8 planes. Row-chunked so
         the [B, md] accumulator stays within budget at many-million-doc
         segments (plane_path.plane_row_chunk)."""
-        from rucene_tpu.search.executor import PlaneBatch, execute_planes
-        from rucene_tpu.search.plane_path import (
-            build_plane_batch,
-            plane_row_chunk,
+        from rucene_tpu.search.executor import (
+            ENC_NOT,
+            ENC_REQUIRED,
+            ENC_SHOULD,
+            PlaneBatch,
+            execute_planes,
         )
+        from rucene_tpu.search.flat_tables import leaf_rows_for
+        from rucene_tpu.search.plane_path import plane_row_chunk
 
         dev = leaf.device
-        slot, kind, same_fid, active = build_plane_batch(
-            leaf, rqs, b_pad, t_pad
-        )
-        METRICS.incr("route.plane_rows", len(rqs))
-        METRICS.incr("search.plane_bytes", int(active) * dev.max_doc_padded)
-        cvp = cval_plane_for(dev, cache)
-        # clause fids ride only through same_fid when uniform; the general
-        # per-slot gather needs the table — derive it from the slots' terms
+        slot = np.full((b_pad, t_pad), -1, np.int32)
         fid = np.zeros((b_pad, t_pad), np.int32)
-        if same_fid < 0:
-            for i, rq in enumerate(rqs):
-                for j, c in enumerate(rq.clauses):
-                    pf = leaf.packed.fields.get(c.term.field)
-                    if pf is not None:
-                        fid[i, j] = pf.field_id
+        for i, rq in enumerate(rqs):
+            row = leaf_rows_for(leaf, rq, plans[i] if plans is not None else None)
+            n = len(row["pslot"])
+            slot[i, :n] = row["pslot"]
+            fid[i, :n] = row["fid"]
+        # occur -> count encoding, inert where the slot is (padding or a
+        # term absent from this segment — required-absent matches nothing)
+        kind = np.where(
+            (occur == int(Occur.MUST)) | (occur == int(Occur.FILTER)),
+            ENC_REQUIRED,
+            np.where(
+                occur == int(Occur.SHOULD), ENC_SHOULD,
+                np.where(occur == int(Occur.MUST_NOT), ENC_NOT, 0),
+            ),
+        ).astype(np.int32)
+        kind = np.where(slot >= 0, kind, 0)
+        on = slot >= 0
+        active = int(on.sum())
+        fids = np.unique(fid[on])
+        same_fid = int(fids[0]) if len(fids) == 1 else (0 if len(fids) == 0 else -1)
+        METRICS.incr("route.plane_rows", len(rqs))
+        METRICS.incr("search.plane_bytes", active * dev.max_doc_padded)
+        cvp = cval_plane_for(dev, cache)
         rows_per = plane_row_chunk(b_pad, dev.max_doc_padded)
         futs = []
         for s in range(0, b_pad, rows_per):
             e = s + rows_per
             pb = jax.device_put(PlaneBatch(
                 slot=slot[s:e], kindenc=kind[s:e],
-                weight=weight[s:e, :t_pad].astype(np.float32),
+                weight=weight[s:e, :t_pad],
                 fid=fid[s:e],
                 n_required=n_required[s:e], min_should=min_should[s:e],
             ))
