@@ -589,6 +589,63 @@ def execute_flat_single(
     return top_scores, top_docs, total_hits
 
 
+def _fill_extents(vals: jax.Array, starts: jax.Array, w: int) -> jax.Array:
+    """Piecewise-constant expansion: out[i] = vals[e] for i in extent e,
+    where extent e covers [starts[e], starts[e+1]). One B-sized
+    delta-scatter + one [w] cumsum — no per-lane gather from the [B]
+    table (TPU gathers serialize; scans don't). Empty extents collapse
+    correctly (their delta and the next extent's land on the same index
+    and sum). f32 values must be bitcast to i32 by the caller so the
+    telescoping delta sums reproduce exact bit patterns."""
+    d = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+    arr = jnp.zeros(w, vals.dtype).at[starts].add(d, mode="drop")
+    return jnp.cumsum(arr)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "max_items"))
+def execute_flat_single_dec(
+    dev: DeviceSegment,
+    cval_dec: jax.Array,  # f32[NBr,128] resident BM25 denominators
+    tbl: jax.Array,  # i32[4, B]: block_start, block_count, weight(bitcast), hits
+    k: int,
+    w: int,  # static work-list pad (pow2 >= sum block_count)
+    max_items: int,  # static per-row extent cap (pow2)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decoded-residency single-term rows with the work list built ON
+    DEVICE from per-row block ranges — the host sends one [4, B] i32
+    table instead of a multi-MB flat work list (profile r4b: per-array
+    device_put over the axon tunnel was ~30 ms/batch of the dispatch
+    tax). Semantics identical to execute_flat_single (same score math,
+    same extent top-k); caller guarantees decoded residency, one
+    positive-weight scoring clause per row, and no deletes."""
+    from rucene_tpu.ops.decode import INVALID_DOC
+    from rucene_tpu.ops.topk import extent_top_k_lanes
+
+    bs, bc, w_bits, row_hits = tbl[0], tbl[1], tbl[2], tbl[3]
+    nbr = dev.docs_dec.shape[0]
+    cum = jnp.cumsum(bc)
+    starts = jnp.concatenate([jnp.zeros(1, bc.dtype), cum[:-1]])
+    iota = jnp.arange(w, dtype=jnp.int32)
+    blk = _fill_extents(bs - starts, starts, w) + iota
+    weight = jax.lax.bitcast_convert_type(
+        _fill_extents(w_bits, starts, w), jnp.float32
+    )
+    item_valid = iota < cum[-1]
+    sb = jnp.clip(blk, 0, nbr - 1)
+    cnt = jnp.where(item_valid, dev.blk_count[sb], 0)
+    lane_valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
+    docs = jnp.where(lane_valid, dev.docs_dec[sb], INVALID_DOC)
+    tf = jnp.where(lane_valid, dev.freqs_dec[sb].astype(jnp.float32), 0.0)
+    sc = (weight[:, None] * tf) / (tf + cval_dec[sb])
+    matched = lane_valid & (sc > 0.0)
+    score_l = jnp.where(matched, sc, -jnp.inf)
+    docm = jnp.where(matched, docs, jnp.int32(2**31 - 1))
+    top_scores, top_docs = extent_top_k_lanes(
+        score_l, docm, starts.astype(jnp.int32), bc, max_items, k
+    )
+    return top_scores, top_docs, row_hits
+
+
 def _dense_match(dev: DeviceSegment, q: FlatQueryBatch, use_pallas: bool,
                  has_ef: bool = False, filters: FilterPlanes | None = None):
     """Dense boolean evaluation: (match bool[B,md], acc_score f32[B,md])."""

@@ -922,6 +922,21 @@ class IndexSearcher(PhrasePathMixin):
                 )
                 pending.append((leaf.doc_base, fut, None))
                 continue
+            if single:
+                lane_cnt = np.zeros(b_pad, np.int32)
+                for i, rq in enumerate(rqs):
+                    row = leaf_rows_for(
+                        leaf, rq, _plans[i] if _plans is not None else None
+                    )
+                    if len(row["df"]):
+                        lane_cnt[i] = row["df"][0]
+                if leaf.device.docs_dec is not None:
+                    fut = self._run_single_dec(
+                        leaf, block_start[:, 0], block_count[:, 0], weight[:, 0],
+                        lane_cnt, cache, k,
+                    )
+                    pending.append((leaf.doc_base, fut, None))
+                    continue
             work = build_flat_work(block_start, block_count, weight, field_id, occur)
             work, _ = prune_conjunctions(
                 work, n_required_terms,
@@ -932,13 +947,6 @@ class IndexSearcher(PhrasePathMixin):
             )
 
             if single:
-                lane_cnt = np.zeros(b_pad, np.int32)
-                for i, rq in enumerate(rqs):
-                    row = leaf_rows_for(
-                        leaf, rq, _plans[i] if _plans is not None else None
-                    )
-                    if len(row["df"]):
-                        lane_cnt[i] = row["df"][0]
                 fut = self._run_single_view(
                     leaf.device, work, lane_cnt, cache, n_required, min_should, k,
                     has_ef=work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device),
@@ -1190,6 +1198,27 @@ class IndexSearcher(PhrasePathMixin):
             return s_, d_, h_
 
         return merged
+
+    def _run_single_dec(self, leaf, bs, bc, w_row, lane_cnt, cache, k):
+        """Decoded-mode single-term dispatch: the work list is expanded ON
+        DEVICE from per-row block ranges (executor.execute_flat_single_dec)
+        — one [4, B] i32 transfer replaces the multi-MB flat work list."""
+        from rucene_tpu.search.executor import execute_flat_single_dec
+
+        dev = leaf.device
+        n = int(bc.sum())
+        METRICS.incr("search.flat_lanes", n * 128)
+        w = next_pow2(max(n, 1), 8)
+        max_items = next_pow2(max(int(bc.max()) if len(bc) else 1, 1), 1)
+        tbl = np.stack([
+            bs.astype(np.int32), bc.astype(np.int32),
+            np.asarray(w_row, np.float32).view(np.int32),
+            lane_cnt.astype(np.int32),
+        ])
+        cvd = cval_table_for(dev, cache)
+        return prefetch_result(execute_flat_single_dec(
+            dev, cvd, jnp.asarray(tbl), k=k, w=w, max_items=max_items,
+        ))
 
     def _run_pair(self, leaf, rqs, weight, field_id, block_start, block_count,
                   cache, n_required, min_should, occur, k, b_pad):

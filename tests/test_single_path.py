@@ -79,3 +79,49 @@ def test_single_path_skipped_with_deletes():
     )
     assert td.total_hits == hits.total_hits
     assert [sd.doc for sd in td.score_docs] == hits.docs.tolist()
+
+
+def test_single_dec_device_expansion_parity():
+    """Decoded-mode single rows take execute_flat_single_dec (work list
+    expanded on device from [B] block ranges) — parity vs the packed-mode
+    single path, including absent terms and mixed-df batches."""
+    import os
+
+    from rucene_tpu.search import executor as _ex
+
+    rng = np.random.default_rng(104)
+    corpus = random_corpus(rng, 1500)
+    buf = SegmentBuffer()
+    for d in make_docs(corpus):
+        buf.add_document(d)
+    packed = pack_segment(buf.finish())
+    reader = IndexReader([SegmentSnapshot("s0", packed)])
+    s = IndexSearcher(reader)
+    terms = sorted({w for t in corpus[:50] for w in t.split()})[:20]
+    qs = [TermQuery(Term("body", t)) for t in terms]
+    qs.append(TermQuery(Term("body", "zz_absent")))
+    calls = [0]
+    orig = _ex.execute_flat_single_dec
+
+    def spy(*a, **k):
+        calls[0] += 1
+        return orig(*a, **k)
+
+    _ex.execute_flat_single_dec = spy
+    try:
+        got = s.search_batch(qs, k=12)
+    finally:
+        _ex.execute_flat_single_dec = orig
+    assert calls[0] >= 1, "decoded single path did not engage"
+    os.environ["RUCENE_DECODED"] = "0"
+    try:
+        ref = IndexSearcher(IndexReader([SegmentSnapshot("s0", packed)])).search_batch(qs, k=12)
+    finally:
+        os.environ.pop("RUCENE_DECODED", None)
+    for g, r in zip(got, ref):
+        assert g.total_hits == r.total_hits
+        assert [sd.doc for sd in g.score_docs] == [sd.doc for sd in r.score_docs]
+        np.testing.assert_allclose(
+            [sd.score for sd in g.score_docs],
+            [sd.score for sd in r.score_docs], rtol=2e-6, atol=1e-7,
+        )
