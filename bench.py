@@ -354,7 +354,7 @@ def main():
     # tunnel RTT (searcher.search_batch_async); 1 = fully serial
     from collections import deque
 
-    depth = max(1, int(os.environ.get("BENCH_PIPELINE", 2)))
+    depth = max(1, int(os.environ.get("BENCH_PIPELINE", 3)))
     t1 = time.time()
     reps = 0
     pending: deque = deque()
@@ -416,15 +416,21 @@ def main():
 
             sc = ScalarSearcher(leaf, searcher.similarity, stats, doc_freqs)
             sc.search_batch(rqs, k=k)  # warm pass
+            # per-rep BEST time: the sandbox's single shared core is noisy
+            # (±40% rep-to-rep observed), and a depressed denominator
+            # flatters vs_baseline — the baseline gets its fastest rep
+            best = float("inf")
             t2 = time.time()
             base_reps = 0
-            while time.time() - t2 < 5.0 or base_reps < 1:
+            while time.time() - t2 < 6.0 or base_reps < 2:
+                r0 = time.time()
                 sc.search_batch(rqs, k=k)
+                best = min(best, time.time() - r0)
                 base_reps += 1
-                if base_reps >= 5:
+                if base_reps >= 6:
                     break
-            base_qps = base_reps * len(rqs) / (time.time() - t2)
-            base_label = "single-core scalar C++ engine"
+            base_qps = len(rqs) / best
+            base_label = "single-core scalar C++ engine (best rep)"
         except (RuntimeError, ValueError) as e:
             log(f"scalar baseline unavailable ({e}); falling back to numpy")
             base_kind = "numpy"
