@@ -280,7 +280,11 @@ def plane_policy(mdp: int) -> tuple[int, int]:
         # small segments: the lane paths are already near-free, and NRT
         # refreshes would pay the plane scatter per new segment
         return 0, 0
-    return budget, max(mdp // 512, 4)
+    # df >= mdp/512 measured best at 1M (div 2048 quadruples plane HBM and
+    # starves the phrase position-plane cache: 1697 vs 3762 QPS on-chip);
+    # routing additionally gates on the row's densest clause (searcher)
+    div = int(os.environ.get("RUCENE_PLANES_DF_DIV", 512))
+    return budget, max(mdp // div, 4)
 
 
 def select_plane_terms(packed: PackedSegment, mdp: int, budget_bytes: int,

@@ -799,16 +799,38 @@ class IndexSearcher(PhrasePathMixin):
         )
         if planes_on:
             plane_terms = os.environ.get("RUCENE_PLANE_TERMS", "0") == "1"
-            plane_rows = [
-                f[3]
-                and (len(rq.clauses) >= 2 or plane_terms
-                     or not (f[1] and no_deletes))
-                and all(
-                    leaf_rows_for(
-                        lf, rq, _plans[i] if _plans is not None else None
-                    )["plane_ok"]
-                    for lf in self.reader.leaves
+            # route-to-planes needs the row's DENSEST clause past a df
+            # threshold: the plane program is O(md)/row regardless of df,
+            # while the lane paths scale with the densest clause's block
+            # count — planing sparse rows measured 2.3x SLOWER wall
+            # (exp/logs: df_div 2048 routing-all 1421 QPS vs 3515)
+            route_div = int(os.environ.get("RUCENE_PLANES_ROUTE_DIV", 512))
+            force = os.environ.get("RUCENE_PLANES") == "1"  # tests
+
+            def plane_row(i, rq, f):
+                plan = _plans[i] if _plans is not None else None
+                pl = plan.flags.get("plane_df") if plan is not None else None
+                if pl is None:
+                    ok = True
+                    hot = False
+                    for lf in self.reader.leaves:
+                        row = leaf_rows_for(lf, rq, plan)
+                        if not row["plane_ok"]:
+                            ok = False
+                            break
+                        if len(row["df"]) and int(row["df"].max()) * route_div >= lf.device.max_doc_padded:
+                            hot = True
+                    pl = ok and (hot or force)
+                    if plan is not None:
+                        plan.flags["plane_df"] = pl
+                return (
+                    f[3] and pl
+                    and (len(rq.clauses) >= 2 or plane_terms
+                         or not (f[1] and no_deletes))
                 )
+
+            plane_rows = [
+                plane_row(i, rq, f)
                 for i, (rq, f) in enumerate(zip(rqs, flags))
             ]
         else:
