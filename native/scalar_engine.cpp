@@ -530,3 +530,236 @@ int32_t rtpu_scalar_search(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Span-tree evaluation: the native serving path for nested / unordered
+// span-near shapes whose span geometry cannot reduce to the device term /
+// synonym / phrase pipelines. Semantics mirror
+// rucene_tpu/search/spans.py::spans_for_doc / host_eval EXACTLY (that
+// Python path stays the test oracle). Reference analog:
+// src/core/search/query/spans/span_near.rs:1067 (NearSpansUnordered),
+// span_or.rs (SpansOr merge), span.rs:458 (SpanScorer sloppy-freq sum).
+
+namespace {
+
+struct Span {
+    int32_t s, e;
+};
+
+inline bool span_lt(const Span& a, const Span& b) {
+    return a.s < b.s || (a.s == b.s && a.e < b.e);
+}
+
+// numpy float64 pairwise summation, reproduced exactly: spans.py computes
+// freq = np.sum(1/(1+max(width-mw,0))).astype(float32) and the f32 cast of
+// the f64 sum must match bit-for-bit for cross-path top-k tie parity.
+double np_pairwise_sum(const double* a, int64_t n) {
+    if (n < 8) {
+        double res = 0.;
+        for (int64_t i = 0; i < n; i++) res += a[i];
+        return res;
+    }
+    if (n <= 128) {  // numpy PW_BLOCKSIZE: 8 unrolled accumulators
+        double r[8];
+        for (int j = 0; j < 8; j++) r[j] = a[j];
+        int64_t i = 8;
+        for (; i + 8 <= n; i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    }
+    int64_t n2 = (n / 2) - ((n / 2) % 8);
+    return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+constexpr int32_t kSpanTerm = 0;
+constexpr int32_t kSpanOr = 1;
+constexpr int32_t kSpanNear = 2;
+
+struct SpanNode {
+    int32_t type, slop, minw;
+    bool in_order;
+    const int32_t* children;
+    int32_t n_children;
+    PostingsIterator it;  // kSpanTerm only
+};
+
+struct SpanEvaluator {
+    std::vector<SpanNode> nodes;
+    std::vector<std::vector<Span>> scratch;  // per-node span lists (reused)
+    std::vector<int32_t> posbuf;
+    std::vector<int32_t> startsbuf, endsbuf;
+
+    // Spans of node `ni` in doc `doc`, written into scratch[ni], sorted
+    // lexicographically by (start, end) — the invariant every Python
+    // spans_for_doc result carries (term: positions ascending; or:
+    // lexsort; near: sorted(out)).
+    const std::vector<Span>& eval(int32_t ni, int32_t doc) {
+        SpanNode& nd = nodes[ni];
+        std::vector<Span>& out = scratch[ni];
+        out.clear();
+        if (nd.type == kSpanTerm) {
+            if (nd.it.doc < doc) nd.it.advance(doc);
+            if (nd.it.doc != doc) return out;
+            nd.it.positions_of(posbuf);
+            for (int32_t p : posbuf) out.push_back({p, p + 1});
+            return out;
+        }
+        if (nd.type == kSpanOr) {
+            for (int32_t c = 0; c < nd.n_children; c++) {
+                const std::vector<Span>& sub = eval(nd.children[c], doc);
+                out.insert(out.end(), sub.begin(), sub.end());
+            }
+            std::stable_sort(out.begin(), out.end(), span_lt);
+            return out;
+        }
+        // kSpanNear: children first (any empty -> no spans; lazy bail is
+        // result-identical to Python's evaluate-all-then-check)
+        for (int32_t c = 0; c < nd.n_children; c++)
+            if (eval(nd.children[c], doc).empty()) return out;
+        if (nd.in_order) {
+            // greedy ordered matching (NearSpansOrdered): for each first-
+            // child span, chain each later child's FIRST span (in sorted
+            // order) starting at-or-after the running end
+            const std::vector<Span>& first = scratch[nd.children[0]];
+            for (const Span& s0 : first) {
+                int32_t start = s0.s, end = s0.e;
+                bool ok = true;
+                for (int32_t c = 1; c < nd.n_children; c++) {
+                    const std::vector<Span>& sub = scratch[nd.children[c]];
+                    Span key{end, INT32_MIN};
+                    auto it = std::lower_bound(sub.begin(), sub.end(), key, span_lt);
+                    if (it == sub.end()) { ok = false; break; }
+                    end = it->e;
+                }
+                if (ok && (end - start) - nd.minw <= nd.slop)
+                    out.push_back({start, end});
+            }
+            std::sort(out.begin(), out.end(), span_lt);  // duplicates kept
+            return out;
+        }
+        // unordered: candidate (s0, e0) extents over unique child starts/
+        // ends with width <= minw + slop; achievable iff every child has a
+        // span inside [s0, e0], some child's inside-span starts at s0, some
+        // child's ends at e0, and the witnesses are distinct clauses (or
+        // one span realizes both ends) — spans.py:236-267 verbatim.
+        int32_t cap = nd.minw + nd.slop;
+        startsbuf.clear();
+        endsbuf.clear();
+        for (int32_t c = 0; c < nd.n_children; c++)
+            for (const Span& sp : scratch[nd.children[c]]) {
+                startsbuf.push_back(sp.s);
+                endsbuf.push_back(sp.e);
+            }
+        std::sort(startsbuf.begin(), startsbuf.end());
+        startsbuf.erase(std::unique(startsbuf.begin(), startsbuf.end()), startsbuf.end());
+        std::sort(endsbuf.begin(), endsbuf.end());
+        endsbuf.erase(std::unique(endsbuf.begin(), endsbuf.end()), endsbuf.end());
+        for (int32_t s0 : startsbuf) {
+            for (int32_t e0 : endsbuf) {
+                if (e0 <= s0 || e0 - s0 > cap) continue;
+                bool all_inside = true;
+                int32_t first_start_c = -1, first_end_c = -1;
+                int32_t n_start_c = 0, n_end_c = 0;
+                bool both = false;
+                for (int32_t c = 0; c < nd.n_children && all_inside; c++) {
+                    const std::vector<Span>& sub = scratch[nd.children[c]];
+                    bool inside = false, at_s = false, at_e = false, at_both = false;
+                    for (const Span& sp : sub) {
+                        if (sp.s < s0 || sp.e > e0) continue;
+                        inside = true;
+                        if (sp.s == s0) at_s = true;
+                        if (sp.e == e0) at_e = true;
+                        if (sp.s == s0 && sp.e == e0) at_both = true;
+                    }
+                    if (!inside) { all_inside = false; break; }
+                    if (at_s) { n_start_c++; if (first_start_c < 0) first_start_c = c; }
+                    if (at_e) { n_end_c++; if (first_end_c < 0) first_end_c = c; }
+                    if (at_s && at_both) both = true;
+                }
+                if (!all_inside || n_start_c == 0 || n_end_c == 0) continue;
+                // |set(c_start) union set(c_end)| >= 2: more than one
+                // start-witness, more than one end-witness, or one of each
+                // naming different children
+                bool distinct = n_start_c >= 2 || n_end_c >= 2 ||
+                                first_start_c != first_end_c;
+                if (distinct || both) out.push_back({s0, e0});
+            }
+        }
+        // iteration order (s0 asc, e0 asc) is already lexicographic and
+        // (s0, e0) pairs are unique — matches sorted(set(out))
+        return out;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Evaluate one span tree over `n_cand` ascending candidate docs; writes a
+// match flag and BM25 span score per candidate. Node 0 is the root.
+// Layout documented in rucene_tpu/search/span_native.py.
+int32_t rtpu_span_eval(
+    const uint32_t* data, const int32_t* blk_off, const int32_t* blk_doc_bits,
+    const int32_t* blk_freq_bits, const int32_t* blk_base,
+    const int32_t* blk_count, const int32_t* blk_last,
+    const int32_t* blk_pos_base, const uint32_t* positions, int32_t max_doc,
+    int32_t n_nodes, const int32_t* node_type, const int32_t* node_slop,
+    const uint8_t* node_inorder, const int32_t* node_minw,
+    const int32_t* node_child_start, const int32_t* node_child_count,
+    const int32_t* children,
+    const int32_t* t_block_start, const int32_t* t_block_count,
+    const int32_t* t_pos_width, const int64_t* t_pos_word_start,
+    const int32_t* cand, int32_t n_cand,
+    float w2, const float* cache_row, const uint8_t* norms,
+    uint8_t* out_match, float* out_scores) {
+    Segment seg{data, blk_off, blk_doc_bits, blk_freq_bits, blk_base,
+                blk_count, blk_last, blk_pos_base, positions,
+                /*live=*/nullptr, max_doc};
+
+    SpanEvaluator ev;
+    ev.nodes.resize(n_nodes);
+    ev.scratch.resize(n_nodes);
+    for (int32_t i = 0; i < n_nodes; i++) {
+        SpanNode& nd = ev.nodes[i];
+        nd.type = node_type[i];
+        nd.slop = node_slop[i];
+        nd.minw = node_minw[i];
+        nd.in_order = node_inorder[i] != 0;
+        nd.children = children + node_child_start[i];
+        nd.n_children = node_child_count[i];
+        if (nd.type == kSpanTerm) {
+            nd.it.init(&seg, t_block_start[i], t_block_count[i]);
+            nd.it.pos_width = t_pos_width[i];
+            nd.it.pos_word_start = t_pos_word_start[i];
+        }
+    }
+
+    int32_t root_minw = n_nodes ? node_minw[0] : 0;
+    std::vector<double> terms_d;
+    for (int32_t ci = 0; ci < n_cand; ci++) {
+        int32_t d = cand[ci];
+        const std::vector<Span>& spans = ev.eval(0, d);
+        if (spans.empty()) {
+            out_match[ci] = 0;
+            out_scores[ci] = 0.f;
+            continue;
+        }
+        terms_d.clear();
+        for (const Span& sp : spans) {
+            int64_t dist = (int64_t)(sp.e - sp.s) - root_minw;
+            if (dist < 0) dist = 0;  // overlap clamp (spans.py:67-69)
+            terms_d.push_back(1.0 / (1.0 + (double)dist));
+        }
+        float freq = (float)np_pairwise_sum(terms_d.data(), (int64_t)terms_d.size());
+        uint8_t nb = norms ? norms[d] : 0;
+        float cval = cache_row[nb];
+        out_match[ci] = 1;
+        out_scores[ci] = w2 * freq / (freq + cval);
+    }
+    return 0;
+}
+
+}  // extern "C"
