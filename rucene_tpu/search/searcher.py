@@ -30,13 +30,12 @@ from rucene_tpu.search.phrase_path import (  # noqa: F401 (re-export)
 )
 from rucene_tpu.search.query import Occur, Query, RewrittenQuery
 from rucene_tpu.search.similarity import BM25Similarity, CollectionStats
+from rucene_tpu.search.sorted_path import (  # noqa: F401 (re-export)
+    _RANK_CACHE,
+    SortedPathMixin,
+)
 from rucene_tpu.util import next_pow2
 from rucene_tpu.util.metrics import METRICS
-
-# module-level DV rank-table cache: survives NRT refreshes (a refresh
-# makes a NEW IndexSearcher; rank tables depend only on leaf data + DV
-# overlays, pinned by strong refs in the entries). Bounded LRU.
-_RANK_CACHE: dict = {}
 def work_has_ef(host_dbits, wi_block, wi_valid, dev=None) -> bool:
     """Does this work list touch any Elias-Fano/bitset-encoded block?
     Checked host-side per dispatch so FOR-only batches keep the FOR-only
@@ -129,7 +128,7 @@ class TopDocs:
         )
 
 
-class IndexSearcher(PhrasePathMixin):
+class IndexSearcher(PhrasePathMixin, SortedPathMixin):
     def __init__(
         self,
         reader: IndexReader,
@@ -1479,370 +1478,6 @@ class IndexSearcher(PhrasePathMixin):
         out[4][:n] = wi_enc[idx]
         out[5][:n] = True
         return out
-
-    # --- sorted search (reference sort_field machinery) ---
-    def _rank_cache_key(self, tail: tuple) -> tuple:
-        """Rank tables depend only on each leaf's packed data + DV-update
-        overlays — NOT on the searcher instance, so they are cached at
-        module level and survive NRT refreshes (VERDICT r2 weak #8: a new
-        searcher per refresh recomputed a full np.unique per sorted
-        field). ids are pinned by strong refs held in the cache entry."""
-        state = tuple(
-            (id(lf.packed), id(lf.dv_updates)) for lf in self.reader.leaves
-        )
-        return tail + (state,)
-
-    def _rank_cache_get(self, key, compute):
-        got = _RANK_CACHE.get(key)
-        if got is not None:
-            return got[0]
-        value = compute()
-        refs = [(lf.packed, lf.dv_updates) for lf in self.reader.leaves]
-        _RANK_CACHE[key] = (value, refs)
-        while len(_RANK_CACHE) > 32:
-            _RANK_CACHE.pop(next(iter(_RANK_CACHE)))
-        return value
-
-    def _dv_rank_tables(self, field: str):
-        """Global order-preserving rank tables for a numeric DV field:
-        (sorted unique values across all leaves, per-leaf i32 rank column
-        over [max_doc]). Sorting by rank == sorting by value, exactly, and
-        ranks are f32-exact below 2^24 — the device sort key. Missing
-        values rank as 0 (Lucene's default missing value)."""
-
-        def compute():
-            cols = []
-            for leaf in self.reader.leaves:
-                dv = leaf.numeric_doc_values(field)
-                if dv is None:
-                    cols.append(np.zeros(leaf.max_doc, np.int64))
-                else:
-                    cols.append(np.where(dv[1], dv[0], 0))
-            uniq = np.unique(np.concatenate(cols)) if cols else np.zeros(1, np.int64)
-            ranks = [np.searchsorted(uniq, c).astype(np.int32) for c in cols]
-            return uniq, ranks
-
-        return self._rank_cache_get(self._rank_cache_key(("1f", field)), compute)
-
-    def _composite_rank_tables(self, sort):
-        """Lexicographic rank tables over 1..N numeric sort fields with
-        per-field directions FOLDED IN (reference field_comparator.rs
-        :124-367 comparator composition): per-doc composite key
-        c = ((r0' * n1) + r1') * n2 + ..., where r_i' flips when the field
-        is descending; ascending composite order == the requested
-        multi-field order exactly. Returns (n_keys, per-leaf i32 composite
-        rank columns, per-field display values aligned to composite rank)."""
-        fields = list(sort.fields)
-
-        def compute():
-            per = [self._dv_rank_tables(sf.field) for sf in fields]
-            comps = []
-            for li, leaf in enumerate(self.reader.leaves):
-                c = np.zeros(leaf.max_doc, np.int64)
-                for (u, ranks), sf in zip(per, fields):
-                    r = ranks[li][: leaf.max_doc].astype(np.int64)
-                    if sf.reverse:
-                        r = (len(u) - 1) - r
-                    c = c * len(u) + r
-                comps.append(c)
-            uniq_c = (
-                np.unique(np.concatenate(comps)) if comps else np.zeros(1, np.int64)
-            )
-            crank = [np.searchsorted(uniq_c, c).astype(np.int32) for c in comps]
-            vals_per_field: list[np.ndarray] = []
-            rem = uniq_c.copy()
-            for (u, _), sf in zip(reversed(per), reversed(fields)):
-                r = rem % len(u)
-                rem = rem // len(u)
-                if sf.reverse:
-                    r = (len(u) - 1) - r
-                vals_per_field.append(u[r])
-            vals_per_field.reverse()
-            return len(uniq_c), crank, vals_per_field
-
-        key = self._rank_cache_key(
-            ("comp", tuple((sf.field, sf.reverse) for sf in fields))
-        )
-        return self._rank_cache_get(key, compute)
-
-    def _sorted_device_eligible(self, query: Query, sort) -> bool:
-        from rucene_tpu.search.sort_field import SortFieldType
-
-        if not 1 <= len(sort.fields) <= 3:
-            return False
-        if any(
-            sf.type in (SortFieldType.SCORE, SortFieldType.DOC)
-            for sf in sort.fields
-        ):
-            return False  # score/doc sorts have cheaper dedicated paths
-        if hasattr(query, "host_eval"):
-            return False
-        try:
-            rq = query.rewrite()
-        except Exception:
-            return False
-        if rq.phrases or rq.groups or (rq.match_all and (rq.clauses or rq.ranges)):
-            return False
-        if len(rq.ranges) > 8 or not rq.plain:
-            return False
-        # composite int64 key must not overflow, and composite ranks must
-        # stay f32-exact (< 2^24 distinct key tuples)
-        prod = 1
-        for sf in sort.fields:
-            uniq, _ = self._dv_rank_tables(sf.field)
-            prod *= max(len(uniq), 1)
-            if prod >= 2**62:
-                return False
-        n_keys, _, _ = self._composite_rank_tables(sort)
-        return n_keys < 2**24
-
-    def _single_row_leaf_batches(self, rq):
-        """Shared prep for one-row keyed executors (sorted / collapse):
-        clause tables built once, then per leaf a device FlatQueryBatch +
-        has_ef + cached filter planes (VERDICT r2 weak #6 consolidation —
-        these loops were hand-rolled per entry point)."""
-        rqs = [rq]
-        sim = self.similarity
-        doc_freqs, stats = self._gather_stats(rqs)
-        b_pad, t_pad = 1, max(next_pow2(max(len(rq.clauses), 1), 1), 1)
-        weight, occur, n_required, min_should, _, _ = build_clause_tables(
-            rqs, sim, doc_freqs, stats, b_pad, t_pad
-        )
-        filter_tables = self._range_filter_tables(rqs, b_pad) if rq.ranges else None
-        for li, leaf in enumerate(self.reader.leaves):
-            cache = build_leaf_cache(leaf, sim, stats)
-            bs, bc, fid = build_leaf_tables(leaf, rqs, b_pad, t_pad)
-            work = build_flat_work(bs, bc, weight, fid, occur)
-            fq = make_flat_batch(work, n_required, min_should, cache, dev=leaf.device)
-            has_ef = work_has_ef(leaf.packed.blk_doc_bits, work[0], work[5], dev=leaf.device)
-            filters = (
-                self._leaf_filters(leaf, *filter_tables) if filter_tables else None
-            )
-            yield li, leaf, fq, has_ef, filters
-
-    def _search_sorted_device(self, query: Query, k: int, sort) -> "TopFieldDocs":
-        """One executor dispatch per leaf: dense boolean match + top-k by
-        (composite multi-field DV rank, doc) on device (reference
-        field_comparator.rs:124-367 without the per-doc comparator calls).
-        Per-field sort directions are folded into the composite rank, so
-        the device always sorts ascending."""
-        from rucene_tpu.search.executor import execute_flat_sorted
-        from rucene_tpu.search.sort_field import FieldDoc, SortFieldType, TopFieldDocs
-
-        _n_keys, ranks, vals_per_field = self._composite_rank_tables(sort)
-        rq = query.rewrite()
-        total = 0
-        all_docs, all_keys, all_scores = [], [], []
-        for li, leaf, fq, has_ef, filters in self._single_row_leaf_batches(rq):
-            mdp = leaf.device.max_doc_padded
-            keycol = np.zeros(mdp, np.float32)
-            keycol[: leaf.max_doc] = ranks[li][: leaf.max_doc].astype(np.float32)
-            keys, scores, docs, hits = jax.device_get(
-                execute_flat_sorted(
-                    leaf.device, fq, jnp.asarray(keycol), k,
-                    use_pallas=self._use_pallas, reverse=False,
-                    has_ef=has_ef, filters=filters,
-                )
-            )
-            got = scores[0] > -np.inf
-            total += int(hits[0])
-            all_docs.append(docs[0][got].astype(np.int64) + leaf.doc_base)
-            all_keys.append(keys[0][got].astype(np.int64))
-            if rq.match_all:  # constant-score rows: no clause contributions
-                all_scores.append(np.full(int(got.sum()), rq.boost, np.float32))
-            else:
-                all_scores.append(scores[0][got])
-        gdocs = np.concatenate(all_docs) if all_docs else np.zeros(0, np.int64)
-        gkeys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.int64)
-        gscores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
-        order = np.lexsort((gdocs, gkeys))[:k]  # directions already folded
-        fds = []
-        for i in order:
-            row_vals = []
-            for sf, vals in zip(sort.fields, vals_per_field):
-                v = vals[gkeys[i]]
-                if sf.type in (SortFieldType.DOUBLE, SortFieldType.FLOAT):
-                    row_vals.append(float(v))
-                else:
-                    row_vals.append(int(v))
-            fds.append(FieldDoc(int(gdocs[i]), float(gscores[i]), row_vals))
-        return TopFieldDocs(total, fds, sort)
-
-    def search_sorted(self, query: Query, k: int, sort) -> "TopFieldDocs":
-        """Sort matches by field values instead of relevance
-        (reference searcher.rs search w/ SortAndFormats; comparators in
-        field_comparator.rs). Ties break by global doc id ascending.
-        Numeric-field sorts (1-3 fields, mixed directions) run on the
-        device via composite lexicographic ranks (one dispatch per leaf);
-        other shapes use the host match path as the exact oracle."""
-        try:
-            eligible = self._sorted_device_eligible(query, sort)
-        except Exception:
-            eligible = False
-        if eligible:
-            return self._search_sorted_device(query, k, sort)
-        return self._search_sorted_host(query, k, sort)
-
-    def _search_sorted_host(
-        self, query: Query, k: int, sort, per_leaf_limit: int | None = None
-    ) -> "TopFieldDocs":
-        """Host sorted search (the exact oracle for ineligible device
-        shapes). per_leaf_limit activates early termination: only the first
-        N matches per segment (doc order == sort order on a sorted index)
-        are considered and total_hits becomes a lower bound."""
-        from rucene_tpu.search.sort_field import (
-            FieldDoc,
-            SortFieldType,
-            TopFieldDocs,
-            sort_keys_for_leaf,
-        )
-
-        doc_freqs, stats = self._gather_stats_query(query)
-        all_docs, all_scores, all_keys = [], [], None
-        total = 0
-        for leaf in self.reader.leaves:
-            match, acc = host_engine.evaluate_query(
-                leaf, query, self.similarity, stats, doc_freqs
-            )
-            if per_leaf_limit is None:
-                hits = host_engine.hits_from_dense(leaf, match, acc, None)
-                total += hits.total_hits
-                docs, scores = hits.docs, hits.scores
-            else:
-                if leaf.live is not None:
-                    match = match & leaf.live[: leaf.max_doc]
-                docs = np.nonzero(match)[0][:per_leaf_limit]
-                total += len(docs)
-                scores = acc[docs]
-            keys = sort_keys_for_leaf(leaf, sort, docs, scores)
-            all_docs.append(docs.astype(np.int64) + leaf.doc_base)
-            all_scores.append(scores)
-            if all_keys is None:
-                all_keys = [[kk] for kk in keys]
-            else:
-                for i, kk in enumerate(keys):
-                    all_keys[i].append(kk)
-        if not all_docs:
-            return TopFieldDocs(0, [], sort)
-        gdocs = np.concatenate(all_docs)
-        gscores = np.concatenate(all_scores)
-        key_cols = [np.concatenate(c) for c in all_keys] if all_keys else []
-        # lexsort: last key is primary; doc id is the final tie-break;
-        # SCORE sorts descending by default, others ascending
-        lex = [gdocs]
-        for sf, col in zip(reversed(sort.fields), reversed(key_cols)):
-            desc = (sf.type == SortFieldType.SCORE) != sf.reverse
-            lex.append(-col.astype(np.float64) if desc else col)
-        order = np.lexsort(tuple(lex))[:k]
-        fds = [
-            FieldDoc(
-                int(gdocs[i]),
-                float(gscores[i]),
-                [col[i].item() for col in key_cols],
-            )
-            for i in order
-        ]
-        return TopFieldDocs(total, fds, sort)
-
-    def search_sorted_early_terminated(self, query: Query, k: int, sort, per_leaf_limit: int):
-        """Early-terminating sorted search over an index sorted by the SAME
-        sort (reference collector/early_terminating.rs:17)."""
-        return self._search_sorted_host(query, k, sort, per_leaf_limit=per_leaf_limit)
-
-    def search_collapse(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
-        """Field collapsing: keep only the best hit per collapse-key
-        (reference sort_field/collapse_top_docs.rs:239, search_group.rs —
-        the Zhihu grouping extension). Key = numeric DV value; docs without
-        the field collapse under key 0. Device path: dense match +
-        scatter-max best-per-key tables per leaf, merged vectorized on the
-        host; host python path remains the oracle for ineligible shapes."""
-        try:
-            from rucene_tpu.search.sort_field import Sort, SortField, SortFieldType
-
-            eligible = self._sorted_device_eligible(
-                query, Sort([SortField(collapse_field, SortFieldType.LONG)])
-            )
-        except Exception:
-            eligible = False
-        if eligible:
-            return self._search_collapse_device(query, k, collapse_field)
-        return self._search_collapse_host(query, k, collapse_field)
-
-    def _search_collapse_device(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
-        from rucene_tpu.search.executor import execute_collapse
-
-        # collapse keys: raw DV column (host path uses dv[0] with zeros for
-        # docs lacking the field) — rank it globally so leaves merge
-        # exactly; cached at module level so NRT refreshes reuse it
-        # (VERDICT r2 weak #8)
-        def compute():
-            cols = []
-            for leaf in self.reader.leaves:
-                dv = leaf.numeric_doc_values(collapse_field)
-                cols.append(
-                    dv[0].astype(np.int64) if dv is not None else np.zeros(leaf.max_doc, np.int64)
-                )
-            uniq = np.unique(np.concatenate(cols)) if cols else np.zeros(1, np.int64)
-            ranks = [np.searchsorted(uniq, c).astype(np.int32) for c in cols]
-            return uniq, ranks
-
-        uniq, ranks = self._rank_cache_get(
-            self._rank_cache_key(("collapse", collapse_field)), compute
-        )
-        n_keys = next_pow2(max(len(uniq), 1), 1)
-
-        rq = query.rewrite()
-        total = 0
-        best_scores = np.full(len(uniq), -np.inf, np.float32)
-        best_docs = np.full(len(uniq), np.int64(2**62), np.int64)
-        for li, leaf, fq, has_ef, filters in self._single_row_leaf_batches(rq):
-            mdp = leaf.device.max_doc_padded
-            keycol = np.zeros(mdp, np.int32)
-            keycol[: leaf.max_doc] = ranks[li][: leaf.max_doc]
-            bsc, bdoc, hits = jax.device_get(
-                execute_collapse(
-                    leaf.device, fq, jnp.asarray(keycol), n_keys,
-                    use_pallas=self._use_pallas, has_ef=has_ef, filters=filters,
-                )
-            )
-            total += int(hits[0])
-            sc = bsc[0][: len(uniq)]
-            dc = bdoc[0][: len(uniq)].astype(np.int64) + leaf.doc_base
-            # merge: (score desc, gdoc asc) per key — vectorized
-            better = (sc > best_scores) | ((sc == best_scores) & (dc < best_docs))
-            got = sc > -np.inf
-            upd = better & got
-            best_scores = np.where(upd, sc, best_scores)
-            best_docs = np.where(upd, dc, best_docs)
-        live_keys = best_scores > -np.inf
-        ksc = best_scores[live_keys]
-        kdoc = best_docs[live_keys]
-        order = np.lexsort((kdoc, -ksc))[:k]
-        return TopDocs(
-            total, [ScoreDoc(int(kdoc[i]), float(ksc[i])) for i in order]
-        )
-
-    def _search_collapse_host(self, query: Query, k: int, collapse_field: str) -> "TopDocs":
-        doc_freqs, stats = self._gather_stats_query(query)
-        best: dict[int, tuple[float, int]] = {}  # key -> (score, gdoc)
-        total = 0
-        for leaf in self.reader.leaves:
-            match, acc = host_engine.evaluate_query(
-                leaf, query, self.similarity, stats, doc_freqs
-            )
-            if leaf.live is not None:
-                match = match & leaf.live[: leaf.max_doc]
-            docs = np.nonzero(match)[0]
-            total += len(docs)
-            dv = leaf.numeric_doc_values(collapse_field)
-            keys = dv[0][docs] if dv is not None else np.zeros(len(docs), np.int64)
-            for d, key, sc in zip(docs, keys, acc[docs]):
-                gdoc = int(d) + leaf.doc_base
-                cur = best.get(int(key))
-                if cur is None or (-sc, gdoc) < (-cur[0], cur[1]):
-                    best[int(key)] = (float(sc), gdoc)
-        hits = sorted(best.values(), key=lambda t: (-t[0], t[1]))[:k]
-        return TopDocs(total, [ScoreDoc(doc, sc) for sc, doc in hits])
 
     # --- explain (reference Weight::explain, term_query.rs:183-215) ---
     def explain(self, query: Query, doc: int) -> "Explanation":
