@@ -266,14 +266,18 @@ def plane_policy(mdp: int) -> tuple[int, int]:
 
     auto: plane terms with df >= mdp/512 (the density where probe-compare
     volume beats a dense [md] u8 stream), capped by RUCENE_PLANES_MAX_MB
-    (default 4 GB — one plane costs mdp bytes). "1" planes every term that
-    fits (tests); "0" disables."""
+    (default 4 GB up to 4M docs; 2 GB above — at 8.8M docs decoded
+    residency + the phrase position-plane cache + [B, md] batch
+    transients all share the measured ~14 GB of usable HBM, so the
+    resident tf-plane pin stays conservative; an explicit env cap always
+    wins). "1" planes every term that fits (tests); "0" disables."""
     import os
 
     env = os.environ.get("RUCENE_PLANES", "auto")
     if env == "0":
         return 0, 0
-    budget = int(os.environ.get("RUCENE_PLANES_MAX_MB", 4096)) << 20
+    default_mb = 4096 if mdp <= (4 << 20) else 2048
+    budget = int(os.environ.get("RUCENE_PLANES_MAX_MB", default_mb)) << 20
     if env == "1":
         return budget, 1
     if mdp < (1 << 19):

@@ -50,6 +50,15 @@ FMAX = 64
 # building unchunked OOMed HBM (20 GB of temps). W is pow2-padded, so any
 # pow2 C <= W divides it evenly.
 BUILD_CHUNK = 4096
+# hard per-call work-item ceiling: the W=131072 program (a zipf-head term
+# at 8.8M docs, 66360 blocks) reliably CRASHES the axon TPU worker while
+# every shape <= 65536 builds fine (exp/logs/plane_build_probe.log — w2 at
+# 65536 passes, w0 at 131072 faults; genuine HBM exhaustion instead raises
+# a clean RESOURCE_EXHAUSTED, so this is a backend kernel fault, not
+# memory). Callers split wider terms into <= MAX_BUILD_ITEMS calls and OR
+# the partials — exact, because one term's (doc, position) bits are
+# disjoint across blocks.
+MAX_BUILD_ITEMS = 65536
 
 
 @partial(jax.jit, static_argnames=("has_ef",))

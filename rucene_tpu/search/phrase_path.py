@@ -451,9 +451,14 @@ class PhrasePathMixin:
         """Plane-cache byte budget for this leaf's device view. Explicit
         RUCENE_PLANE_CACHE_MB wins; the default is HBM-aware: planes share
         the chip with the index tensors, the overlapped device batch's
-        [B, md] accumulators and the plane search's own [R, md] transients
-        — a flat 6 GB default crashed the TPU worker at 8.8M docs (v5e has
-        15.75 GB; index ~2 GB, accumulators ~3.5 GB, planes 141 MB each)."""
+        [B, md] accumulators and the plane search's own [R, md] transients.
+        Measured on the axon v5e chip: ~14 GB of HBM is actually usable
+        and over-allocation raises a clean RESOURCE_EXHAUSTED (NOT a
+        worker crash — the 8.8M crashes were a build-shape kernel fault,
+        see ops/phrase_plane.MAX_BUILD_ITEMS). Above 4M docs the numerator
+        drops 11 -> 8 GB so 143 MB/plane caches start evicting within a
+        batch of new terms; at 1M (17 MB/plane, the recorded 13.2x config)
+        the wider budget stays byte-identical."""
         env = os.environ.get("RUCENE_PLANE_CACHE_MB")
         if env:
             return int(env) << 20
@@ -461,7 +466,9 @@ class PhrasePathMixin:
             a.size * a.dtype.itemsize for a in leaf.device
             if hasattr(a, "size")
         )
-        return max(1 << 30, min(6 << 30, ((11 << 30) - dev_bytes) // 2))
+        mdp = int(leaf.device.live.shape[0])
+        usable = (11 << 30) if mdp <= (4 << 20) else (8 << 30)
+        return max(1 << 30, min(6 << 30, (usable - dev_bytes) // 2))
 
     def _phrase_plane_for(self, leaf, field: str, term: str):
         """Device-cached (plane, overflow) for one term (ops/phrase_plane
@@ -478,20 +485,39 @@ class PhrasePathMixin:
         rec = leaf.term_record(field, term)
         if rec is None:
             return None
+        # evict BEFORE building: the build's scan temporaries (+ the new
+        # 143 MB plane at 8.8M docs) must not stack on a full cache — the
+        # second-batch builds at 8.8M crashed the worker when eviction only
+        # ran post-insert (exp/logs/repro_8m_r4.log stage 4)
+        budget = self._plane_budget_bytes(leaf)
+        mdp = int(leaf.device.live.shape[0])
+        new_bytes = mdp * 17  # u32[md,4] plane + bool[md] overflow
+        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - new_bytes:
+            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         blocks = np.arange(
             rec.block_start, rec.block_start + rec.block_count, dtype=np.int32
         )
-        w_pad = next_pow2(max(len(blocks), 1), 8)
-        wi_block = np.zeros(w_pad, np.int32)
-        wi_valid = np.zeros(w_pad, bool)
-        wi_block[: len(blocks)] = blocks
-        wi_valid[: len(blocks)] = True
-        plane, overflow = build_position_plane(
-            leaf.device, jnp.asarray(wi_block), jnp.asarray(wi_valid),
-            jnp.asarray(np.int32(rec.pos_width)),
-            jnp.asarray(np.int32(rec.pos_word_start)),
-            has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
-        )
+        from rucene_tpu.ops.phrase_plane import MAX_BUILD_ITEMS
+
+        # builds wider than MAX_BUILD_ITEMS fault the TPU worker (see the
+        # constant's docstring); slice hot terms and OR the partials —
+        # exact, since a term's (doc, position) bits are block-disjoint
+        plane = overflow = None
+        for s in range(0, max(len(blocks), 1), MAX_BUILD_ITEMS):
+            part = blocks[s : s + MAX_BUILD_ITEMS]
+            w_pad = next_pow2(max(len(part), 1), 8)
+            wi_block = np.zeros(w_pad, np.int32)
+            wi_valid = np.zeros(w_pad, bool)
+            wi_block[: len(part)] = part
+            wi_valid[: len(part)] = True
+            p, o = build_position_plane(
+                leaf.device, jnp.asarray(wi_block), jnp.asarray(wi_valid),
+                jnp.asarray(np.int32(rec.pos_width)),
+                jnp.asarray(np.int32(rec.pos_word_start)),
+                has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+            )
+            plane = p if plane is None else plane | p
+            overflow = o if overflow is None else overflow | o
         METRICS.incr("search.phrase_plane_build")
         _PLANE_CACHE[key] = (plane, overflow, leaf.packed)
         # byte-budgeted LRU (17 MB/plane at 1M docs, ~141 MB at 8.8M):

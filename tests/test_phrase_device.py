@@ -350,3 +350,49 @@ def test_small_leaf_phrase_scalar_shortcut():
             [(sd.doc, sd.score) for sd in g.score_docs],
             [(sd.doc, sd.score) for sd in w.score_docs],
         )
+
+
+def test_phrase_plane_sliced_build_parity(monkeypatch):
+    """Terms wider than ops.phrase_plane.MAX_BUILD_ITEMS build their
+    position plane in several <=MAX calls whose partials are OR-combined
+    (the W=131072 single-call shape faults the axon TPU worker —
+    exp/logs/plane_build_probe.log). Force tiny slices and pin bit-exact
+    equality with the single-call plane, plus end-to-end parity."""
+    import jax.numpy as jnp
+
+    from rucene_tpu.ops import phrase_plane as pp
+    from rucene_tpu.search.searcher import _PLANE_CACHE
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for _ in range(2200):
+        words = [f"w{int(x) % 20}" for x in rng.zipf(1.3, size=int(rng.integers(6, 18)))]
+        texts.append(" ".join(words))
+    s = _searcher(texts)
+    leaf = s.reader.leaves[0]
+    rec = leaf.term_record("body", "w1")
+    assert rec.block_count > 4, "corpus too small to slice"
+
+    _PLANE_CACHE.clear()
+    whole = s._phrase_plane_for(leaf, "body", "w1")
+    whole = (np.asarray(whole[0]), np.asarray(whole[1]))
+
+    _PLANE_CACHE.clear()
+    monkeypatch.setattr(pp, "MAX_BUILD_ITEMS", 4)  # forces >= 2 slices
+    sliced = s._phrase_plane_for(leaf, "body", "w1")
+    sliced = (np.asarray(sliced[0]), np.asarray(sliced[1]))
+    assert np.array_equal(whole[0], sliced[0])
+    assert np.array_equal(whole[1], sliced[1])
+
+    # end-to-end: the sliced plane serves a real phrase search exactly
+    s.PHRASE_SCALAR_MAX_DOCS = 0
+    s.PHRASE_ROW_DF_BUDGET = 0
+    q = PhraseQuery("body", ["w1", "w0"])
+    got = s.search_batch([q], k=12)[0]
+    want = _host_result(s, q, 12)
+    assert got.total_hits == want.total_hits
+    assert_hits_equal(
+        [(sd.doc, sd.score) for sd in got.score_docs],
+        [(sd.doc, sd.score) for sd in want.score_docs],
+    )
+    _PLANE_CACHE.clear()

@@ -183,12 +183,13 @@ def test_range_strategy_override_parity():
     res_d = s._search_device([rq], 20)
     # dense vs auto must agree; run twice with forced strategies via the
     # completeness switch: monkeypatch _ranges_complete
-    orig = IndexSearcher.__dict__["_ranges_complete"]
+    # _ranges_complete lives on FilterPathMixin; shadow it on the subclass
+    # and delete the shadow to restore MRO lookup
     try:
         IndexSearcher._ranges_complete = staticmethod(lambda rqs: False)
         res_f = s._search_device([q.rewrite()], 20)
     finally:
-        IndexSearcher._ranges_complete = orig
+        del IndexSearcher._ranges_complete
     a, b = res_d[0], res_f[0]
     assert a.total_hits == b.total_hits
     assert [sd.doc for sd in a.score_docs] == [sd.doc for sd in b.score_docs]
