@@ -343,6 +343,17 @@ def main():
     build_s = time.time() - t0
     log(f"index ready ({build_s:.0f}s), searching")
 
+    if os.environ.get("BENCH_PREWARM", "1") != "0":
+        # pre-build the RESIDENT position-plane set OFF the serving path
+        # (VERDICT r4 item 2a): batched multi-plane dispatches at load
+        # time instead of 16-35s/term cold builds inside the first
+        # batches (8.8M measurements, exp/logs/plane_build_probe.log).
+        # Serving-time admission then never builds: resident terms hit
+        # the cache, the rest ride the candidate/scalar paths.
+        tw = time.time()
+        n_planes = searcher.prewarm_phrase_planes()
+        log(f"prewarmed {n_planes} phrase planes in {time.time()-tw:.0f}s")
+
     # warmup (compile every batch's shape bucket) then timed batched runs
     for i in range(0, n_queries, batch):
         searcher.search_batch(queries[i : i + batch], k=k, prune=prune)
@@ -466,15 +477,21 @@ def main():
         )
 
     # postings-bandwidth accounting (VERDICT r3 weak #9): decoded lanes
-    # touched by the term/bool executors over the timed window. One lane =
-    # i32 doc + u16 freq + f32 cval = 10 bytes; v5e HBM peak ~819 GB/s.
-    # Phrase position data is NOT counted (separate path), so this is a
-    # lower bound on true traffic.
+    # touched by the term/bool executors (one lane = i32 doc + u16 freq +
+    # f32 cval = 10 bytes) PLUS plane traffic (tf planes, phrase position
+    # planes, denominator planes — VERDICT r4 weak #1: phrase used to read
+    # as 0 MB) over the timed window. v5e HBM peak ~819 GB/s.
     lanes = snap.get("search.flat_lanes", 0) - warm_c.get("search.flat_lanes", 0)
-    postings_gbps = lanes * 10 / wall / 1e9
+    pbytes = snap.get("search.plane_bytes", 0) - warm_c.get(
+        "search.plane_bytes", 0
+    )
+    total_bytes = lanes * 10 + pbytes
+    postings_gbps = total_bytes / wall / 1e9
     bandwidth_frac = round(postings_gbps / 819.0, 4)
     log(
-        f"postings traffic: {lanes * 10 / 1e9:.2f} GB over {wall:.2f}s = "
+        f"postings traffic: {total_bytes / 1e9:.2f} GB "
+        f"(lanes {lanes * 10 / 1e9:.2f} + planes {pbytes / 1e9:.2f}) "
+        f"over {wall:.2f}s = "
         f"{postings_gbps:.1f} GB/s ({100 * bandwidth_frac:.1f}% of HBM peak)"
     )
 

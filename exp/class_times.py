@@ -75,7 +75,9 @@ def measure(batch: int, k: int):
     out = {}
     for name, qs in classes.items():
         searcher.search_batch(qs, k=k)  # warm/compile
-        lanes0 = METRICS.snapshot()["counters"].get("search.flat_lanes", 0)
+        c0 = METRICS.snapshot()["counters"]
+        lanes0 = c0.get("search.flat_lanes", 0)
+        pb0 = c0.get("search.plane_bytes", 0)
         t0 = time.time()
         reps = 0
         while time.time() - t0 < 4.0 or reps < 2:
@@ -84,15 +86,20 @@ def measure(batch: int, k: int):
             if reps >= 30:
                 break
         per = (time.time() - t0) / reps
-        lanes = (METRICS.snapshot()["counters"].get("search.flat_lanes", 0)
-                 - lanes0) / reps
-        # decoded-residency lane = i32 doc + u16 freq + f32 cval = 10 B
-        gbps = lanes * 10 / per / 1e9
+        c1 = METRICS.snapshot()["counters"]
+        lanes = (c1.get("search.flat_lanes", 0) - lanes0) / reps
+        pbytes = (c1.get("search.plane_bytes", 0) - pb0) / reps
+        # decoded-residency lane = i32 doc + u16 freq + f32 cval = 10 B;
+        # plane traffic (tf/position/denominator planes) counted in bytes
+        total_b = lanes * 10 + pbytes
+        gbps = total_b / per / 1e9
         out[name] = dict(ms=per * 1000, qps=batch / per, lanes=lanes,
+                         plane_mb=pbytes / 1e6,
                          gbps=gbps, hbm_frac=gbps / HBM_PEAK_GBPS)
         print(f"CLASS {name}: {per*1000:.0f} ms/batch of {batch} "
               f"({batch/per:.0f} qps serial) "
-              f"postings={lanes*10/1e6:.0f}MB {gbps:.1f}GB/s "
+              f"postings={lanes*10/1e6:.0f}MB planes={pbytes/1e6:.0f}MB "
+              f"{gbps:.1f}GB/s "
               f"({100*gbps/HBM_PEAK_GBPS:.1f}% HBM)", flush=True)
     print(json.dumps({"batch": batch, "k": k, "n_docs": n_docs,
                       "classes": {c: round(v["ms"], 1) for c, v in out.items()}}),

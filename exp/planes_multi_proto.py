@@ -1,13 +1,15 @@
-"""PROTOTYPE (not imported by the package): batched position-plane build.
+"""PROMOTED (r5): batched position-plane build now lives in
+ops/phrase_plane.build_position_planes_multi (fixed work capacity +
+dynamic chunk count so compiles don't fork per work size); this file
+keeps the original standalone parity check against the single-term
+builder for quick manual runs.
 
-Hypothesis (r4): the phrase class's 623 ms/batch at 1M docs is dominated
-by plane-cache thrash — 256 distinct bigrams reference ~500 distinct
-terms x 17 MB planes = 8.7 GB > the ~5.3 GB budget, so the LRU rebuilds
-EVERY plane EVERY batch, one dispatch per term (~1 ms tunnel overhead
-each). Fix: build all of a group's missing planes in ONE dispatch.
-
-This file holds the candidate ops/phrase_plane.build_position_planes_multi
-implementation plus a CPU parity check vs the single-term builder.
+Hypothesis (r4, confirmed): the phrase class's 623 ms/batch at 1M docs is
+dominated by plane-cache thrash — 256 distinct bigrams reference ~500
+distinct terms x 17 MB planes = 8.7 GB > the ~5.3 GB budget, so the LRU
+rebuilds EVERY plane EVERY batch, one dispatch per term (~1 ms tunnel
+overhead each). Fix: build all of a group's missing planes in ONE
+dispatch (search/phrase_path._phrase_planes_for_many).
 Run (TPU idle!): BENCH_CPU=1 python exp/planes_multi_proto.py
 """
 

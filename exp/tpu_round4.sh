@@ -1,6 +1,11 @@
 #!/bin/bash
 # Round-4 TPU measurement protocol (VERDICT r3 item 2: execute the WHOLE
-# runbook, commit every log). ONE process at a time (single-holder TPU +
+# runbook, commit every log).
+# STATUS (post-round note, ADVICE r4): only steps 1-3 produced logs in
+# round 4 — steps 4-9 (NRT, WAND A/B, packed/v2 A/Bs, smoke, guard) were
+# never run; the 8.8M re-run after f47e02d ended with the round mid-run.
+# Round 5 re-runs everything via exp/tpu_round5.sh with JSON-checked
+# evidence gates. ONE process at a time (single-holder TPU +
 # single CPU core). Logs land in exp/logs/ with an _r4 suffix.
 # Prerequisite: /tmp/rtpu_bench_cache holds the 1M, 8.8M and pytext-500K
 # caches (tools/build_bench_cache.py — /tmp is wiped between driver

@@ -21,10 +21,12 @@ Usage (one process per host, standard jax.distributed bootstrap):
     idx = ShardedIndex(mesh, reader)   # same single-host classes
     searcher = ShardedSearcher(idx)
 
-Every process must build identical global arrays (ShardedIndex loads the
-whole index per host; per-host partial loading is future work — see
-docs/ROADMAP.md). Validated single-process (the degenerate 1-host case is
-exactly the sharded.py path); multi-process needs a real pod.
+ShardedIndex supports two loading modes (parallel/sharded.py): full (every
+process builds identical global arrays) and partial (each host loads only
+its own shards' postings, global stats are psum'd across the mesh, and
+cross-shard fallback queries batch into one all_gather per group —
+sharded.py partial mode). Validated single-process (the degenerate 1-host
+case is exactly the sharded.py path); multi-process needs a real pod.
 """
 
 from __future__ import annotations

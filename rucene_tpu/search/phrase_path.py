@@ -40,6 +40,10 @@ _PLANE_CACHE: dict = {}
 _BLOCKSEL_CACHE: dict = {}
 _BLOCKSEL_CAP = 8192
 
+# resident-set memo: (id(packed), field, budget) -> (ordered terms tuple,
+# term set, packed-ref). See _plane_resident_terms.
+_RESIDENT_CACHE: dict = {}
+
 
 def _plane_cache_bytes() -> int:
     total = 0
@@ -231,10 +235,16 @@ class PhrasePathMixin:
                 ):
                     sc_rows.append(i)  # truly heavy: planes or scalar
                     continue
-                if plane_ok and len(picked[0]) >= self.PHRASE_PLANE_ITEM_MIN:
+                if (
+                    plane_ok
+                    and len(picked[0]) >= self.PHRASE_PLANE_ITEM_MIN
+                    and self._planes_admitted(leaf, field, terms)
+                ):
                     # mid-weight: O(md) plane verify beats dragging this
                     # row's blocks through the candidate tables (~tens of
-                    # ms/row at 1M docs vs ~1-2 ms elementwise)
+                    # ms/row at 1M docs vs ~1-2 ms elementwise) — but only
+                    # when its planes are cached/resident; otherwise the
+                    # candidate tables win outright vs a plane build
                     plane_pref.append(i)
                     continue
                 total_before += sum(r.block_count for r in recs)
@@ -467,8 +477,72 @@ class PhrasePathMixin:
             if hasattr(a, "size")
         )
         mdp = int(leaf.device.live.shape[0])
-        usable = (11 << 30) if mdp <= (4 << 20) else (8 << 30)
+        # >4M numerator raised 8 -> 12 GB in r5: the 8.8M crash proved to
+        # be a build-shape kernel fault, NOT memory (RESOURCE_EXHAUSTED is
+        # clean and appeared only past ~14 GB touched), and the measured
+        # ledger at 8.8M is decoded 1.54 + tf planes 2.0 + [32, md]
+        # accumulators ~1 GB of a 15.75 GB chip (exp/hbm_ledger.py) — the
+        # old 8 GB left the plane budget at ~2 GB and the r5a bench
+        # thrashed 84 rebuilds/12 batches down to 0.5 QPS
+        usable = (11 << 30) if mdp <= (4 << 20) else (12 << 30)
         return max(1 << 30, min(6 << 30, (usable - dev_bytes) // 2))
+
+    # fraction of the plane budget the STABLE resident set may fill; the
+    # rest is headroom for denominator planes, span-group planes and the
+    # multi-build's transient group arrays
+    PLANE_RESIDENT_FRAC = 0.75
+
+    def _plane_resident_terms(self, leaf, field: str):
+        """(ordered tuple, set) of the df-descending prefix of plane-
+        eligible terms that fits PLANE_RESIDENT_FRAC of the plane budget.
+
+        This is the serving-time ADMISSION set: position planes are only
+        built on the query path for terms that will STAY cached. Without
+        admission, any workload whose distinct-term set exceeds the budget
+        thrashes — the r5a 8.8M bench measured 84 rebuilds x 9-35s across
+        12 timed batches = 0.5 QPS. Rows with a non-resident term fall to
+        the candidate pipeline or the scalar C++ engine (10-100 ms, not
+        tens of seconds). The reference never faces this cliff because its
+        per-query scorers stream postings with no per-term residency
+        (phrase_scorer.rs:122); planes trade that per-row cost for a
+        cache, and a cache needs an admission policy."""
+        budget = self._plane_budget_bytes(leaf)
+        key = (id(leaf.packed), field, budget)
+        got = _RESIDENT_CACHE.get(key)
+        if got is not None:
+            return got[0], got[1]
+        from rucene_tpu.ops.phrase_plane import WORDS
+
+        pf = leaf.packed.fields.get(field)
+        if pf is None:
+            out = ((), frozenset())
+        else:
+            mdp = int(leaf.device.live.shape[0])
+            plane_b = mdp * (WORDS * 4 + 1)
+            cap = int(budget * self.PLANE_RESIDENT_FRAC)
+            n = max(1, min(len(pf.terms), cap // max(plane_b, 1)))
+            bc = np.asarray(pf.block_count)
+            order = np.argsort(bc, kind="stable")[::-1][:n]
+            keep = order[bc[order] >= 1]
+            terms = tuple(pf.terms[int(o)] for o in keep)
+            out = (terms, frozenset(terms))
+        _RESIDENT_CACHE[key] = (out[0], out[1], leaf.packed)
+        if len(_RESIDENT_CACHE) > 64:
+            _RESIDENT_CACHE.pop(next(iter(_RESIDENT_CACHE)))
+        return out
+
+    def _planes_admitted(self, leaf, field: str, terms) -> bool:
+        """True when every term is already cached or in the resident set —
+        i.e. routing this row to planes cannot thrash the cache."""
+        res = None
+        for t in terms:
+            if (id(leaf.packed), field, t) in _PLANE_CACHE:
+                continue
+            if res is None:
+                res = self._plane_resident_terms(leaf, field)[1]
+            if t not in res:
+                return False
+        return True
 
     def _phrase_plane_for(self, leaf, field: str, term: str):
         """Device-cached (plane, overflow) for one term (ops/phrase_plane
@@ -485,19 +559,25 @@ class PhrasePathMixin:
         rec = leaf.term_record(field, term)
         if rec is None:
             return None
-        # evict BEFORE building: the build's scan temporaries (+ the new
-        # 143 MB plane at 8.8M docs) must not stack on a full cache — the
-        # second-batch builds at 8.8M crashed the worker when eviction only
-        # ran post-insert (exp/logs/repro_8m_r4.log stage 4)
-        budget = self._plane_budget_bytes(leaf)
-        mdp = int(leaf.device.live.shape[0])
-        new_bytes = mdp * 17  # u32[md,4] plane + bool[md] overflow
-        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - new_bytes:
-            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         blocks = np.arange(
             rec.block_start, rec.block_start + rec.block_count, dtype=np.int32
         )
         from rucene_tpu.ops.phrase_plane import MAX_BUILD_ITEMS
+
+        # evict BEFORE building: the build's scan temporaries (+ the new
+        # 143 MB plane at 8.8M docs) must not stack on a full cache — the
+        # second-batch builds at 8.8M crashed the worker when eviction only
+        # ran post-insert (exp/logs/repro_8m_r4.log stage 4). A sliced
+        # build (hot term, > MAX_BUILD_ITEMS blocks) transiently holds up
+        # to THREE plane-sized arrays (accumulator, new partial, OR
+        # result), so reserve 3x headroom for those.
+        budget = self._plane_budget_bytes(leaf)
+        mdp = int(leaf.device.live.shape[0])
+        new_bytes = mdp * 17  # u32[md,4] plane + bool[md] overflow
+        if len(blocks) > MAX_BUILD_ITEMS:
+            new_bytes *= 3
+        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - new_bytes:
+            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
 
         # builds wider than MAX_BUILD_ITEMS fault the TPU worker (see the
         # constant's docstring); slice hot terms and OR the partials —
@@ -528,6 +608,169 @@ class PhrasePathMixin:
         while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
             _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
         return plane, overflow
+
+    def _phrase_planes_for_many(self, leaf, wants, admit: bool = False):
+        """Batched (plane, overflow) fetch for many (field, term) pairs:
+        cache hits return immediately; misses build in as FEW device
+        dispatches as fit MAX_BUILD_ITEMS and the HBM budget
+        (ops/phrase_plane.build_position_planes_multi). One dispatch per
+        ~dozens of terms replaces one per term — the measured phrase-class
+        bottleneck when a batch's plane working set exceeds the cache
+        budget and the LRU rebuilds every plane every batch
+        (exp/planes_multi_proto.py; VERDICT r4 item 2).
+
+        Returns dict[(field, term)] -> (plane, overflow) | None (absent
+        term) | False (admit=True and the term is outside the resident
+        set — building it would thrash the cache; the caller must route
+        the row to the candidate/scalar path instead). Terms wider than
+        MAX_BUILD_ITEMS blocks take the sliced single-term path
+        (_phrase_plane_for)."""
+        from rucene_tpu.ops.phrase_plane import (
+            BUILD_CHUNK,
+            MAX_BUILD_ITEMS,
+            WORDS,
+            build_position_planes_multi,
+        )
+        from rucene_tpu.search.searcher import work_has_ef
+
+        out: dict = {}
+        missing: list = []  # (field, term, rec)
+        for field, term in wants:
+            fkey = (field, term)
+            if fkey in out:
+                continue
+            key = (id(leaf.packed), field, term)
+            got = _PLANE_CACHE.pop(key, None)
+            if got is not None:
+                _PLANE_CACHE[key] = got  # LRU reinsert
+                out[fkey] = (got[0], got[1])
+                continue
+            rec = leaf.term_record(field, term)
+            if rec is None:
+                out[fkey] = None
+                continue
+            if admit and term not in self._plane_resident_terms(leaf, field)[1]:
+                out[fkey] = False  # denied: would thrash the cache
+                METRICS.incr("search.phrase_plane_denied")
+                continue
+            if rec.block_count > MAX_BUILD_ITEMS:
+                out[fkey] = self._phrase_plane_for(leaf, field, term)
+                continue
+            missing.append((field, term, rec))
+        if not missing:
+            return out
+
+        mdp = int(leaf.device.live.shape[0])
+        plane_b = mdp * (WORDS * 4 + 1)
+        budget = self._plane_budget_bytes(leaf)
+        # planes per call: the call's [bucket, md, WORDS] output and the
+        # per-term cache slices coexist transiently, so bound the bucket
+        # to a quarter of the budget (and to 32: one compile per pow2
+        # bucket, axon compiles cost minutes)
+        max_call = max(1, min(32, int((budget // 4) // max(plane_b, 1))))
+        # rarest terms first: many small builds coalesce into full calls
+        missing.sort(key=lambda m: m[2].block_count)
+        calls: list[list] = []
+        cur: list = []
+        cur_items = 0
+        for m in missing:
+            nb = max(int(m[2].block_count), 1)
+            if cur and (cur_items + nb > MAX_BUILD_ITEMS or len(cur) >= max_call):
+                calls.append(cur)
+                cur, cur_items = [], 0
+            cur.append(m)
+            cur_items += nb
+        if cur:
+            calls.append(cur)
+
+        for grp in calls:
+            bucket = next_pow2(len(grp), 1)
+            need = (bucket + len(grp)) * plane_b
+            while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - need:
+                _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+            wb_l, wp_l, pw_l, ws_l = [], [], [], []
+            for i, (field, term, rec) in enumerate(grp):
+                blocks = np.arange(
+                    rec.block_start,
+                    rec.block_start + rec.block_count,
+                    dtype=np.int32,
+                )
+                wb_l.append(blocks)
+                wp_l.append(np.full(len(blocks), i, np.int32))
+                pw_l.append(np.full(len(blocks), rec.pos_width, np.int32))
+                ws_l.append(
+                    np.full(len(blocks), rec.pos_word_start, np.int32)
+                )
+            wb = np.concatenate(wb_l)
+            n_real = len(wb)
+            # FIXED work capacity (one compile per bucket): pad to
+            # MAX_BUILD_ITEMS; the real chunk count is a dynamic loop bound
+            w_pad = MAX_BUILD_ITEMS
+
+            def pad(a, fill=0):
+                o = np.full(w_pad, fill, a.dtype)
+                o[: len(a)] = a
+                return o
+
+            wv = np.zeros(w_pad, bool)
+            wv[:n_real] = True
+            n_chunks = -(-max(n_real, 1) // BUILD_CHUNK)
+            planes, ovs = build_position_planes_multi(
+                leaf.device,
+                jnp.asarray(pad(wb)),
+                jnp.asarray(wv),
+                jnp.asarray(pad(np.concatenate(wp_l))),
+                jnp.asarray(pad(np.concatenate(pw_l), 1)),
+                jnp.asarray(pad(np.concatenate(ws_l))),
+                jnp.asarray(np.int32(n_chunks)),
+                n_planes=bucket,
+                has_ef=work_has_ef(
+                    leaf.packed.blk_doc_bits, wb, np.ones(n_real, bool),
+                    dev=leaf.device,
+                ),
+            )
+            METRICS.incr("search.phrase_plane_build", len(grp))
+            METRICS.incr("search.phrase_plane_build_calls")
+            for i, (field, term, rec) in enumerate(grp):
+                p, o = planes[i], ovs[i]
+                _PLANE_CACHE[(id(leaf.packed), field, term)] = (
+                    p, o, leaf.packed,
+                )
+                out[(field, term)] = (p, o)
+            del planes, ovs
+        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
+            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+        return out
+
+    def prewarm_phrase_planes(
+        self, field: str = "body", min_blocks: int | None = None
+    ) -> int:
+        """Pre-build the RESIDENT position-plane set OFF the serving path
+        (VERDICT r4 item 2a: a cold phrase at 8.8M stalls its whole batch
+        for 16-35s/term). The set is exactly what serving-time admission
+        (_plane_resident_terms) will allow, so after prewarm the query
+        path never builds a plane: resident terms hit the cache, the rest
+        route to the candidate/scalar paths. Builds batch through the
+        multi-plane dispatcher. Returns the number of planes built. Call
+        at index-load / NRT-refresh time."""
+        if min_blocks is None:
+            min_blocks = self.PHRASE_PLANE_ITEM_MIN
+        built = 0
+        for leaf in self.reader.leaves:
+            if leaf.max_doc < self.PHRASE_PLANE_MIN_DOCS:
+                continue
+            pf = leaf.packed.fields.get(field)
+            if pf is None:
+                continue
+            ordered, _res = self._plane_resident_terms(leaf, field)
+            bc = {t: int(pf.block_count[pf.term_ord[t]]) for t in ordered}
+            wants = [
+                (field, t) for t in ordered if bc[t] >= min_blocks
+            ]
+            if wants:
+                got = self._phrase_planes_for_many(leaf, wants)
+                built += sum(1 for v in got.values() if v is not None)
+        return built
 
     def _mixed_device_eligible(self, rq) -> bool:
         """Mixed boolean rows — term clauses plus ONE exact phrase — ride
@@ -579,6 +822,13 @@ class PhrasePathMixin:
                 break  # timeout: partial results, like the term path
             cache = build_leaf_cache(leaf, sim, stats)
             mdp = int(leaf.device.live.shape[0])
+            # batch-fetch every phrase plane this leaf will need (multi-
+            # plane build dispatches instead of one per term)
+            plane_map = self._phrase_planes_for_many(
+                leaf,
+                [(rq.phrases[0][0], t) for rq in rqs for t in rq.phrases[0][1]],
+                admit=True,
+            )
             by_ar: dict[int, list[int]] = {}
             for i, rq in enumerate(rqs):
                 by_ar.setdefault(len(rq.phrases[0][1]), []).append(i)
@@ -595,9 +845,14 @@ class PhrasePathMixin:
                         field, terms, boost, _sl = rqs[gi].phrases[0]
                         pl, ov, ok = [], [], True
                         for t in terms:
-                            got = self._phrase_plane_for(leaf, field, t)
+                            got = plane_map.get((field, t))
                             if got is None:
                                 ok = False  # term absent: no hit THIS leaf
+                                break
+                            if got is False:  # admission-denied: the row
+                                # reruns whole on the host path (exact)
+                                ok = False
+                                spilled.add(gi)
                                 break
                             pl.append(got[0])
                             ov.append(got[1])
@@ -660,6 +915,15 @@ class PhrasePathMixin:
                         ws.append(np.float32(0.0))
                     from rucene_tpu.search.searcher import prefetch_result
 
+                    # roofline accounting: the mixed dispatch streams the
+                    # row's phrase planes + denominator planes (its term
+                    # lanes are counted by the flat-work path)
+                    from rucene_tpu.ops.phrase_plane import WORDS as _W
+
+                    METRICS.incr(
+                        "search.plane_bytes",
+                        b_pad * (nt * mdp * (_W * 4 + 1) + mdp * 4),
+                    )
                     fut = prefetch_result(execute_mixed_planes(
                         leaf.device, fq, tuple(flat_p), tuple(flat_o),
                         tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),
@@ -990,14 +1254,25 @@ class PhrasePathMixin:
         from rucene_tpu.ops.phrase_plane import phrase_plane_search_many
 
         spill: list[int] = []
+        # batch-fetch every plane the group needs: misses build in a few
+        # multi-plane dispatches instead of one per term
+        plane_map = self._phrase_planes_for_many(
+            leaf,
+            [
+                (rqs[gi].phrases[0][0], t)
+                for gi in rows
+                for t in rqs[gi].phrases[0][1]
+            ],
+            admit=True,
+        )
         by_arity: dict[int, list[tuple]] = {}
         for gi in rows:
             field, terms, boost, _sl = rqs[gi].phrases[0]
             planes, overflows = [], []
             ok = True
             for t in terms:
-                got = self._phrase_plane_for(leaf, field, t)
-                if got is None:
+                got = plane_map.get((field, t))
+                if not got:  # absent (None) or admission-denied (False)
                     ok = False
                     break
                 planes.append(got[0])
@@ -1052,6 +1327,16 @@ class PhrasePathMixin:
                     ws.append(np.float32(0.0))
                 from rucene_tpu.search.searcher import prefetch_result
 
+                # roofline accounting (VERDICT r4 weak #1: phrase read as
+                # postings=0MB): each row's verify streams nt packed
+                # position planes (u32[md,WORDS] + bool[md] overflow) plus
+                # its f32[md] denominator plane and the shared live column
+                from rucene_tpu.ops.phrase_plane import WORDS as _W
+
+                METRICS.incr(
+                    "search.plane_bytes",
+                    r_pad * (nt * mdp * (_W * 4 + 1) + mdp * 4) + mdp,
+                )
                 fut = prefetch_result(phrase_plane_search_many(
                     tuple(flat_p), tuple(flat_o), leaf.device.live,
                     tuple(denoms), jnp.asarray(np.asarray(ws, np.float32)),

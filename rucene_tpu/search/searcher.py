@@ -84,7 +84,6 @@ from rucene_tpu.search.flat_tables import (  # noqa: F401,E402 (re-export)
     build_flat_work,
     build_leaf_cache,
     build_leaf_tables,
-    build_range_filter_tables,
     cval_plane_for,
     cval_table_for,
     dedupe_work,
