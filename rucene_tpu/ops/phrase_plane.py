@@ -61,7 +61,7 @@ BUILD_CHUNK = 4096
 MAX_BUILD_ITEMS = 65536
 
 
-@partial(jax.jit, static_argnames=("has_ef",))
+@partial(jax.jit, static_argnames=("has_ef", "words"))
 def build_position_plane(
     dev: DeviceSegment,
     wi_block: jax.Array,  # i32[W] the term's global block ids (padded)
@@ -69,8 +69,14 @@ def build_position_plane(
     pos_width: jax.Array,  # i32[] packed position-delta width
     pos_word_start: jax.Array,  # i32[] word offset of the term's stream
     has_ef: bool = False,
+    words: int = WORDS,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (plane u32[md, WORDS], overflow bool[md]).
+    """-> (plane u32[md, words], overflow bool[md]).
+
+    words: u32 words per doc (positions covered = 32*words). The search
+    ops are shape-generic, so a leaf whose docs provably fit 64 positions
+    (norm-byte upper bound, phrase_path._plane_words) uses words=2 —
+    half the plane bytes, double the resident-set capacity.
 
     One lax.scan step per BUILD_CHUNK work items accumulates directly into
     the packed u32 plane with a scatter-ADD: within one term, (doc,
@@ -79,6 +85,7 @@ def build_position_plane(
     distinct power-of-two bit values IS the OR — no [md, PMAX] bool
     transient, no [md, WORDS, 32] packing reduce (4.3 GB at 8.8M docs)."""
     md = dev.max_doc_padded
+    pmax = 32 * words
     w_items = wi_block.shape[0]
     c = min(w_items, BUILD_CHUNK)
     n_chunks = w_items // c
@@ -131,16 +138,16 @@ def build_position_plane(
         # overflow: more occurrences than FMAX, or a position off the plane
         over_lane = valid & (
             (freqs > FMAX)
-            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= PMAX)
+            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= pmax)
         )
         safe_docs = jnp.where(valid, docs, md)  # md row is the drop bucket
         overflow = overflow.at[safe_docs].max(over_lane, mode="drop")
 
-        on = pvalid & (pwin < PMAX)
+        on = pvalid & (pwin < pmax)
         word_idx = jnp.where(
             on,
-            docs[:, :, None].astype(jnp.int32) * WORDS + (pwin >> 5),
-            md * WORDS,  # in-buffer drop bucket (bitval 0 there anyway)
+            docs[:, :, None].astype(jnp.int32) * words + (pwin >> 5),
+            md * words,  # in-buffer drop bucket (bitval 0 there anyway)
         )
         bitval = jnp.where(
             on, jnp.uint32(1) << (pwin & 31).astype(jnp.uint32), jnp.uint32(0)
@@ -149,15 +156,15 @@ def build_position_plane(
         return (plane_flat, overflow), None
 
     init = (
-        jnp.zeros((md * WORDS + WORDS,), jnp.uint32),
+        jnp.zeros((md * words + words,), jnp.uint32),
         jnp.zeros((md + 1,), jnp.bool_),
     )
     xs = (wi_block.reshape(n_chunks, c), wi_valid.reshape(n_chunks, c))
     (plane_flat, overflow), _ = jax.lax.scan(chunk_step, init, xs)
-    return plane_flat[: md * WORDS].reshape(md, WORDS), overflow[:md]
+    return plane_flat[: md * words].reshape(md, words), overflow[:md]
 
 
-@partial(jax.jit, static_argnames=("n_planes", "has_ef"))
+@partial(jax.jit, static_argnames=("n_planes", "has_ef", "words"))
 def build_position_planes_multi(
     dev: DeviceSegment,
     wi_block: jax.Array,  # i32[W] global block ids across ALL terms (padded)
@@ -168,8 +175,9 @@ def build_position_planes_multi(
     n_chunks: jax.Array,  # i32[] number of REAL BUILD_CHUNK-item chunks
     n_planes: int,
     has_ef: bool = False,
+    words: int = WORDS,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (planes u32[n_planes, md, WORDS], overflow bool[n_planes, md]).
+    """-> (planes u32[n_planes, md, words], overflow bool[n_planes, md]).
 
     N single-term scatter-accumulation builds fused into ONE program: the
     destination word index gains a plane_idx * md * WORDS stride, so the
@@ -185,12 +193,13 @@ def build_position_planes_multi(
     fori_loop bound, so only n_planes (pow2-bucketed by the caller) forks
     a new compile — padding items cost zero compute, not a decode pass."""
     md = dev.max_doc_padded
+    pmax = 32 * words
     w_items = wi_block.shape[0]
     c = min(w_items, BUILD_CHUNK)
     max_chunks = w_items // c
     limit = dev.positions.shape[0] - 1
     fidx = jnp.arange(FMAX, dtype=jnp.int32)
-    plane_words = md * WORDS
+    plane_words = md * words
 
     xs_blk = wi_block.reshape(max_chunks, c)
     xs_val = wi_valid.reshape(max_chunks, c)
@@ -250,7 +259,7 @@ def build_position_planes_multi(
 
         over_lane = valid & (
             (freqs > FMAX)
-            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= PMAX)
+            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= pmax)
         )
         # overflow rows are [n_planes, md+1] flattened; the md row per
         # plane is the in-buffer drop bucket
@@ -259,11 +268,11 @@ def build_position_planes_multi(
         )
         overflow = overflow.at[ov_idx].max(over_lane, mode="drop")
 
-        on = pvalid & (pwin < PMAX)
+        on = pvalid & (pwin < pmax)
         word_idx = jnp.where(
             on,
             pidx[:, None, None] * plane_words
-            + docs[:, :, None].astype(jnp.int32) * WORDS
+            + docs[:, :, None].astype(jnp.int32) * words
             + (pwin >> 5),
             n_planes * plane_words,  # global drop bucket
         )
@@ -276,13 +285,13 @@ def build_position_planes_multi(
         return (planes_flat, overflow)
 
     init = (
-        jnp.zeros((n_planes * plane_words + WORDS,), jnp.uint32),
+        jnp.zeros((n_planes * plane_words + words,), jnp.uint32),
         jnp.zeros((n_planes * (md + 1) + 1,), jnp.bool_),
     )
     planes_flat, overflow = jax.lax.fori_loop(
         0, jnp.minimum(n_chunks.astype(jnp.int32), max_chunks), chunk_step, init
     )
-    planes = planes_flat[: n_planes * plane_words].reshape(n_planes, md, WORDS)
+    planes = planes_flat[: n_planes * plane_words].reshape(n_planes, md, words)
     ov = overflow[: n_planes * (md + 1)].reshape(n_planes, md + 1)[:, :md]
     return planes, ov
 

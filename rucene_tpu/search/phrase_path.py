@@ -44,6 +44,10 @@ _BLOCKSEL_CAP = 8192
 # term set, packed-ref). See _plane_resident_terms.
 _RESIDENT_CACHE: dict = {}
 
+# plane-width memo: (id(packed), field) -> (words, packed-ref). See
+# _plane_words.
+_PLANE_WORDS_CACHE: dict = {}
+
 
 def _plane_cache_bytes() -> int:
     total = 0
@@ -492,6 +496,33 @@ class PhrasePathMixin:
     # multi-build's transient group arrays
     PLANE_RESIDENT_FRAC = 0.75
 
+    def _plane_words(self, leaf, field: str) -> int:
+        """u32 words per doc for this (leaf, field)'s position planes: 2
+        (64 positions) when every doc's length provably fits, else the
+        full 4 (128 positions). The bound comes from the norm bytes:
+        byte315 truncates the mantissa of boost/sqrt(len), so the BM25
+        decode table norm_table[b] = 1/f^2 >= len whenever boost <= 1 —
+        no format change or position scan needed. Docs a boost > 1 pushed
+        past the bound only set the overflow column (exact, host-fixed),
+        never a wrong result. Half-width planes double the resident-set
+        capacity (8.8M docs: 143 -> 75 MB per plane)."""
+        key = (id(leaf.packed), field)
+        got = _PLANE_WORDS_CACHE.get(key)
+        if got is not None:
+            return got[0]
+        from rucene_tpu.util.small_float import norm_table
+
+        words = 4
+        nb = leaf.packed.norms.get(field) if hasattr(leaf.packed, "norms") else None
+        if nb is not None and len(nb):
+            ub = float(norm_table()[np.asarray(nb)].max())
+            if ub <= 64.0:
+                words = 2
+        _PLANE_WORDS_CACHE[key] = (words, leaf.packed)
+        if len(_PLANE_WORDS_CACHE) > 256:
+            _PLANE_WORDS_CACHE.pop(next(iter(_PLANE_WORDS_CACHE)))
+        return words
+
     def _plane_resident_terms(self, leaf, field: str):
         """(ordered tuple, set) of the df-descending prefix of plane-
         eligible terms that fits PLANE_RESIDENT_FRAC of the plane budget.
@@ -511,14 +542,12 @@ class PhrasePathMixin:
         got = _RESIDENT_CACHE.get(key)
         if got is not None:
             return got[0], got[1]
-        from rucene_tpu.ops.phrase_plane import WORDS
-
         pf = leaf.packed.fields.get(field)
         if pf is None:
             out = ((), frozenset())
         else:
             mdp = int(leaf.device.live.shape[0])
-            plane_b = mdp * (WORDS * 4 + 1)
+            plane_b = mdp * (self._plane_words(leaf, field) * 4 + 1)
             cap = int(budget * self.PLANE_RESIDENT_FRAC)
             n = max(1, min(len(pf.terms), cap // max(plane_b, 1)))
             bc = np.asarray(pf.block_count)
@@ -573,7 +602,8 @@ class PhrasePathMixin:
         # result), so reserve 3x headroom for those.
         budget = self._plane_budget_bytes(leaf)
         mdp = int(leaf.device.live.shape[0])
-        new_bytes = mdp * 17  # u32[md,4] plane + bool[md] overflow
+        p_words = self._plane_words(leaf, field)
+        new_bytes = mdp * (p_words * 4 + 1)  # packed plane + overflow col
         if len(blocks) > MAX_BUILD_ITEMS:
             new_bytes *= 3
         while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - new_bytes:
@@ -595,6 +625,7 @@ class PhrasePathMixin:
                 jnp.asarray(np.int32(rec.pos_width)),
                 jnp.asarray(np.int32(rec.pos_word_start)),
                 has_ef=work_has_ef(leaf.packed.blk_doc_bits, wi_block, wi_valid),
+                words=p_words,
             )
             plane = p if plane is None else plane | p
             overflow = o if overflow is None else overflow | o
@@ -628,7 +659,6 @@ class PhrasePathMixin:
         from rucene_tpu.ops.phrase_plane import (
             BUILD_CHUNK,
             MAX_BUILD_ITEMS,
-            WORDS,
             build_position_planes_multi,
         )
         from rucene_tpu.search.searcher import work_has_ef
@@ -661,29 +691,41 @@ class PhrasePathMixin:
             return out
 
         mdp = int(leaf.device.live.shape[0])
-        plane_b = mdp * (WORDS * 4 + 1)
         budget = self._plane_budget_bytes(leaf)
-        # planes per call: the call's [bucket, md, WORDS] output and the
-        # per-term cache slices coexist transiently, so bound the bucket
-        # to a quarter of the budget (and to 32: one compile per pow2
-        # bucket, axon compiles cost minutes)
-        max_call = max(1, min(32, int((budget // 4) // max(plane_b, 1))))
-        # rarest terms first: many small builds coalesce into full calls
-        missing.sort(key=lambda m: m[2].block_count)
-        calls: list[list] = []
+        # a multi-build call has ONE static plane width, so partition by
+        # each field's words (in practice one field -> one partition);
+        # rarest terms first so many small builds coalesce into full calls
+        missing.sort(
+            key=lambda m: (self._plane_words(leaf, m[0]), m[2].block_count)
+        )
+        calls: list[tuple[list, int]] = []  # (group, words)
         cur: list = []
         cur_items = 0
+        cur_words = 0
         for m in missing:
+            w = self._plane_words(leaf, m[0])
+            plane_b = mdp * (w * 4 + 1)
+            # planes per call: the call's [bucket, md, words] output and
+            # the per-term cache slices coexist transiently, so bound the
+            # bucket to a quarter of the budget (and to 32: one compile
+            # per pow2 bucket, axon compiles cost minutes)
+            max_call = max(1, min(32, int((budget // 4) // max(plane_b, 1))))
             nb = max(int(m[2].block_count), 1)
-            if cur and (cur_items + nb > MAX_BUILD_ITEMS or len(cur) >= max_call):
-                calls.append(cur)
+            if cur and (
+                cur_items + nb > MAX_BUILD_ITEMS
+                or len(cur) >= max_call
+                or w != cur_words
+            ):
+                calls.append((cur, cur_words))
                 cur, cur_items = [], 0
             cur.append(m)
             cur_items += nb
+            cur_words = w
         if cur:
-            calls.append(cur)
+            calls.append((cur, cur_words))
 
-        for grp in calls:
+        for grp, g_words in calls:
+            plane_b = mdp * (g_words * 4 + 1)
             bucket = next_pow2(len(grp), 1)
             need = (bucket + len(grp)) * plane_b
             while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - need:
@@ -724,6 +766,7 @@ class PhrasePathMixin:
                 jnp.asarray(pad(np.concatenate(ws_l))),
                 jnp.asarray(np.int32(n_chunks)),
                 n_planes=bucket,
+                words=g_words,
                 has_ef=work_has_ef(
                     leaf.packed.blk_doc_bits, wb, np.ones(n_real, bool),
                     dev=leaf.device,
@@ -918,11 +961,11 @@ class PhrasePathMixin:
                     # roofline accounting: the mixed dispatch streams the
                     # row's phrase planes + denominator planes (its term
                     # lanes are counted by the flat-work path)
-                    from rucene_tpu.ops.phrase_plane import WORDS as _W
+                    _w = int(flat_p[0].shape[-1]) if flat_p else 4
 
                     METRICS.incr(
                         "search.plane_bytes",
-                        b_pad * (nt * mdp * (_W * 4 + 1) + mdp * 4),
+                        b_pad * (nt * mdp * (_w * 4 + 1) + mdp * 4),
                     )
                     fut = prefetch_result(execute_mixed_planes(
                         leaf.device, fq, tuple(flat_p), tuple(flat_o),
@@ -1211,7 +1254,10 @@ class PhrasePathMixin:
 
         cache = build_leaf_cache(leaf, sim, stats)
         mdp = int(leaf.device.live.shape[0])
-        plane_bytes = mdp * (WORDS * 4 + 1)  # packed words + overflow col
+        w0 = (
+            self._plane_words(leaf, rqs[rows[0]].phrases[0][0]) if rows else 4
+        )
+        plane_bytes = mdp * (w0 * 4 + 1)  # packed words + overflow col
         # live refs pin planes the LRU cannot free, so total plane bytes
         # can reach budget + live — keep live to a quarter of the budget
         budget = self._plane_budget_bytes(leaf)
@@ -1329,13 +1375,13 @@ class PhrasePathMixin:
 
                 # roofline accounting (VERDICT r4 weak #1: phrase read as
                 # postings=0MB): each row's verify streams nt packed
-                # position planes (u32[md,WORDS] + bool[md] overflow) plus
+                # position planes (u32[md,words] + bool[md] overflow) plus
                 # its f32[md] denominator plane and the shared live column
-                from rucene_tpu.ops.phrase_plane import WORDS as _W
+                _w = int(flat_p[0].shape[-1]) if flat_p else 4
 
                 METRICS.incr(
                     "search.plane_bytes",
-                    r_pad * (nt * mdp * (_W * 4 + 1) + mdp * 4) + mdp,
+                    r_pad * (nt * mdp * (_w * 4 + 1) + mdp * 4) + mdp,
                 )
                 fut = prefetch_result(phrase_plane_search_many(
                     tuple(flat_p), tuple(flat_o), leaf.device.live,

@@ -53,6 +53,8 @@ def test_multi_build_bit_parity_with_singles():
     leaf = s.reader.leaves[0]
     dev = leaf.device
     terms = ["w0", "w3", "w17", "w39", "w8"]
+    p_words = s._plane_words(leaf, "body")
+    assert p_words == 2  # docs are <= 40 tokens: half-width planes engage
 
     singles = []
     for t in terms:
@@ -69,6 +71,7 @@ def test_multi_build_bit_parity_with_singles():
             dev, jnp.asarray(wb), jnp.asarray(wv),
             jnp.asarray(np.int32(rec.pos_width)),
             jnp.asarray(np.int32(rec.pos_word_start)),
+            words=p_words,
         )
         singles.append((np.asarray(p), np.asarray(o)))
 
@@ -77,6 +80,36 @@ def test_multi_build_bit_parity_with_singles():
         gp, go = got[("body", t)]
         assert (np.asarray(gp) == p).all(), f"plane mismatch {t}"
         assert (np.asarray(go) == o).all(), f"overflow mismatch {t}"
+
+
+def test_half_width_plane_equals_low_words_of_full():
+    """words=2 planes are exactly the low 2 words of words=4 planes (docs
+    all fit 64 positions here, so no overflow either way)."""
+    import jax.numpy as jnp
+
+    from rucene_tpu.ops.phrase_plane import build_position_plane
+
+    s = _searcher(_corpus(seed=31))
+    leaf = s.reader.leaves[0]
+    rec = leaf.term_record("body", "w2")
+    blocks = np.arange(
+        rec.block_start, rec.block_start + rec.block_count, dtype=np.int32
+    )
+    w_pad = next_pow2(max(len(blocks), 1), 8)
+    wb = np.zeros(w_pad, np.int32)
+    wv = np.zeros(w_pad, bool)
+    wb[: len(blocks)] = blocks
+    wv[: len(blocks)] = True
+    args = (
+        leaf.device, jnp.asarray(wb), jnp.asarray(wv),
+        jnp.asarray(np.int32(rec.pos_width)),
+        jnp.asarray(np.int32(rec.pos_word_start)),
+    )
+    p2, o2 = build_position_plane(*args, words=2)
+    p4, o4 = build_position_plane(*args, words=4)
+    assert (np.asarray(p2) == np.asarray(p4)[:, :2]).all()
+    assert not np.asarray(p4)[:, 2:].any()
+    assert not np.asarray(o2).any() and not np.asarray(o4).any()
 
 
 def test_batched_fetch_mixes_cached_absent_and_fresh():
