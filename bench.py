@@ -397,7 +397,7 @@ def main():
             for key in (
                 "route.device", "route.phrase", "route.synonym", "route.host",
                 "search.phrase_host_fallback", "search.phrase_plane_build",
-                "search.conj_pruned_blocks",
+                "search.phrase_plane_denied", "search.conj_pruned_blocks",
             )
         )
     )

@@ -291,8 +291,19 @@ def build_position_planes_multi(
     planes_flat, overflow = jax.lax.fori_loop(
         0, jnp.minimum(n_chunks.astype(jnp.int32), max_chunks), chunk_step, init
     )
-    planes = planes_flat[: n_planes * plane_words].reshape(n_planes, md, words)
-    ov = overflow[: n_planes * (md + 1)].reshape(n_planes, md + 1)[:, :md]
+    # per-plane 2-D outputs, NOT one [n_planes, md, words] array: the TPU
+    # tiled layout {2,1,0:T(8,128)} pads the 4-word minor dim to 128 lanes
+    # — a [8, 8.8M, 4] u32 output allocates 36 GB and the compile OOMs
+    # (exp/logs/bench_8m_k100_r5b.log). The 2-D [md, words] shape is what
+    # the single-term builder emits and is HBM-exact in practice.
+    planes = tuple(
+        planes_flat[i * plane_words : (i + 1) * plane_words].reshape(md, words)
+        for i in range(n_planes)
+    )
+    ov = tuple(
+        overflow[i * (md + 1) : (i + 1) * (md + 1)][:md]
+        for i in range(n_planes)
+    )
     return planes, ov
 
 
