@@ -164,147 +164,14 @@ def build_position_plane(
     return plane_flat[: md * words].reshape(md, words), overflow[:md]
 
 
-@partial(jax.jit, static_argnames=("n_planes", "has_ef", "words"))
-def build_position_planes_multi(
-    dev: DeviceSegment,
-    wi_block: jax.Array,  # i32[W] global block ids across ALL terms (padded)
-    wi_valid: jax.Array,  # bool[W]
-    wi_plane: jax.Array,  # i32[W] destination plane index per item
-    wi_pos_width: jax.Array,  # i32[W] per-item packed position-delta width
-    wi_pos_start: jax.Array,  # i32[W] per-item word offset of the stream
-    n_chunks: jax.Array,  # i32[] number of REAL BUILD_CHUNK-item chunks
-    n_planes: int,
-    has_ef: bool = False,
-    words: int = WORDS,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (planes u32[n_planes, md, words], overflow bool[n_planes, md]).
-
-    N single-term scatter-accumulation builds fused into ONE program: the
-    destination word index gains a plane_idx * md * WORDS stride, so the
-    (doc, position) uniqueness argument of build_position_plane holds
-    per-plane and the scatter-ADD stays an OR. One dispatch replaces one
-    per term — the measured phrase-class bottleneck when a batch's plane
-    working set exceeds the cache budget (256 bigrams at 1M docs reference
-    ~500 terms x 17 MB > the ~5.3 GB budget, so the LRU rebuilds every
-    plane every batch; exp/planes_multi_proto.py).
-
-    Shape discipline (axon compiles cost 1-5 min each): the work buffers
-    are FIXED at MAX_BUILD_ITEMS and the real chunk count is a DYNAMIC
-    fori_loop bound, so only n_planes (pow2-bucketed by the caller) forks
-    a new compile — padding items cost zero compute, not a decode pass."""
-    md = dev.max_doc_padded
-    pmax = 32 * words
-    w_items = wi_block.shape[0]
-    c = min(w_items, BUILD_CHUNK)
-    max_chunks = w_items // c
-    limit = dev.positions.shape[0] - 1
-    fidx = jnp.arange(FMAX, dtype=jnp.int32)
-    plane_words = md * words
-
-    xs_blk = wi_block.reshape(max_chunks, c)
-    xs_val = wi_valid.reshape(max_chunks, c)
-    xs_pln = wi_plane.reshape(max_chunks, c)
-    xs_pw = wi_pos_width.reshape(max_chunks, c)
-    xs_ws = wi_pos_start.reshape(max_chunks, c)
-
-    def chunk_step(ci, carry):
-        planes_flat, overflow = carry
-        blk = xs_blk[ci]
-        valid_c = xs_val[ci]
-        pidx = xs_pln[ci]
-        pw = xs_pw[ci]
-        ws = xs_ws[ci]
-        off = dev.blk_off[blk]
-        dbits = dev.blk_doc_bits[blk]
-        fbits = dev.blk_freq_bits[blk]
-        base = dev.blk_base[blk]
-        cnt = jnp.where(valid_c, dev.blk_count[blk], 0)
-
-        if dev.docs_dec is not None:
-            from rucene_tpu.ops.decode import INVALID_DOC
-
-            sb = jnp.clip(blk, 0, dev.docs_dec.shape[0] - 1)
-            valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
-            docs = jnp.where(valid, dev.docs_dec[sb], INVALID_DOC)
-            freqs = jnp.where(valid, dev.freqs_dec[sb].astype(jnp.int32), 0)
-        else:
-            docs, valid = decode_doc_blocks(
-                dev.data, off, dbits, base, cnt, has_ef=has_ef
-            )
-            freqs = decode_freq_blocks(dev.data, off, dbits, fbits, valid)
-        pos_off = dev.blk_pos_base[blk][:, None] + (
-            jnp.cumsum(freqs, axis=1) - freqs
-        )
-
-        occ = pos_off[:, :, None] + fidx[None, None, :]  # [C,128,FMAX]
-        pvalid = valid[:, :, None] & (fidx[None, None, :] < freqs[:, :, None])
-        w32 = pw.astype(jnp.int32)  # [C] per-item width
-        vmask = jnp.where(
-            w32 >= 32,
-            jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << w32.astype(jnp.uint32)) - 1,
-        )  # [C]
-        bitpos = occ * w32[:, None, None]
-        widx = ws.astype(jnp.int32)[:, None, None] + (bitpos >> 5)
-        shift = (bitpos & 31).astype(jnp.uint32)
-        w0 = dev.positions[jnp.clip(widx, 0, limit)]
-        w1 = dev.positions[jnp.clip(widx + 1, 0, limit)]
-        lo = w0 >> shift
-        hi = jnp.where(
-            shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift)
-        )
-        deltas = ((lo | hi) & vmask[:, None, None]).astype(jnp.int32)
-        deltas = jnp.where(pvalid, deltas, 0)
-        pwin = jnp.cumsum(deltas, axis=-1)
-
-        over_lane = valid & (
-            (freqs > FMAX)
-            | (jnp.max(jnp.where(pvalid, pwin, 0), axis=-1) >= pmax)
-        )
-        # overflow rows are [n_planes, md+1] flattened; the md row per
-        # plane is the in-buffer drop bucket
-        ov_idx = jnp.where(
-            valid, pidx[:, None] * (md + 1) + docs, n_planes * (md + 1)
-        )
-        overflow = overflow.at[ov_idx].max(over_lane, mode="drop")
-
-        on = pvalid & (pwin < pmax)
-        word_idx = jnp.where(
-            on,
-            pidx[:, None, None] * plane_words
-            + docs[:, :, None].astype(jnp.int32) * words
-            + (pwin >> 5),
-            n_planes * plane_words,  # global drop bucket
-        )
-        bitval = jnp.where(
-            on,
-            jnp.uint32(1) << (pwin & 31).astype(jnp.uint32),
-            jnp.uint32(0),
-        )
-        planes_flat = planes_flat.at[word_idx].add(bitval, mode="drop")
-        return (planes_flat, overflow)
-
-    init = (
-        jnp.zeros((n_planes * plane_words + words,), jnp.uint32),
-        jnp.zeros((n_planes * (md + 1) + 1,), jnp.bool_),
-    )
-    planes_flat, overflow = jax.lax.fori_loop(
-        0, jnp.minimum(n_chunks.astype(jnp.int32), max_chunks), chunk_step, init
-    )
-    # per-plane 2-D outputs, NOT one [n_planes, md, words] array: the TPU
-    # tiled layout {2,1,0:T(8,128)} pads the 4-word minor dim to 128 lanes
-    # — a [8, 8.8M, 4] u32 output allocates 36 GB and the compile OOMs
-    # (exp/logs/bench_8m_k100_r5b.log). The 2-D [md, words] shape is what
-    # the single-term builder emits and is HBM-exact in practice.
-    planes = tuple(
-        planes_flat[i * plane_words : (i + 1) * plane_words].reshape(md, words)
-        for i in range(n_planes)
-    )
-    ov = tuple(
-        overflow[i * (md + 1) : (i + 1) * (md + 1)][:md]
-        for i in range(n_planes)
-    )
-    return planes, ov
+# NOTE: a fused multi-plane builder (N terms -> one program) was built,
+# CPU-parity-tested, and REVERTED: its flat accumulator's per-plane
+# reshape slices materialize with the TPU tiled layout {1,0:T(8,128)} —
+# a [N, 2]/[N, 4] u32 intermediate lane-pads 64x/32x, OOMing the compile
+# at 8.8M docs (36-72 GB allocations; exp/logs/bench_8m_k100_r5b.log,
+# _r5c.log). exp/planes_multi_proto.py keeps the implementation record.
+# With serving-time admission (phrase_path._plane_resident_terms) the
+# steady state builds no planes, so fusing builds had no measurable win.
 
 
 def _shift_right(plane: jax.Array, j: int) -> jax.Array:

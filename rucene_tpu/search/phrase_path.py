@@ -641,30 +641,24 @@ class PhrasePathMixin:
         return plane, overflow
 
     def _phrase_planes_for_many(self, leaf, wants, admit: bool = False):
-        """Batched (plane, overflow) fetch for many (field, term) pairs:
-        cache hits return immediately; misses build in as FEW device
-        dispatches as fit MAX_BUILD_ITEMS and the HBM budget
-        (ops/phrase_plane.build_position_planes_multi). One dispatch per
-        ~dozens of terms replaces one per term — the measured phrase-class
-        bottleneck when a batch's plane working set exceeds the cache
-        budget and the LRU rebuilds every plane every batch
-        (exp/planes_multi_proto.py; VERDICT r4 item 2).
+        """Batched (plane, overflow) fetch for many (field, term) pairs.
+        Cache hits return immediately; misses build via the single-term
+        builder, dispatched back-to-back (jax is async, so the build
+        programs pipeline on device without blocking between terms).
+
+        A fused multi-plane program was tried and reverted: its flat
+        accumulator's per-plane reshape slices materialize with the TPU
+        tiled layout {1,0:T(8,128)} — a [N, 2] u32 intermediate lane-pads
+        64x, OOMing the compile at 8.8M docs (exp/logs/
+        bench_8m_k100_r5b.log, _r5c.log; exp/planes_multi_proto.py keeps
+        the record). With serving-time ADMISSION the steady state builds
+        no planes at all, so fusing builds buys nothing measurable.
 
         Returns dict[(field, term)] -> (plane, overflow) | None (absent
         term) | False (admit=True and the term is outside the resident
         set — building it would thrash the cache; the caller must route
-        the row to the candidate/scalar path instead). Terms wider than
-        MAX_BUILD_ITEMS blocks take the sliced single-term path
-        (_phrase_plane_for)."""
-        from rucene_tpu.ops.phrase_plane import (
-            BUILD_CHUNK,
-            MAX_BUILD_ITEMS,
-            build_position_planes_multi,
-        )
-        from rucene_tpu.search.searcher import work_has_ef
-
+        the row to the candidate/scalar path instead)."""
         out: dict = {}
-        missing: list = []  # (field, term, rec)
         for field, term in wants:
             fkey = (field, term)
             if fkey in out:
@@ -675,114 +669,14 @@ class PhrasePathMixin:
                 _PLANE_CACHE[key] = got  # LRU reinsert
                 out[fkey] = (got[0], got[1])
                 continue
-            rec = leaf.term_record(field, term)
-            if rec is None:
+            if leaf.term_record(field, term) is None:
                 out[fkey] = None
                 continue
             if admit and term not in self._plane_resident_terms(leaf, field)[1]:
                 out[fkey] = False  # denied: would thrash the cache
                 METRICS.incr("search.phrase_plane_denied")
                 continue
-            if rec.block_count > MAX_BUILD_ITEMS:
-                out[fkey] = self._phrase_plane_for(leaf, field, term)
-                continue
-            missing.append((field, term, rec))
-        if not missing:
-            return out
-
-        mdp = int(leaf.device.live.shape[0])
-        budget = self._plane_budget_bytes(leaf)
-        # a multi-build call has ONE static plane width, so partition by
-        # each field's words (in practice one field -> one partition);
-        # rarest terms first so many small builds coalesce into full calls
-        missing.sort(
-            key=lambda m: (self._plane_words(leaf, m[0]), m[2].block_count)
-        )
-        calls: list[tuple[list, int]] = []  # (group, words)
-        cur: list = []
-        cur_items = 0
-        cur_words = 0
-        for m in missing:
-            w = self._plane_words(leaf, m[0])
-            plane_b = mdp * (w * 4 + 1)
-            # planes per call: the call's [bucket, md, words] output and
-            # the per-term cache slices coexist transiently, so bound the
-            # bucket to a quarter of the budget (and to 32: one compile
-            # per pow2 bucket, axon compiles cost minutes)
-            max_call = max(1, min(32, int((budget // 4) // max(plane_b, 1))))
-            nb = max(int(m[2].block_count), 1)
-            if cur and (
-                cur_items + nb > MAX_BUILD_ITEMS
-                or len(cur) >= max_call
-                or w != cur_words
-            ):
-                calls.append((cur, cur_words))
-                cur, cur_items = [], 0
-            cur.append(m)
-            cur_items += nb
-            cur_words = w
-        if cur:
-            calls.append((cur, cur_words))
-
-        for grp, g_words in calls:
-            plane_b = mdp * (g_words * 4 + 1)
-            bucket = next_pow2(len(grp), 1)
-            need = (bucket + len(grp)) * plane_b
-            while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget - need:
-                _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
-            wb_l, wp_l, pw_l, ws_l = [], [], [], []
-            for i, (field, term, rec) in enumerate(grp):
-                blocks = np.arange(
-                    rec.block_start,
-                    rec.block_start + rec.block_count,
-                    dtype=np.int32,
-                )
-                wb_l.append(blocks)
-                wp_l.append(np.full(len(blocks), i, np.int32))
-                pw_l.append(np.full(len(blocks), rec.pos_width, np.int32))
-                ws_l.append(
-                    np.full(len(blocks), rec.pos_word_start, np.int32)
-                )
-            wb = np.concatenate(wb_l)
-            n_real = len(wb)
-            # FIXED work capacity (one compile per bucket): pad to
-            # MAX_BUILD_ITEMS; the real chunk count is a dynamic loop bound
-            w_pad = MAX_BUILD_ITEMS
-
-            def pad(a, fill=0):
-                o = np.full(w_pad, fill, a.dtype)
-                o[: len(a)] = a
-                return o
-
-            wv = np.zeros(w_pad, bool)
-            wv[:n_real] = True
-            n_chunks = -(-max(n_real, 1) // BUILD_CHUNK)
-            planes, ovs = build_position_planes_multi(
-                leaf.device,
-                jnp.asarray(pad(wb)),
-                jnp.asarray(wv),
-                jnp.asarray(pad(np.concatenate(wp_l))),
-                jnp.asarray(pad(np.concatenate(pw_l), 1)),
-                jnp.asarray(pad(np.concatenate(ws_l))),
-                jnp.asarray(np.int32(n_chunks)),
-                n_planes=bucket,
-                words=g_words,
-                has_ef=work_has_ef(
-                    leaf.packed.blk_doc_bits, wb, np.ones(n_real, bool),
-                    dev=leaf.device,
-                ),
-            )
-            METRICS.incr("search.phrase_plane_build", len(grp))
-            METRICS.incr("search.phrase_plane_build_calls")
-            for i, (field, term, rec) in enumerate(grp):
-                p, o = planes[i], ovs[i]
-                _PLANE_CACHE[(id(leaf.packed), field, term)] = (
-                    p, o, leaf.packed,
-                )
-                out[(field, term)] = (p, o)
-            del planes, ovs
-        while len(_PLANE_CACHE) > 1 and _plane_cache_bytes() > budget:
-            _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+            out[fkey] = self._phrase_plane_for(leaf, field, term)
         return out
 
     def prewarm_phrase_planes(
@@ -793,9 +687,8 @@ class PhrasePathMixin:
         for 16-35s/term). The set is exactly what serving-time admission
         (_plane_resident_terms) will allow, so after prewarm the query
         path never builds a plane: resident terms hit the cache, the rest
-        route to the candidate/scalar paths. Builds batch through the
-        multi-plane dispatcher. Returns the number of planes built. Call
-        at index-load / NRT-refresh time."""
+        route to the candidate/scalar paths. Returns the number of planes
+        built. Call at index-load / NRT-refresh time."""
         if min_blocks is None:
             min_blocks = self.PHRASE_PLANE_ITEM_MIN
         built = 0

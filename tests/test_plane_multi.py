@@ -1,9 +1,9 @@
-"""Batched position-plane builds (ops/phrase_plane.
-build_position_planes_multi) + the batched fetch / prewarm serving layer
+"""Batched plane fetch / prewarm / admission serving layer
 (search/phrase_path._phrase_planes_for_many, prewarm_phrase_planes):
 
-- bit parity: one multi dispatch == N single-term builds;
-- the serving path built on it returns hit parity with the host oracle;
+- bit parity: the batched fetch == direct single-term builds;
+- half-width (words=2) planes equal the low words of full-width ones;
+- the serving path returns hit parity with the host oracle;
 - prewarm moves every build off the serving path (0 builds at search).
 
 reference: ExactPhraseScorer's per-term postings walk
