@@ -366,13 +366,31 @@ class PhrasePathMixin:
             # verify; rows a plane can't serve exactly (slop > 0, or
             # overflow docs) join the batched scalar call. DISPATCHED here;
             # collected in finish() ----
-            plane_rows = plane_pref + [
+            heavy_rows = plane_pref + [
                 i
                 for i in sc_rows
                 if rqs[i].phrases[0][3] == 0 and 2 <= len(rqs[i].phrases[0][1]) <= 8
             ]
-            pset = set(plane_rows)
+            pset = set(heavy_rows)
             scalar_rows = [i for i in sc_rows if i not in pset]
+            # admission split: rows whose planes are cached/resident ride
+            # the position-plane cache; the rest try the intersection
+            # route (resident tf planes + candidate verify — no cache
+            # footprint), else the scalar engine. Before this split, every
+            # denied heavy row serialized on the one-core scalar path —
+            # 48 of 64 timed phrase rows at 8.8M, 447 ms of a 536 ms batch
+            # (exp/logs/bench_8m_k100_r5d.log).
+            plane_rows = []
+            isect_rows = []
+            for i in heavy_rows:
+                field_i = rqs[i].phrases[0][0]
+                terms_i = rqs[i].phrases[0][1]
+                if self._planes_admitted(leaf, field_i, terms_i):
+                    plane_rows.append(i)
+                elif self._phrase_isect_eligible(leaf, rqs[i]):
+                    isect_rows.append(i)
+                else:
+                    scalar_rows.append(i)
             plane_futs = []
             if plane_rows:
                 plane_futs, plane_spill, early_done = self._dispatch_phrase_planes(
@@ -382,6 +400,11 @@ class PhrasePathMixin:
                 METRICS.incr("search.phrase_plane", len(early_done))
                 for gi, (dd, ss, hh) in early_done.items():
                     per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
+            isect_futs = []
+            if isect_rows:
+                isect_futs = self._dispatch_phrase_isect(
+                    leaf, isect_rows, rqs, sim, stats, doc_freqs, k
+                )
 
             # ---- scalar C++ rows: host CPU work, running WHILE the
             # candidate/plane programs above are in flight on device ----
@@ -399,10 +422,10 @@ class PhrasePathMixin:
                     per_query_leaf[gi].append(
                         (leaf.doc_base, hh.docs, hh.scores, hh.total_hits)
                     )
-            deferred_jobs.append((leaf, cand_job, plane_futs))
+            deferred_jobs.append((leaf, cand_job, plane_futs, isect_futs))
 
         def finish() -> list:
-            for leaf, cand_job, plane_futs in deferred_jobs:
+            for leaf, cand_job, plane_futs, isect_futs in deferred_jobs:
                 overflow_rows: list[int] = []
                 if cand_job is not None:
                     bmap, dev_rows, fut = cand_job
@@ -419,6 +442,11 @@ class PhrasePathMixin:
                 done, spill = self._plane_collect(plane_futs)
                 METRICS.incr("search.phrase_plane", len(done))
                 for gi, (dd, ss, hh) in done.items():
+                    per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
+                done_i, spill_i = self._isect_collect(isect_futs)
+                METRICS.incr("search.phrase_isect", len(done_i))
+                spill = spill + spill_i
+                for gi, (dd, ss, hh) in done_i.items():
                     per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
                 # rare residue: candidate-table overflow rows retry on the
                 # plane path (their term planes are the common ones already
@@ -1127,6 +1155,106 @@ class PhrasePathMixin:
         d2, sp2 = self._plane_collect(futs)
         done.update(d2)
         spill.extend(sp2)
+        return done, spill
+
+    def _phrase_isect_eligible(self, leaf, rq) -> bool:
+        """Intersection route (ops/phrase_isect): exact phrase, 2..8
+        terms, decoded residency, and a resident u8 tf plane for EVERY
+        term (codec/device.add_tf_planes covers df >= mdp/512 — exactly
+        the common terms admission keeps off the position-plane cache)."""
+        field, terms, _b, sl = rq.phrases[0]
+        if sl != 0 or not (2 <= len(terms) <= 8):
+            return False
+        dev = leaf.device
+        if (
+            dev.docs_dec is None
+            or dev.tf_planes is None
+            or not getattr(leaf, "plane_slots", None)
+        ):
+            return False
+        for t in terms:
+            rec = leaf.term_record(field, t)
+            if rec is None or rec.block_count == 0:
+                return False
+            if leaf.plane_slots.get(rec.block_start) is None:
+                return False
+        return True
+
+    def _dispatch_phrase_isect(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
+        """Dispatch one intersection-verify program per row (rows per
+        batch are few — the denied-heavy residue). Returns (gi, future)
+        pairs for _isect_collect."""
+        from rucene_tpu.ops.phrase_isect import CAND_CAP, phrase_isect_search
+        from rucene_tpu.search.searcher import build_leaf_cache, prefetch_result
+
+        cache = build_leaf_cache(leaf, sim, stats)
+        mdp = int(leaf.device.live.shape[0])
+        cand_cap = min(CAND_CAP, next_pow2(mdp, 1024))
+        futs = []
+        for gi in rows:
+            field, terms, boost, _sl = rqs[gi].phrases[0]
+            recs = [leaf.term_record(field, t) for t in terms]
+            slots = [leaf.plane_slots[r.block_start] for r in recs]
+            pf_field = leaf.packed.fields[field]
+            st = stats[field]
+            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                idf_sum = np.float32(
+                    idf_sum + sim.idf(doc_freqs[(field, t)], doc_count)
+                )
+            w2 = np.float32(
+                np.float32(idf_sum * np.float32(boost))
+                * np.float32(sim.k1 + np.float32(1.0))
+            )
+            denom = self._denom_plane_for(
+                leaf, pf_field.field_id, cache[pf_field.field_id]
+            )
+            # roofline: n_terms u8 tf planes + denom f32 + live + the
+            # candidate gathers (block rows + position windows)
+            from rucene_tpu.ops.phrase_plane import FMAX
+
+            METRICS.incr(
+                "search.plane_bytes",
+                len(terms) * mdp + mdp * 5
+                + cand_cap * len(terms) * (128 * 6 + FMAX * 8),
+            )
+            fut = prefetch_result(phrase_isect_search(
+                leaf.device,
+                jnp.asarray(np.asarray(slots, np.int32)),
+                jnp.asarray(np.asarray(
+                    [r.block_start for r in recs], np.int32)),
+                jnp.asarray(np.asarray(
+                    [r.block_start + r.block_count for r in recs], np.int32)),
+                jnp.asarray(np.asarray([r.pos_width for r in recs], np.int32)),
+                jnp.asarray(np.asarray(
+                    [r.pos_word_start for r in recs], np.int32)),
+                denom,
+                leaf.device.live,
+                jnp.float32(w2),
+                k=k,
+                n_terms=len(terms),
+                cand_cap=cand_cap,
+            ))
+            futs.append((gi, fut))
+        return futs
+
+    @staticmethod
+    def _isect_collect(futures):
+        """(gi, future) pairs -> (done: gi -> (docs, scores, hits), spill
+        rows whose intersection exceeded cand_cap or freq exceeded FMAX —
+        they rerun exactly on the scalar engine)."""
+        done: dict = {}
+        spill: list[int] = []
+        for gi, fut in futures:
+            s, d, h, ov = jax.device_get(fut)
+            if int(ov) > 0:
+                spill.append(gi)
+                continue
+            s = np.asarray(s)
+            d = np.asarray(d)
+            keep = s > -np.inf
+            done[gi] = (d[keep], s[keep], int(h))
         return done, spill
 
     def _dispatch_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
