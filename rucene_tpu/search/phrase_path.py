@@ -1178,18 +1178,24 @@ class PhrasePathMixin:
                 return False
             if leaf.plane_slots.get(rec.block_start) is None:
                 return False
+        # no intersection-size gate: the kernel's chunk loop has a
+        # DYNAMIC trip count, so device work is proportional to the
+        # actual co-occurrence count — even a zipf-head pair (millions of
+        # candidates at 8.8M) runs in ~chunks x ms on device, overlapped,
+        # instead of serializing ~150 ms on the one host core. (The v1
+        # kernel had a hard 65536 cap; hopeless rows paid its full cost
+        # and then spilled — 31.3 vs 59.8 QPS, bench_8m_k100_r5e.log.)
         return True
 
     def _dispatch_phrase_isect(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
         """Dispatch one intersection-verify program per row (rows per
         batch are few — the denied-heavy residue). Returns (gi, future)
         pairs for _isect_collect."""
-        from rucene_tpu.ops.phrase_isect import CAND_CAP, phrase_isect_search
+        from rucene_tpu.ops.phrase_isect import phrase_isect_search
         from rucene_tpu.search.searcher import build_leaf_cache, prefetch_result
 
         cache = build_leaf_cache(leaf, sim, stats)
         mdp = int(leaf.device.live.shape[0])
-        cand_cap = min(CAND_CAP, next_pow2(mdp, 1024))
         futs = []
         for gi in rows:
             field, terms, boost, _sl = rqs[gi].phrases[0]
@@ -1211,13 +1217,17 @@ class PhrasePathMixin:
                 leaf, pf_field.field_id, cache[pf_field.field_id]
             )
             # roofline: n_terms u8 tf planes + denom f32 + live + the
-            # candidate gathers (block rows + position windows)
+            # candidate gathers (block rows + position windows), sized by
+            # the independence estimate of the intersection
             from rucene_tpu.ops.phrase_plane import FMAX
 
+            est = float(recs[0].doc_freq)
+            for r in recs[1:]:
+                est = est * float(r.doc_freq) / max(float(mdp), 1.0)
             METRICS.incr(
                 "search.plane_bytes",
                 len(terms) * mdp + mdp * 5
-                + cand_cap * len(terms) * (128 * 6 + FMAX * 8),
+                + int(est) * len(terms) * (128 * 6 + FMAX * 8),
             )
             fut = prefetch_result(phrase_isect_search(
                 leaf.device,
@@ -1234,7 +1244,6 @@ class PhrasePathMixin:
                 jnp.float32(w2),
                 k=k,
                 n_terms=len(terms),
-                cand_cap=cand_cap,
             ))
             futs.append((gi, fut))
         return futs
