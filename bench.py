@@ -555,8 +555,15 @@ def main_nrt():
     del docs
     print(f"# nrt: base index {n_docs} docs ready", file=sys.stderr, flush=True)
 
+    # per-leaf execution, NOT the combined view: a refresh that adds a
+    # segment changes the combined view's structure key, forcing a full
+    # concat + residency upload + (first time per shape) minutes of axon
+    # recompiles — measured 5.9 QPS with combine_segments=True
+    # (exp/logs/bench_nrt_r5.log). Per-leaf reuses every unchanged
+    # segment's device cache, and same-sized flush segments reuse the
+    # same compiled shapes across refreshes.
     mgr = SearcherManager(
-        w, searcher_factory=lambda r: IndexSearcher(r, combine_segments=True)
+        w, searcher_factory=lambda r: IndexSearcher(r, combine_segments=False)
     )
     stop = threading.Event()
     ingested = [0]
