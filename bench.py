@@ -569,17 +569,44 @@ def main_nrt():
     ingested = [0]
 
     def ingest():
-        i = n_docs
+        # CHUNKED bulk adds, not per-doc singles: the C++ inverter
+        # releases the GIL for a whole chunk, so the serving thread keeps
+        # the (single) core — per-doc Python adds at ~900 docs/s starved
+        # search down to 7 QPS (exp/logs/bench_nrt_r5b.log). The rate cap
+        # models a production ingest budget; 0 = unthrottled.
+        rate = float(os.environ.get("BENCH_NRT_INGEST_RATE", 2000))
+        chunk = 250
+        i = n_docs + 2000  # the warm-refresh segment consumed the first 2K
         while not stop.is_set() and i < len(texts):
-            d = Document()
-            d.add(TextField("body", texts[i]))
-            w.add_document(d)
-            i += 1
-            ingested[0] += 1
-            if ingested[0] % 2000 == 0:
+            t0 = time.time()
+            docs = []
+            for t in texts[i : i + chunk]:
+                d = Document()
+                d.add(TextField("body", t))
+                docs.append(d)
+            w.add_documents(docs)
+            i += len(docs)
+            ingested[0] += len(docs)
+            if ingested[0] % 2000 < chunk:
                 w.commit()
+            if rate > 0:
+                time.sleep(max(0.0, chunk / rate - (time.time() - t0)))
 
-    # warm compiles before timing
+    # warm compiles before timing — including the POST-REFRESH shapes: a
+    # fresh flush segment lands in the pow2 device buckets, so compiling
+    # one refresh's worth up front covers the steady state
+    s0 = mgr.acquire()
+    for i in range(0, n_queries, batch):
+        s0.search_batch(queries[i : i + batch], k=k)
+    mgr.release(s0)
+    warm_docs = []
+    for t in texts[n_docs : n_docs + 2000]:
+        d = Document()
+        d.add(TextField("body", t))
+        warm_docs.append(d)
+    w.add_documents(warm_docs)
+    w.commit()
+    mgr.maybe_refresh()
     s0 = mgr.acquire()
     for i in range(0, n_queries, batch):
         s0.search_batch(queries[i : i + batch], k=k)

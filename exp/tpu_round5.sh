@@ -62,6 +62,13 @@ run_nojson() { # for smoke steps whose success is exit-0 + non-empty log
   tail -3 "exp/logs/$name.log"
 }
 
+# NOTE (mid-round): steps 1-3 were driven manually with iteration
+# suffixes; the recorded artifacts are bench_8m_k100_r5d.log (59.8 QPS,
+# post-admission; r5 = the thrash recording, r5b/r5c = multi-build
+# compile OOMs, r5e = isect-v1 regression), bench_8m_k1000_r5.log,
+# bench_pytext_r5.log, bench_nrt_r5b.log (r5 = combined-view rebuild
+# pathology). Later steps run via this script.
+
 # 1. 8.8M rows FIRST (BASELINE config 3, never recorded r1-r4): k=100, k=1000
 STEP_TIMEOUT=3600 run bench_8m_k100_r5 env BENCH_DOCS=8800000 BENCH_BATCH=32 BENCH_QUERIES=128 python bench.py
 STEP_TIMEOUT=3600 run bench_8m_k1000_r5 env BENCH_DOCS=8800000 BENCH_BATCH=32 BENCH_QUERIES=128 BENCH_K=1000 python bench.py
