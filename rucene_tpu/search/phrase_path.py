@@ -523,6 +523,17 @@ class PhrasePathMixin:
     # rest is headroom for denominator planes, span-group planes and the
     # multi-build's transient group arrays
     PLANE_RESIDENT_FRAC = 0.75
+    # admission only bites on BIG leaves: below this doc count a plane
+    # build is ~ms (1M: LRU thrash under a 500-term working set still
+    # served 3,776 QPS in r4), so denying builds just rerouted 176/512
+    # timed phrase rows to the one-core scalar path and cost 6x
+    # (exp/logs/bench_1m_r5.log, 635.6 QPS). Above it a cold build is
+    # 1.2-35 s (exp/logs/plane_build_probe.log) and building outside the
+    # resident set thrashed 8.8M serving to 0.5 QPS.
+    PLANE_ADMIT_MIN_DOCS = 2_000_000
+
+    def _plane_admission_active(self, leaf) -> bool:
+        return int(leaf.device.live.shape[0]) > self.PLANE_ADMIT_MIN_DOCS
 
     def _plane_words(self, leaf, field: str) -> int:
         """u32 words per doc for this (leaf, field)'s position planes: 2
@@ -591,6 +602,8 @@ class PhrasePathMixin:
     def _planes_admitted(self, leaf, field: str, terms) -> bool:
         """True when every term is already cached or in the resident set —
         i.e. routing this row to planes cannot thrash the cache."""
+        if not self._plane_admission_active(leaf):
+            return True  # small leaf: on-demand builds are ~ms, allow all
         res = None
         for t in terms:
             if (id(leaf.packed), field, t) in _PLANE_CACHE:
@@ -700,7 +713,11 @@ class PhrasePathMixin:
             if leaf.term_record(field, term) is None:
                 out[fkey] = None
                 continue
-            if admit and term not in self._plane_resident_terms(leaf, field)[1]:
+            if (
+                admit
+                and self._plane_admission_active(leaf)
+                and term not in self._plane_resident_terms(leaf, field)[1]
+            ):
                 out[fkey] = False  # denied: would thrash the cache
                 METRICS.incr("search.phrase_plane_denied")
                 continue

@@ -47,6 +47,7 @@ def _searcher(texts):
     s.PHRASE_SCALAR_MAX_DOCS = 0
     s.PHRASE_ROW_DF_BUDGET = 0  # force heavy classification
     s.PHRASE_PLANE_MIN_DOCS = 1
+    s.PLANE_ADMIT_MIN_DOCS = 0  # admission active even on the tiny corpus
     return s
 
 
@@ -127,6 +128,7 @@ def test_isect_with_deletes():
     s.PHRASE_SCALAR_MAX_DOCS = 0
     s.PHRASE_ROW_DF_BUDGET = 0
     s.PHRASE_PLANE_MIN_DOCS = 1
+    s.PLANE_ADMIT_MIN_DOCS = 0
     q = rt.PhraseQuery("body", ["w1", "w2"])
     got = s.search_batch([q], k=20)[0]
     want = _host(s, q, 20)
