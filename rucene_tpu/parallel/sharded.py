@@ -1146,10 +1146,8 @@ class ShardedSearcher:
         filters_d = None
         strategy = "auto"
         if any_ranges:
-            from rucene_tpu.search.searcher import (
-                IndexSearcher as _IS,
-                build_range_filter_tables,
-            )
+            from rucene_tpu.search.flat_tables import build_range_filter_tables
+            from rucene_tpu.search.searcher import IndexSearcher as _IS
 
             rkeys, fidx, fenc, fboost = build_range_filter_tables(rqs, b_pad)
             strategy = "auto" if _IS._ranges_complete(rqs) else "dense"
