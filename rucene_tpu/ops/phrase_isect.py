@@ -47,7 +47,7 @@ from rucene_tpu.codec.device import DeviceSegment
 from rucene_tpu.ops.phrase_plane import FMAX
 
 CHUNK = 65536  # candidates per loop step (bounds the gather transients)
-VERIFY_SUB = 8192  # candidates per membership-verify sub-step
+MASK_W = 4  # u32 words of the per-candidate position mask (128 positions)
 
 
 @partial(jax.jit, static_argnames=("k", "n_terms", "fmax"))
@@ -90,16 +90,13 @@ def phrase_isect_search(
     limit = dev.positions.shape[0] - 1
     fidx = jnp.arange(fmax, dtype=jnp.int32)
     nbr = dev.docs_dec.shape[0]
-    sub = min(VERIFY_SUB, chunk)
-    n_sub = chunk // sub
 
     def chunk_step(ci, carry):
         pf_dense, ov = carry
         docs_c = jax.lax.dynamic_slice(docs_all, (ci * chunk,), (chunk,))
         cvalid = docs_c < md
 
-        pos_t = []
-        pvalid_t = []
+        masks_t = []  # u32[chunk, MASK_W] per term
         for t in range(n_terms):
             # --- 3a. block: largest b in [lo, hi) with first_doc <= doc
             lo = blk_lo[t]
@@ -161,26 +158,34 @@ def phrase_isect_search(
             deltas = ((lo_b | hi_b) & vmask).astype(jnp.int32)
             deltas = jnp.where(pv, deltas, 0)
             pos_abs = jnp.cumsum(deltas, axis=1)
-            pos_t.append(jnp.where(pv, pos_abs, jnp.int32(-(10**9))))
-            pvalid_t.append(pv)
 
-        # --- membership verify, sub-chunked to bound the cube ---
-        def verify_sub(si):
-            sl0 = jax.lax.dynamic_slice(pos_t[0], (si * sub, 0), (sub, fmax))
-            ok = jax.lax.dynamic_slice(
-                pvalid_t[0], (si * sub, 0), (sub, fmax)
-            )
-            for t in range(1, n_terms):
-                st = jax.lax.dynamic_slice(
-                    pos_t[t], (si * sub, 0), (sub, fmax)
-                )
-                hit = jnp.any(sl0[:, :, None] + t == st[:, None, :], axis=2)
-                ok = ok & hit
-            return jnp.sum(ok.astype(jnp.int32), axis=1)
+            # positions past the 128-bit window can't be verified by the
+            # mask AND below: flag them (row spills, exactness kept)
+            ov = ov + jnp.sum((pv & (pos_abs >= 32 * MASK_W)).astype(jnp.int32))
 
-        pf_c = jax.lax.map(
-            verify_sub, jnp.arange(n_sub, dtype=jnp.int32)
-        ).reshape(chunk)
+            # per-candidate position BIT MASK (a plane in registers):
+            # positions are unique per (doc, term), so summing distinct
+            # power-of-two bits IS the OR — O(MASK_W * fmax) per
+            # candidate instead of the O(fmax^2) membership cube that
+            # made zipf-head rows ~1.5 s (bench_8m_k100_r5f.log)
+            word_of = pos_abs >> 5
+            bit_of = jnp.uint32(1) << (pos_abs & 31).astype(jnp.uint32)
+            mask_words = []
+            for w in range(MASK_W):
+                bits = jnp.where(pv & (word_of == w), bit_of, jnp.uint32(0))
+                mask_words.append(jnp.sum(bits, axis=1, dtype=jnp.uint32))
+            masks_t.append(jnp.stack(mask_words, axis=1))
+
+        # --- shifted-AND popcount over the candidate masks (the position
+        # -plane verify, restricted to the co-occurrence set) ---
+        from rucene_tpu.ops.phrase_plane import _shift_right
+
+        acc = masks_t[0]
+        for t in range(1, n_terms):
+            acc = acc & _shift_right(masks_t[t], t)
+        pf_c = jnp.sum(jax.lax.population_count(acc), axis=1).astype(
+            jnp.int32
+        )
 
         pf_dense = pf_dense.at[jnp.where(cvalid, docs_c, md)].add(
             pf_c.astype(jnp.float32), mode="drop"

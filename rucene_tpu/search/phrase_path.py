@@ -531,6 +531,9 @@ class PhrasePathMixin:
     # 1.2-35 s (exp/logs/plane_build_probe.log) and building outside the
     # resident set thrashed 8.8M serving to 0.5 QPS.
     PLANE_ADMIT_MIN_DOCS = 2_000_000
+    # max EXPECTED co-occurrence count for the intersection phrase route
+    # (~8 kernel chunks); bigger rows take the scalar engine
+    ISECT_EST_MAX = 1 << 19
 
     def _plane_admission_active(self, leaf) -> bool:
         return int(leaf.device.live.shape[0]) > self.PLANE_ADMIT_MIN_DOCS
@@ -1189,20 +1192,25 @@ class PhrasePathMixin:
             or not getattr(leaf, "plane_slots", None)
         ):
             return False
+        dfs = []
         for t in terms:
             rec = leaf.term_record(field, t)
             if rec is None or rec.block_count == 0:
                 return False
             if leaf.plane_slots.get(rec.block_start) is None:
                 return False
-        # no intersection-size gate: the kernel's chunk loop has a
-        # DYNAMIC trip count, so device work is proportional to the
-        # actual co-occurrence count — even a zipf-head pair (millions of
-        # candidates at 8.8M) runs in ~chunks x ms on device, overlapped,
-        # instead of serializing ~150 ms on the one host core. (The v1
-        # kernel had a hard 65536 cap; hopeless rows paid its full cost
-        # and then spilled — 31.3 vs 59.8 QPS, bench_8m_k100_r5e.log.)
-        return True
+            dfs.append(rec.doc_freq)
+        # expected-intersection gate (independence estimate): the kernel's
+        # chunk loop is proportional to the real co-occurrence count, but
+        # a zipf-head pair at 8.8M intersects in MILLIONS of docs — ~70
+        # chunks of device time per row (19.7 QPS when ungated,
+        # bench_8m_k100_r5f.log) vs ~150 ms on the scalar engine. Cap the
+        # route at ISECT_EST_MAX expected candidates (~8 chunks);
+        # underestimates are only a perf miss, never a wrong result.
+        est = float(dfs[0])
+        for d in dfs[1:]:
+            est = est * float(d) / max(float(leaf.max_doc), 1.0)
+        return est <= self.ISECT_EST_MAX
 
     def _dispatch_phrase_isect(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
         """Dispatch one intersection-verify program per row (rows per
