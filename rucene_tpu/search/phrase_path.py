@@ -380,15 +380,17 @@ class PhrasePathMixin:
             # denied heavy row serialized on the one-core scalar path —
             # 48 of 64 timed phrase rows at 8.8M, 447 ms of a 536 ms batch
             # (exp/logs/bench_8m_k100_r5d.log).
+            # (an intersection-verify device route for the denied rows was
+            # built and MEASURED OUT in r5: locating candidates in the
+            # postings needs a serial chain of random gathers, ~257-574
+            # ms/row warm on the chip vs ~150 ms on the scalar engine —
+            # exp/logs/isect_probe_r5.log, bench_8m_k100_r5f/g.log)
             plane_rows = []
-            isect_rows = []
             for i in heavy_rows:
                 field_i = rqs[i].phrases[0][0]
                 terms_i = rqs[i].phrases[0][1]
                 if self._planes_admitted(leaf, field_i, terms_i):
                     plane_rows.append(i)
-                elif self._phrase_isect_eligible(leaf, rqs[i]):
-                    isect_rows.append(i)
                 else:
                     scalar_rows.append(i)
             plane_futs = []
@@ -400,11 +402,6 @@ class PhrasePathMixin:
                 METRICS.incr("search.phrase_plane", len(early_done))
                 for gi, (dd, ss, hh) in early_done.items():
                     per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
-            isect_futs = []
-            if isect_rows:
-                isect_futs = self._dispatch_phrase_isect(
-                    leaf, isect_rows, rqs, sim, stats, doc_freqs, k
-                )
 
             # ---- scalar C++ rows: host CPU work, running WHILE the
             # candidate/plane programs above are in flight on device ----
@@ -422,10 +419,10 @@ class PhrasePathMixin:
                     per_query_leaf[gi].append(
                         (leaf.doc_base, hh.docs, hh.scores, hh.total_hits)
                     )
-            deferred_jobs.append((leaf, cand_job, plane_futs, isect_futs))
+            deferred_jobs.append((leaf, cand_job, plane_futs))
 
         def finish() -> list:
-            for leaf, cand_job, plane_futs, isect_futs in deferred_jobs:
+            for leaf, cand_job, plane_futs in deferred_jobs:
                 overflow_rows: list[int] = []
                 if cand_job is not None:
                     bmap, dev_rows, fut = cand_job
@@ -442,11 +439,6 @@ class PhrasePathMixin:
                 done, spill = self._plane_collect(plane_futs)
                 METRICS.incr("search.phrase_plane", len(done))
                 for gi, (dd, ss, hh) in done.items():
-                    per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
-                done_i, spill_i = self._isect_collect(isect_futs)
-                METRICS.incr("search.phrase_isect", len(done_i))
-                spill = spill + spill_i
-                for gi, (dd, ss, hh) in done_i.items():
                     per_query_leaf[gi].append((leaf.doc_base, dd, ss, hh))
                 # rare residue: candidate-table overflow rows retry on the
                 # plane path (their term planes are the common ones already
@@ -531,9 +523,6 @@ class PhrasePathMixin:
     # 1.2-35 s (exp/logs/plane_build_probe.log) and building outside the
     # resident set thrashed 8.8M serving to 0.5 QPS.
     PLANE_ADMIT_MIN_DOCS = 2_000_000
-    # max EXPECTED co-occurrence count for the intersection phrase route
-    # (~8 kernel chunks); bigger rows take the scalar engine
-    ISECT_EST_MAX = 1 << 19
 
     def _plane_admission_active(self, leaf) -> bool:
         return int(leaf.device.live.shape[0]) > self.PLANE_ADMIT_MIN_DOCS
@@ -1177,119 +1166,17 @@ class PhrasePathMixin:
         spill.extend(sp2)
         return done, spill
 
-    def _phrase_isect_eligible(self, leaf, rq) -> bool:
-        """Intersection route (ops/phrase_isect): exact phrase, 2..8
-        terms, decoded residency, and a resident u8 tf plane for EVERY
-        term (codec/device.add_tf_planes covers df >= mdp/512 — exactly
-        the common terms admission keeps off the position-plane cache)."""
-        field, terms, _b, sl = rq.phrases[0]
-        if sl != 0 or not (2 <= len(terms) <= 8):
-            return False
-        dev = leaf.device
-        if (
-            dev.docs_dec is None
-            or dev.tf_planes is None
-            or not getattr(leaf, "plane_slots", None)
-        ):
-            return False
-        dfs = []
-        for t in terms:
-            rec = leaf.term_record(field, t)
-            if rec is None or rec.block_count == 0:
-                return False
-            if leaf.plane_slots.get(rec.block_start) is None:
-                return False
-            dfs.append(rec.doc_freq)
-        # expected-intersection gate (independence estimate): the kernel's
-        # chunk loop is proportional to the real co-occurrence count, but
-        # a zipf-head pair at 8.8M intersects in MILLIONS of docs — ~70
-        # chunks of device time per row (19.7 QPS when ungated,
-        # bench_8m_k100_r5f.log) vs ~150 ms on the scalar engine. Cap the
-        # route at ISECT_EST_MAX expected candidates (~8 chunks);
-        # underestimates are only a perf miss, never a wrong result.
-        est = float(dfs[0])
-        for d in dfs[1:]:
-            est = est * float(d) / max(float(leaf.max_doc), 1.0)
-        return est <= self.ISECT_EST_MAX
-
-    def _dispatch_phrase_isect(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
-        """Dispatch one intersection-verify program per row (rows per
-        batch are few — the denied-heavy residue). Returns (gi, future)
-        pairs for _isect_collect."""
-        from rucene_tpu.ops.phrase_isect import phrase_isect_search
-        from rucene_tpu.search.searcher import build_leaf_cache, prefetch_result
-
-        cache = build_leaf_cache(leaf, sim, stats)
-        mdp = int(leaf.device.live.shape[0])
-        futs = []
-        for gi in rows:
-            field, terms, boost, _sl = rqs[gi].phrases[0]
-            recs = [leaf.term_record(field, t) for t in terms]
-            slots = [leaf.plane_slots[r.block_start] for r in recs]
-            pf_field = leaf.packed.fields[field]
-            st = stats[field]
-            doc_count = st.doc_count if st.doc_count != -1 else st.max_doc
-            idf_sum = np.float32(0.0)
-            for t in terms:
-                idf_sum = np.float32(
-                    idf_sum + sim.idf(doc_freqs[(field, t)], doc_count)
-                )
-            w2 = np.float32(
-                np.float32(idf_sum * np.float32(boost))
-                * np.float32(sim.k1 + np.float32(1.0))
-            )
-            denom = self._denom_plane_for(
-                leaf, pf_field.field_id, cache[pf_field.field_id]
-            )
-            # roofline: n_terms u8 tf planes + denom f32 + live + the
-            # candidate gathers (block rows + position windows), sized by
-            # the independence estimate of the intersection
-            from rucene_tpu.ops.phrase_plane import FMAX
-
-            est = float(recs[0].doc_freq)
-            for r in recs[1:]:
-                est = est * float(r.doc_freq) / max(float(mdp), 1.0)
-            METRICS.incr(
-                "search.plane_bytes",
-                len(terms) * mdp + mdp * 5
-                + int(est) * len(terms) * (128 * 6 + FMAX * 8),
-            )
-            fut = prefetch_result(phrase_isect_search(
-                leaf.device,
-                jnp.asarray(np.asarray(slots, np.int32)),
-                jnp.asarray(np.asarray(
-                    [r.block_start for r in recs], np.int32)),
-                jnp.asarray(np.asarray(
-                    [r.block_start + r.block_count for r in recs], np.int32)),
-                jnp.asarray(np.asarray([r.pos_width for r in recs], np.int32)),
-                jnp.asarray(np.asarray(
-                    [r.pos_word_start for r in recs], np.int32)),
-                denom,
-                leaf.device.live,
-                jnp.float32(w2),
-                k=k,
-                n_terms=len(terms),
-            ))
-            futs.append((gi, fut))
-        return futs
-
-    @staticmethod
-    def _isect_collect(futures):
-        """(gi, future) pairs -> (done: gi -> (docs, scores, hits), spill
-        rows whose intersection exceeded cand_cap or freq exceeded FMAX —
-        they rerun exactly on the scalar engine)."""
-        done: dict = {}
-        spill: list[int] = []
-        for gi, fut in futures:
-            s, d, h, ov = jax.device_get(fut)
-            if int(ov) > 0:
-                spill.append(gi)
-                continue
-            s = np.asarray(s)
-            d = np.asarray(d)
-            keep = s > -np.inf
-            done[gi] = (d[keep], s[keep], int(h))
-        return done, spill
+    # NOTE (r5 postmortem): an intersection-driven phrase route lived
+    # here — co-occurrence set from the resident u8 tf planes, then
+    # device-side candidate location + position verify (ops/phrase_isect,
+    # removed). Measured out on the real chip: locating each candidate in
+    # the postings requires a ~18-step branchless binary search whose
+    # serially-dependent random gathers cost ~250 ms per 65536-candidate
+    # chunk, so even 1-chunk rows ran 257-574 ms warm vs ~150 ms on the
+    # scalar engine (exp/logs/isect_probe_r5.log; whole-bench regressions
+    # bench_8m_k100_r5f/g.log: 19.7 vs 59.8 QPS). The probe harness
+    # exp/isect_probe.py documents the measurement; on hardware with fast
+    # random gathers the design may yet win.
 
     def _dispatch_phrase_planes(self, leaf, rows, rqs, sim, stats, doc_freqs, k):
         """Dispatch-only plane search: returns (futures, spill, done).
