@@ -555,15 +555,16 @@ def main_nrt():
     del docs
     print(f"# nrt: base index {n_docs} docs ready", file=sys.stderr, flush=True)
 
-    # per-leaf execution, NOT the combined view: a refresh that adds a
-    # segment changes the combined view's structure key, forcing a full
-    # concat + residency upload + (first time per shape) minutes of axon
-    # recompiles — measured 5.9 QPS with combine_segments=True
-    # (exp/logs/bench_nrt_r5.log). Per-leaf reuses every unchanged
-    # segment's device cache, and same-sized flush segments reuse the
-    # same compiled shapes across refreshes.
+    # combined view with BUCKETED sizes (combined.cached_combined_view):
+    # a refresh's rebuild is sub-second host concat + upload and reuses
+    # every compiled program, where the unbucketed r5 runs paid minutes
+    # of recompiles (5.9 QPS, bench_nrt_r5.log) and per-leaf execution
+    # paid ~20 leaves of per-batch table/collect overheads (15.3 QPS,
+    # bench_nrt_r5c.log). BENCH_NRT_COMBINE=0 A/Bs the per-leaf path.
+    combine = os.environ.get("BENCH_NRT_COMBINE", "1") != "0"
     mgr = SearcherManager(
-        w, searcher_factory=lambda r: IndexSearcher(r, combine_segments=False)
+        w,
+        searcher_factory=lambda r: IndexSearcher(r, combine_segments=combine),
     )
     stop = threading.Event()
     ingested = [0]

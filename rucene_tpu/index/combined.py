@@ -97,7 +97,20 @@ def cached_combined_view(leaves) -> CombinedView:
         )
         _VIEW_CACHE[struct_key] = (_refs, live_key, new_view)
         return new_view
-    view = build_combined_view(leaves)
+    # structural change (an NRT refresh added/merged segments): rebuild
+    # with BUCKETED sizes and the PRIOR view's field numbering, so the
+    # new view lands in the same executor shape buckets and every
+    # compiled program is reused — the rebuild itself is sub-second host
+    # concat + upload; the recompiles were the 5.9-QPS pathology
+    prev_gid = None
+    if _VIEW_CACHE:
+        prev = next(iter(_VIEW_CACHE.values()))[2]
+        prev_gid = dict(prev.field_gid)
+        for leaf in leaves:
+            for name in leaf.packed.fields:
+                if name not in prev_gid:
+                    prev_gid[name] = len(prev_gid)
+    view = build_combined_view(leaves, field_gid=prev_gid, bucket_sizes=True)
     _VIEW_CACHE.clear()  # one live entry bounds memory
     _VIEW_CACHE[struct_key] = ([lf.packed for lf in leaves], live_key, view)
     return view
@@ -127,13 +140,20 @@ def build_combined_view(
     field_gid: dict[str, int] | None = None,
     as_numpy: bool = False,
     with_positions: bool = False,
+    bucket_sizes: bool = False,
 ) -> CombinedView:
     """Concatenate the leaves' packed segments into one DeviceSegment.
 
     field_gid pins the global norms-row numbering (so several views — e.g.
     one per mesh shard — share field ids); as_numpy keeps the arrays
     host-side for stacking; with_positions also concatenates the packed
-    position streams (needed when phrases run against the view)."""
+    position streams (needed when phrases run against the view).
+
+    bucket_sizes=True additionally pow2-pads the DOC space (the block and
+    word axes are pow2 already), so NRT refreshes that append segments
+    keep every executor shape until a bucket doubles — without it each
+    refresh changed md_total and paid minutes of axon recompiles
+    (exp/logs/bench_nrt_r5.log, 5.9 QPS)."""
     if field_gid is None:
         field_names = sorted({name for leaf in leaves for name in leaf.packed.fields})
         field_gid = {name: i for i, name in enumerate(field_names)}
@@ -172,6 +192,8 @@ def build_combined_view(
         nb_total += p.num_blocks
 
     md_total = int(doc_base)
+    if bucket_sizes:
+        md_total = next_pow2(max(md_total, 1), 1024)
     nbp = next_pow2(max(nb_total, 1), 1)
     wp = next_pow2(max(word_base + 2048, 2), 2048)
 
