@@ -79,16 +79,14 @@ def test_fuzz_combined_vs_per_leaf(fuzz_searcher):
     comb = IndexSearcher(s.reader, combine_segments=True)
     rng = np.random.default_rng(777)
     queries = [_random_query(rng) for _ in range(48)]
-    for prune in (False, True):
-        a = s.search_batch(queries, k=15, prune=prune)
-        b = comb.search_batch(queries, k=15, prune=prune)
-        for q, ta, tb in zip(queries, a, b):
-            if not prune:
-                assert ta.total_hits == tb.total_hits, q
-            assert_hits_equal(
-                [(sd.doc, sd.score) for sd in ta.score_docs],
-                [(sd.doc, sd.score) for sd in tb.score_docs],
-            )
+    a = s.search_batch(queries, k=15)
+    b = comb.search_batch(queries, k=15)
+    for q, ta, tb in zip(queries, a, b):
+        assert ta.total_hits == tb.total_hits, q
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in ta.score_docs],
+            [(sd.doc, sd.score) for sd in tb.score_docs],
+        )
 
 
 def test_fuzz_merge_invariance():
@@ -131,26 +129,6 @@ def test_fuzz_merge_invariance():
     for q, a, b, c in zip(queries, before, mid, after):
         assert a == b == c, q
     w.close()
-
-
-def test_fuzz_pruned_vs_exact(fuzz_searcher):
-    s = fuzz_searcher
-    rng = np.random.default_rng(321)
-    queries = []
-    for _ in range(24):
-        q = BooleanQuery()
-        for wd in rng.choice(WORDS, size=int(rng.integers(1, 4)), replace=False):
-            q.should(TermQuery(Term("body", str(wd))))
-        queries.append(q)
-    exact = s.search_batch(queries, k=10)
-    pruned = s.search_batch(queries, k=10, prune=True)
-    for e, p in zip(exact, pruned):
-        # pass-2 compaction reorders scatter combines: scores match within
-        # the engine's reorder tolerance (same contract as host-vs-device)
-        assert_hits_equal(
-            [(sd.doc, sd.score) for sd in p.score_docs],
-            [(sd.doc, sd.score) for sd in e.score_docs],
-        )
 
 
 @pytest.fixture(scope="module")
