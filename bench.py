@@ -619,6 +619,7 @@ def main_nrt():
     refreshes = 0
     refresh_cost = 0.0
     last_refresh = time.time()
+    debug = os.environ.get("BENCH_NRT_DEBUG") == "1"
     t0 = time.time()
     qi = 0
     while time.time() - t0 < duration:
@@ -629,7 +630,14 @@ def main_nrt():
             refreshes += 1
             last_refresh = time.time()
         s = mgr.acquire()
+        b0 = time.time()
         s.search_batch(queries[qi % n_queries : qi % n_queries + batch] or queries[:batch], k=k)
+        if debug:
+            print(
+                f"# nrt batch {served // batch}: {time.time()-b0:.2f}s "
+                f"({len(s.reader.leaves)} leaves)",
+                file=sys.stderr, flush=True,
+            )
         mgr.release(s)
         served += batch
         qi = (qi + batch) % n_queries

@@ -110,7 +110,20 @@ def cached_combined_view(leaves) -> CombinedView:
             for name in leaf.packed.fields:
                 if name not in prev_gid:
                     prev_gid[name] = len(prev_gid)
+    import os
+    import time as _time
+
+    t0 = _time.time()
     view = build_combined_view(leaves, field_gid=prev_gid, bucket_sizes=True)
+    if os.environ.get("RUCENE_VIEW_DEBUG") == "1":
+        import sys
+
+        print(
+            f"# combined rebuild: {len(leaves)} leaves, "
+            f"md={view.device.max_doc_padded} nb={view.n_blocks} "
+            f"in {_time.time()-t0:.2f}s",
+            file=sys.stderr, flush=True,
+        )
     _VIEW_CACHE.clear()  # one live entry bounds memory
     _VIEW_CACHE[struct_key] = ([lf.packed for lf in leaves], live_key, view)
     return view

@@ -48,6 +48,10 @@ _RESIDENT_CACHE: dict = {}
 # _plane_words.
 _PLANE_WORDS_CACHE: dict = {}
 
+# scalar C++ engine cache, shared across searchers (NRT refresh creates a
+# new searcher per cycle): id(packed) -> (engine, live-ref, packed-ref)
+_SCALAR_ENGINE_CACHE: dict = {}
+
 
 def _plane_cache_bytes() -> int:
     total = 0
@@ -62,7 +66,7 @@ def _plane_cache_bytes() -> int:
 class PhrasePathMixin:
     """Phrase routing + execution; mixed into IndexSearcher. Relies on the
     searcher for: reader, similarity, _use_pallas, _gather_stats,
-    _merge_leaf_hits, _scalar_engines."""
+    _merge_leaf_hits."""
 
     # per-row rarest-term df budget: candidates are bounded by df_min, so
     # rows fit the device pipeline up to the 65536-candidate table cap;
@@ -1376,10 +1380,22 @@ class PhrasePathMixin:
         from rucene_tpu.search.scalar_engine import ScalarSearcher
 
         key = id(leaf.packed)
-        cached = self._scalar_engines.get(key)
+        cached = _SCALAR_ENGINE_CACHE.get(key)
         if cached is None or cached[1] is not leaf.live:
-            cached = (ScalarSearcher(leaf, sim, stats, doc_freqs), leaf.live)
-            self._scalar_engines = {key: cached}
+            # keyed by the immutable packed segment and SHARED module-wide:
+            # an NRT refresh creates a new searcher every cycle, and the
+            # old per-searcher dict additionally REPLACED itself with one
+            # entry per insert — every leaf of a multi-segment batch
+            # rebuilt its C++ engine on every use (~seconds/batch at 10+
+            # NRT segments, exp/logs/bench_nrt_probe_debug2.log)
+            cached = (
+                ScalarSearcher(leaf, sim, stats, doc_freqs),
+                leaf.live,
+                leaf.packed,
+            )
+            _SCALAR_ENGINE_CACHE[key] = cached
+            while len(_SCALAR_ENGINE_CACHE) > 64:
+                _SCALAR_ENGINE_CACHE.pop(next(iter(_SCALAR_ENGINE_CACHE)))
         else:
             cached[0].stats = stats
             cached[0].doc_freqs = doc_freqs

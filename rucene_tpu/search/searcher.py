@@ -143,7 +143,6 @@ class IndexSearcher(PhrasePathMixin, SortedPathMixin, FilterPathMixin):
         self.similarity = similarity or BM25Similarity()
         self.combine_segments = combine_segments
         self._combined = None
-        self._scalar_engines: dict = {}  # leaf id -> (ScalarSearcher, live)
         self._stats: dict[str, CollectionStats] = {}
         # per-(searcher, query) plan cache + doc-freq memo: everything in a
         # plan is reader-stable (this searcher is a point-in-time view), so
