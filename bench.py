@@ -555,13 +555,14 @@ def main_nrt():
     del docs
     print(f"# nrt: base index {n_docs} docs ready", file=sys.stderr, flush=True)
 
-    # combined view with BUCKETED sizes (combined.cached_combined_view):
-    # a refresh's rebuild is sub-second host concat + upload and reuses
-    # every compiled program, where the unbucketed r5 runs paid minutes
-    # of recompiles (5.9 QPS, bench_nrt_r5.log) and per-leaf execution
-    # paid ~20 leaves of per-batch table/collect overheads (15.3 QPS,
-    # bench_nrt_r5c.log). BENCH_NRT_COMBINE=0 A/Bs the per-leaf path.
-    combine = os.environ.get("BENCH_NRT_COMBINE", "1") != "0"
+    # per-leaf execution: the combined view's rebuild was MEASURED at
+    # 18-33 s per segment-adding refresh in this environment (host page
+    # faults on fresh concat arrays + tunnel upload + decoded-residency
+    # redecode — exp/logs/bench_nrt_probe_debug2.log), which no shape
+    # bucketing can amortize at sub-second refresh cadence. Per-leaf
+    # reuses every unchanged segment's device cache and uploads only the
+    # new flush segment. BENCH_NRT_COMBINE=1 A/Bs the combined path.
+    combine = os.environ.get("BENCH_NRT_COMBINE", "0") == "1"
     mgr = SearcherManager(
         w,
         searcher_factory=lambda r: IndexSearcher(r, combine_segments=combine),
