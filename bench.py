@@ -532,7 +532,9 @@ def main_nrt():
     batch = int(os.environ.get("BENCH_BATCH", 128))
     k = int(os.environ.get("BENCH_K", 100))
     refresh_s = float(os.environ.get("BENCH_NRT_REFRESH_S", 0.5))
-    duration = float(os.environ.get("BENCH_NRT_SECONDS", 20))
+    # long enough to amortize the one-time compile a first-seen merged-
+    # segment size bucket costs (each bucket compiles once per process)
+    duration = float(os.environ.get("BENCH_NRT_SECONDS", 45))
 
     from rucene_tpu import Document, IndexSearcher, TextField
     from rucene_tpu.index.writer import IndexWriter, IndexWriterConfig

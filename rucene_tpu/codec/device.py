@@ -96,7 +96,16 @@ def build_device_segment(
     # +2048 words so the pallas decoder's 1024-aligned 2048-word DMA windows
     # never run off the end; pow2 >= 2048 is always 1024-aligned
     wp = next_pow2(max(w + 2048, min_words), 2048)
-    mdp = round_up(max(packed.max_doc, min_max_doc, 1), 1024)
+    # doc axis: pow2 buckets for SMALL segments so NRT flush/merge sizes
+    # share compiled executor shapes (a 21.8 s first-batch stall per new
+    # merged-segment size, exp/logs/bench_nrt_r5e.log); big segments are
+    # rare/stable and keep tight 1024-multiples (pow2 at 8.8M would
+    # double every [md] array)
+    md_raw = max(packed.max_doc, min_max_doc, 1)
+    if md_raw <= (1 << 19):
+        mdp = next_pow2(md_raw, 1024)
+    else:
+        mdp = round_up(md_raw, 1024)
 
     # field-id -> norms row (dense over indexed fields of this segment)
     n_fields = max((f.field_id for f in packed.fields.values()), default=-1) + 1
