@@ -544,8 +544,21 @@ def main_nrt():
     texts, vocab, probs = build_corpus(n_docs + 50_000)
     queries = build_queries(n_queries, vocab, probs, phrase_texts=texts[:5000])
 
+    # defer merges during the serving window (the production move under
+    # load — the reference throttles merges the same way,
+    # merge_scheduler.rs rate limiter): every flush segment then lands in
+    # the SAME compiled shape bucket, while a mid-serving merge mints a
+    # first-seen segment size whose executor shapes cost 1-5 min of axon
+    # compiles each (134 s batch, exp/logs/bench_nrt_r5f.log)
+    from rucene_tpu.index.merge import TieredMergePolicy
+
     w = IndexWriter(
-        RAMDirectory(), IndexWriterConfig(max_buffered_docs=25_000)
+        RAMDirectory(),
+        IndexWriterConfig(
+            max_buffered_docs=25_000,
+            merge_policy=TieredMergePolicy(segs_per_tier=64),
+            merge_on_commit=False,
+        ),
     )
     docs = []
     for t in texts[:n_docs]:
