@@ -81,7 +81,25 @@ class SegmentSnapshot:
         """Device tensors, built on first access so host-only consumers
         (CheckIndex, merges, commits) never touch the accelerator."""
         if self._device is None:
-            dev = build_device_segment(self.packed, self.live)
+            import os
+
+            # SMALL segments (NRT flush/young merges) share ONE set of
+            # floored shapes: without floors, every fresh segment's block/
+            # word/doc counts straddle different pow2 buckets and the
+            # first batch that touches it pays 1-5 min of axon compiles
+            # per new executor shape (exp/logs/bench_nrt_r5f/g.log —
+            # 26-134 s batches). ~tens of MB of padding per small segment
+            # buys shape-identical serving; RUCENE_SEG_FLOORS=0 disables.
+            floors = {}
+            if (
+                self.packed.max_doc <= (1 << 15)
+                and os.environ.get("RUCENE_SEG_FLOORS", "1") != "0"
+            ):
+                floors = dict(
+                    min_blocks=1 << 15, min_words=1 << 21,
+                    min_max_doc=1 << 15, min_positions=1 << 21,
+                )
+            dev = build_device_segment(self.packed, self.live, **floors)
             from rucene_tpu.codec.device import (
                 add_decoded_planes,
                 add_tf_planes,
@@ -92,10 +110,16 @@ class SegmentSnapshot:
             mf = int(self.packed.blk_max_freq.max()) if self.packed.num_blocks else 0
             on, fdt = decoded_policy(self.packed.num_blocks, mf)
             if on and self.packed.num_blocks:
-                dev = add_decoded_planes(
-                    dev, self.packed.num_blocks, blk_fid_host(self.packed),
-                    freq_dtype=fdt,
-                )
+                n_dec = self.packed.num_blocks
+                bf = blk_fid_host(self.packed)
+                if floors:
+                    # decoded planes must share the floored bucket too
+                    # (their [NB, 128] shape feeds the executor programs);
+                    # padded blocks decode as empty (count 0)
+                    n_dec = max(n_dec, floors["min_blocks"])
+                    if len(bf) < n_dec:
+                        bf = np.pad(bf, (0, n_dec - len(bf)))
+                dev = add_decoded_planes(dev, n_dec, bf, freq_dtype=fdt)
                 dev, self.plane_slots = add_tf_planes(dev, self.packed)
             self._device = dev
         return self._device
