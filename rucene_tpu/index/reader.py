@@ -96,8 +96,8 @@ class SegmentSnapshot:
                 and os.environ.get("RUCENE_SEG_FLOORS", "1") != "0"
             ):
                 floors = dict(
-                    min_blocks=1 << 15, min_words=1 << 21,
-                    min_max_doc=1 << 15, min_positions=1 << 21,
+                    min_blocks=1 << 15, min_words=1 << 19,
+                    min_max_doc=1 << 15, min_positions=1 << 18,
                 )
             dev = build_device_segment(self.packed, self.live, **floors)
             from rucene_tpu.codec.device import (
@@ -109,13 +109,18 @@ class SegmentSnapshot:
 
             mf = int(self.packed.blk_max_freq.max()) if self.packed.num_blocks else 0
             on, fdt = decoded_policy(self.packed.num_blocks, mf)
-            if on and self.packed.num_blocks:
+            # floored (small/NRT) segments serve from the PACKED form by
+            # default: decoded residency would upload 15-50 MB per fresh
+            # segment over the ~7 MB/s tunnel (58 s first-batch stall,
+            # exp/logs/bench_nrt_r5h.log) for data the packed executor
+            # reads in-place at ~3 MB. An explicit RUCENE_DECODED=1 still
+            # wins (tests pin the decoded machinery on tiny corpora) —
+            # the decoded planes then pad to the floored block bucket.
+            forced = os.environ.get("RUCENE_DECODED") == "1"
+            if on and self.packed.num_blocks and (not floors or forced):
                 n_dec = self.packed.num_blocks
                 bf = blk_fid_host(self.packed)
                 if floors:
-                    # decoded planes must share the floored bucket too
-                    # (their [NB, 128] shape feeds the executor programs);
-                    # padded blocks decode as empty (count 0)
                     n_dec = max(n_dec, floors["min_blocks"])
                     if len(bf) < n_dec:
                         bf = np.pad(bf, (0, n_dec - len(bf)))

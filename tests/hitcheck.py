@@ -18,8 +18,22 @@ def assert_hits_equal(got: list[tuple[int, float]], want: list[tuple[int, float]
         return
     gd = {d: s for d, s in got}
     wd = {d: s for d, s in want}
-    assert set(gd) == set(wd), f"doc sets differ: {set(gd) ^ set(wd)}"
+    diff = set(gd) ^ set(wd)
+    if diff:
+        # truncated lists may legitimately admit different docs at the
+        # k-th boundary when two execution paths' scores differ by ~1 ULP
+        # (e.g. per-leaf vs combined after a shape-bucket change): every
+        # disputed doc must score within tolerance of the cutoff
+        cutoff = min(got[-1][1], want[-1][1])
+        for d in diff:
+            s = gd.get(d, wd.get(d))
+            assert abs(s - cutoff) <= rtol * max(1.0, abs(cutoff)), (
+                f"doc sets differ beyond the boundary tolerance: {diff}, "
+                f"doc {d} score {s} vs cutoff {cutoff}"
+            )
     for d in gd:
+        if d not in wd:
+            continue
         assert abs(gd[d] - wd[d]) <= rtol * max(1.0, abs(wd[d])), (d, gd[d], wd[d])
     # order must match except where adjacent want-scores are within tolerance
     for i, ((g_doc, g_s), (w_doc, w_s)) in enumerate(zip(got, want)):

@@ -15,6 +15,17 @@ from rucene_tpu.search.searcher import IndexSearcher
 from rucene_tpu.util.metrics import METRICS
 
 
+
+
+@pytest.fixture(autouse=True)
+def _force_decoded_residency():
+    """These tests pin the DECODED-residency machinery; since r5, small
+    (floored) segments serve from the packed form under auto policy, so
+    force decoded mode explicitly."""
+    os.environ["RUCENE_DECODED"] = "1"
+    yield
+    os.environ.pop("RUCENE_DECODED", None)
+
 def _index(n_docs=3000, vocab=60, seed=3, n_segments=1):
     rng = np.random.default_rng(seed)
     words = [f"w{i}" for i in range(vocab)]

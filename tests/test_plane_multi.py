@@ -67,10 +67,13 @@ def test_multi_build_bit_parity_with_singles():
         wv = np.zeros(w_pad, bool)
         wb[: len(blocks)] = blocks
         wv[: len(blocks)] = True
+        from rucene_tpu.search.searcher import work_has_ef
+
         p, o = build_position_plane(
             dev, jnp.asarray(wb), jnp.asarray(wv),
             jnp.asarray(np.int32(rec.pos_width)),
             jnp.asarray(np.int32(rec.pos_word_start)),
+            has_ef=work_has_ef(leaf.packed.blk_doc_bits, wb, wv, dev=dev),
             words=p_words,
         )
         singles.append((np.asarray(p), np.asarray(o)))

@@ -24,8 +24,12 @@ from rucene_tpu.util.metrics import METRICS
 @pytest.fixture(autouse=True)
 def _force_planes():
     os.environ["RUCENE_PLANES"] = "1"  # plane every term (mdp tiny here)
+    # tf planes build from the decoded residency; small (floored)
+    # segments serve packed under auto since r5, so force decoded here
+    os.environ["RUCENE_DECODED"] = "1"
     yield
     os.environ.pop("RUCENE_PLANES", None)
+    os.environ.pop("RUCENE_DECODED", None)
 
 
 def _zipf(v):
@@ -112,13 +116,16 @@ def _run_both(reader, qs, k, expect_rows=None):
 
 
 def _assert_equal(got, ref):
+    from tests.hitcheck import assert_hits_equal
+
     for g, r in zip(got, ref):
         assert g.total_hits == r.total_hits
-        gd = [(sd.doc, sd.score) for sd in g.score_docs]
-        rd = [(sd.doc, sd.score) for sd in r.score_docs]
-        assert [d for d, _ in gd] == [d for d, _ in rd], (gd[:5], rd[:5])
-        np.testing.assert_allclose(
-            [s for _, s in gd], [s for _, s in rd], rtol=2e-6, atol=1e-6
+        # the engine's parity contract (hitcheck): near-ties within the
+        # ~1-ULP XLA drift may reorder between two device paths — exact
+        # doc-order equality only holds outside the tie tolerance
+        assert_hits_equal(
+            [(sd.doc, sd.score) for sd in g.score_docs],
+            [(sd.doc, sd.score) for sd in r.score_docs],
         )
 
 

@@ -1,6 +1,8 @@
 """The combine-free single-term executor path must match the dense path
 exactly (scores, docs, tie order, total_hits) across segment layouts."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -11,6 +13,17 @@ from rucene_tpu.index.reader import IndexReader, SegmentSnapshot
 from tests.conftest import WORDS, make_docs, random_corpus
 from tests.hitcheck import assert_hits_equal
 
+
+
+
+@pytest.fixture(autouse=True)
+def _force_decoded_residency():
+    """These tests pin the DECODED-residency machinery; since r5, small
+    (floored) segments serve from the packed form under auto policy, so
+    force decoded mode explicitly."""
+    os.environ["RUCENE_DECODED"] = "1"
+    yield
+    os.environ.pop("RUCENE_DECODED", None)
 
 def _reader(rng, n_docs, n_segments, rare_in_last=False):
     corpus = random_corpus(rng, n_docs)
