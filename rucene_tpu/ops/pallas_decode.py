@@ -19,6 +19,8 @@ fallback implementation; tests assert bit-identical outputs.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -239,240 +241,12 @@ def _decode_kernel(off_ref, dbits_ref, fbits_ref, base_ref,
 
 
 
-def _decode_kernel_v2(off_ref, dbits_ref, fbits_ref, base_ref,
-                      data_ref, docs_ref, freqs_ref, norms_ref, scratch, sems,
-                      *, g_items, has_ef, fid_ref=None, cache_ref=None):
-    """v2 of the fused decoder: tile compaction + K=(word) matmul selects.
-
-    v1's cost profile (measured ~2 us/item): per word read, a
-    [G*128, 512] one-hot ROW-select matmul (134 MFLOP) plus a 128-wide
-    cross-lane VPU reduce for the column select. v2 instead
-      1. transposes the window limbs once per step (A_T [512,(g,r)]),
-      2. compacts each item's 4-row band around its block into ONE
-         [512 tile-words, (limb, item)] operand B (4 tiny matmuls),
-      3. serves every word read as onehot[G*128, 512] @ B — 4x fewer
-         MXU FLOPs and the cross-lane reduce shrinks from 128 wide to a
-         masked 32-wide sum. The +1 straddle word is a roll of B.
-    Semantics are bit-identical to v1 (same extract/prefix-sum/EF code).
-    """
-    pid = pl.program_id(0)
-    slot = pid % 2
-
-    def dma(sl, step, g):
-        i = step * g_items + g
-        row0 = (off_ref[i] >> 10) * 8
-        return pltpu.make_async_copy(
-            data_ref.at[pl.ds(row0, WIN_ROWS), :], scratch.at[sl, g], sems.at[sl, g]
-        )
-
-    @pl.when(pid == 0)
-    def _():
-        for g in range(g_items):
-            dma(0, 0, g).start()
-
-    @pl.when(pid + 1 < pl.num_programs(0))
-    def _():
-        for g in range(g_items):
-            dma((pid + 1) % 2, pid + 1, g).start()
-
-    gb = g_items * BLOCK
-    lane_all = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % BLOCK
-    item_of = jax.lax.broadcasted_iota(jnp.int32, (gb, 1), 0) // BLOCK
-
-    for g in range(g_items):
-        dma(slot, pid, g).wait()
-
-    words_all = scratch[slot].reshape(g_items * WIN_ROWS, BLOCK)
-
-    # per-item scalars
-    i0 = pid * g_items
-    off_s = [off_ref[i0 + g] & 1023 for g in range(g_items)]
-    db_s = [dbits_ref[i0 + g] for g in range(g_items)]
-    fb_s = [fbits_ref[i0 + g] for g in range(g_items)]
-    base_s = [base_ref[i0 + g] for g in range(g_items)]
-    row0_s = [o >> 7 for o in off_s]  # 4-row tile start (<= 7, fits 16)
-    if has_ef:
-        is_ef_s = [db >= EF_TAG for db in db_s]
-        l_ef_s = [jnp.maximum(db - EF_TAG, 0) for db in db_s]
-        eff_db_s = [jnp.where(e, l, db) for e, l, db in zip(is_ef_s, l_ef_s, db_s)]
-        dwords_s = [
-            jnp.where(e, 4 * l + EF_UNARY_WORDS, 4 * db)
-            for e, l, db in zip(is_ef_s, l_ef_s, db_s)
-        ]
-    else:
-        eff_db_s = db_s
-        dwords_s = [4 * db for db in db_s]
-
-    def per_item(vals):
-        out = jnp.zeros((gb, 1), jnp.int32)
-        for g in range(g_items):
-            out = jnp.where(item_of == g, vals[g], out)
-        return out
-
-    # ---- stage 0: window limbs, transposed: A_T [(limb,c) 512, (g,r) 128]
-    a_t = jnp.concatenate(
-        [
-            jnp.transpose(((words_all >> (8 * j)) & 0xFF).astype(jnp.float32))
-            for j in range(4)
-        ],
-        axis=0,
-    )  # [4*128 (limb, c), g_items*WIN_ROWS]
-
-    # ---- stage 1: compact each item's 4-row band into B [(r4,c) 512, 32]
-    gr_g = jax.lax.broadcasted_iota(jnp.int32, (g_items * WIN_ROWS, g_items), 0) // WIN_ROWS
-    gr_r = jax.lax.broadcasted_iota(jnp.int32, (g_items * WIN_ROWS, g_items), 0) % WIN_ROWS
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (g_items * WIN_ROWS, g_items), 1)
-    row0_col = jnp.zeros((1, g_items), jnp.int32)
-    gi_row = jax.lax.broadcasted_iota(jnp.int32, (1, g_items), 1)
-    for g in range(g_items):
-        row0_col = jnp.where(gi_row == g, row0_s[g], row0_col)
-    b_blocks = []
-    for r4 in range(4):
-        sel = ((gr_g == g_iota) & (gr_r == row0_col + r4)).astype(jnp.float32)
-        t1 = jnp.dot(a_t, sel, preferred_element_type=jnp.float32)  # [512, G]
-        # [(limb,c), G] -> [c, (limb, G)] via limb-slices
-        b_blocks.append(
-            jnp.concatenate([t1[j * 128 : (j + 1) * 128, :] for j in range(4)], axis=1)
-        )
-    b_mat = jnp.concatenate(b_blocks, axis=0)  # [(r4,c) 512, (limb,G) 4*G]
-    nb = 4 * g_items
-    # +1-word straddle operand: tile-local t+1 == roll by 511 (mod 512;
-    # Mosaic roll takes non-negative shifts). The wrapped row 511 is never
-    # addressed: blocks span <= 417 tile-local words
-    b_mat_p1 = pltpu.roll(b_mat, shift=511, axis=0)
-
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (gb, 512), 1)
-    g_cols = jax.lax.broadcasted_iota(jnp.int32, (gb, nb), 1) % g_items
-
-    def read_words(widx, straddle):
-        """widx i32[gb,1] WINDOW-local word indices -> (w0, w1) u32[gb,1]
-        (w1 only when straddle)."""
-        t_loc = widx - per_item([r * 128 for r in row0_s])  # [gb,1] in [0,512)
-        onehot = (t_iota == t_loc).astype(jnp.float32)
-        outs = []
-        mats = (b_mat, b_mat_p1) if straddle else (b_mat,)
-        for m in mats:
-            o2 = jnp.dot(onehot, m, preferred_element_type=jnp.float32)  # [gb, 4G]
-            own = (g_cols == item_of).astype(jnp.float32)
-            v = o2 * own
-            limb = [
-                jnp.sum(v[:, j * g_items : (j + 1) * g_items], axis=1, keepdims=True)
-                for j in range(4)
-            ]
-            w = (
-                limb[0].astype(jnp.int32)
-                | (limb[1].astype(jnp.int32) << 8)
-                | (limb[2].astype(jnp.int32) << 16)
-                | (limb[3].astype(jnp.int32) << 24)
-            )
-            outs.append(w.astype(jnp.uint32))
-        return outs if straddle else (outs[0], None)
-
-    def extract_all(bits_s, word_base_s):
-        bits_l = per_item(bits_s)
-        base_l = per_item([o + wb for o, wb in zip(off_s, word_base_s)])
-        bitpos = lane_all * bits_l
-        widx = base_l + (bitpos >> 5)
-        shift = (bitpos & 31).astype(jnp.uint32)
-        w0, w1 = read_words(widx, straddle=True)
-        lo = w0 >> shift
-        hi = jnp.where(shift == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shift))
-        mask = jnp.where(
-            bits_l >= 32,
-            jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << bits_l.astype(jnp.uint32)) - jnp.uint32(1),
-        )
-        return ((lo | hi) & mask).astype(jnp.int32)
-
-    def prefix_sum_all(col):
-        acc = col
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            rolled = pltpu.roll(acc, shift=s, axis=0)
-            acc = acc + jnp.where(lane_all >= s, rolled, 0)
-        return acc
-
-    low_all = extract_all(eff_db_s, [0] * g_items)
-    for_docs_all = prefix_sum_all(low_all)
-    freq_all = extract_all(fb_s, dwords_s)
-    # norm bytes are byte-aligned (8 bits): never straddle
-    nbase_l = per_item([o + d + 4 * f for o, d, f in zip(off_s, dwords_s, fb_s)])
-    nbitpos = lane_all * 8
-    nw0, _ = read_words(nbase_l + (nbitpos >> 5), straddle=False)
-    norm_all = ((nw0 >> (nbitpos & 31).astype(jnp.uint32)) & jnp.uint32(0xFF)).astype(jnp.int32)
-
-    def per_item_row(vals):
-        out = jnp.zeros((g_items, 1), jnp.int32)
-        gi = jax.lax.broadcasted_iota(jnp.int32, (g_items, 1), 0)
-        for g in range(g_items):
-            out = jnp.where(gi == g, vals[g], out)
-        return out
-
-    base_rows = per_item_row(base_s)
-    if not has_ef:
-        docs_ref[...] = base_rows + for_docs_all.reshape(g_items, BLOCK)
-    else:
-        # EF select: same batched algebra as v1, unary words via read_words
-        col_iota_all = jax.lax.broadcasted_iota(jnp.int32, (gb, BLOCK), 1)
-        item_oh_T = (
-            jax.lax.broadcasted_iota(jnp.int32, (g_items, gb), 1) // BLOCK
-            == jax.lax.broadcasted_iota(jnp.int32, (g_items, gb), 0)
-        ).astype(jnp.float32)
-        item_oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (gb, g_items), 1) == item_of
-        ).astype(jnp.float32)
-        ubase_s = [o + 4 * l for o, l in zip(off_s, l_ef_s)]
-        word_in_lane = lane_all >> 5
-        bitsel = (lane_all & 31).astype(jnp.uint32)
-        last_lane = lane_all == BLOCK - 1
-        sel_rows = jnp.zeros((g_items, BLOCK), jnp.float32)
-        off_prev = jnp.zeros((gb, 1), jnp.int32)
-        for r in range(3):
-            widx_r = per_item([ub + 4 * r for ub in ubase_s]) + word_in_lane
-            w_r, _ = read_words(widx_r, straddle=False)
-            bit_r = ((w_r >> bitsel) & jnp.uint32(1)).astype(jnp.int32)
-            cum_r = prefix_sum_all(bit_r) + off_prev
-            m_r = (col_iota_all >= cum_r).astype(jnp.float32)
-            sel_rows = sel_rows + jnp.dot(
-                item_oh_T, m_r, preferred_element_type=jnp.float32
-            )
-            tot_r = jnp.dot(
-                item_oh_T,
-                jnp.where(last_lane, cum_r, 0).astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            off_prev = jnp.dot(
-                item_oh, tot_r, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)
-        iota_row = jax.lax.broadcasted_iota(jnp.int32, (g_items, BLOCK), 1)
-        hi_rows = sel_rows.astype(jnp.int32) - iota_row
-        l_rows = per_item_row(l_ef_s)
-        ef_docs_rows = (hi_rows << l_rows) + low_all.reshape(g_items, BLOCK)
-        is_ef_rows = per_item_row([e.astype(jnp.int32) for e in is_ef_s]) > 0
-        docs_ref[...] = base_rows + jnp.where(
-            is_ef_rows, ef_docs_rows, for_docs_all.reshape(g_items, BLOCK)
-        )
-    freqs_ref[...] = freq_all.reshape(g_items, BLOCK)
-    if cache_ref is None:
-        norms_ref[...] = norm_all.reshape(g_items, BLOCK)
-    else:
-        # in-kernel BM25 denominator: cval = cache[fid, byte] as ONE
-        # [gb,256] onehot @ [256, F] matmul + own-field masked sum (v1
-        # looped F [gb,256] wheres on the VPU)
-        fid_s = [fid_ref[i0 + g] for g in range(g_items)]
-        fid_l = per_item(fid_s)
-        iota256 = jax.lax.broadcasted_iota(jnp.int32, (gb, 256), 1)
-        onehot = (iota256 == norm_all).astype(jnp.float32)
-        vals = jnp.dot(
-            onehot, jnp.transpose(cache_ref[...]), preferred_element_type=jnp.float32
-        )  # [gb, F]
-        f_iota = jax.lax.broadcasted_iota(jnp.int32, (gb, cache_ref.shape[0]), 1)
-        cval_col = jnp.sum(
-            jnp.where(f_iota == fid_l, vals, 0.0), axis=1, keepdims=True
-        )
-        norms_ref[...] = cval_col.reshape(g_items, BLOCK)
-
-
-from functools import partial
+# NOTE (r5): a v2 tile-compaction decode kernel (4x fewer MXU FLOPs via
+# compacted [512, (limb, item)] operands) lived here and was DELETED
+# after its on-chip A/B lost to v1: 361.5 vs 465.4 QPS at 1M packed mode
+# (exp/logs/bench_1m_packed_v2_r5.log) — the extra transpose/compaction
+# steps cost more than the saved select FLOPs at serving shapes. The
+# deletion commit holds the implementation.
 
 
 MAX_CHUNK = 8192  # scalar-prefetch arrays live in SMEM: 4 * 32KB per chunk
@@ -544,16 +318,15 @@ def decode_work_items_pallas(
 
 def _scoring_kernel(off_ref, dbits_ref, fbits_ref, base_ref, fid_ref,
                     data_ref, cache_ref, docs_ref, freqs_ref, cval_ref,
-                    scratch, sems, *, g_items, has_ef, version=1):
-    impl = _decode_kernel if version == 1 else _decode_kernel_v2
-    impl(
+                    scratch, sems, *, g_items, has_ef):
+    _decode_kernel(
         off_ref, dbits_ref, fbits_ref, base_ref, data_ref, docs_ref,
         freqs_ref, cval_ref, scratch, sems, g_items=g_items, has_ef=has_ef,
         fid_ref=fid_ref, cache_ref=cache_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("interpret", "has_ef", "version"))
+@partial(jax.jit, static_argnames=("interpret", "has_ef"))
 def decode_score_work_items_pallas(
     data2d: jax.Array,
     off: jax.Array,
@@ -564,7 +337,6 @@ def decode_score_work_items_pallas(
     cache: jax.Array,  # f32[F, 256] norm-byte -> BM25 denominator
     interpret: bool = False,
     has_ef: bool = True,
-    version: int = 1,  # 2 = tile-compaction kernel (_decode_kernel_v2)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Like decode_work_items_pallas, but the third output is the BM25
     denominator cval = cache[fid, norm_byte] (f32[W,128]) selected
@@ -585,7 +357,6 @@ def decode_score_work_items_pallas(
                 cache,
                 interpret=interpret,
                 has_ef=has_ef,
-                version=version,
             )
             for s in range(0, w_total, MAX_CHUNK)
         ]
@@ -613,7 +384,7 @@ def decode_score_work_items_pallas(
         ],
     )
     docs, freqs, cval = pl.pallas_call(
-        partial(_scoring_kernel, g_items=g_items, has_ef=has_ef, version=version),
+        partial(_scoring_kernel, g_items=g_items, has_ef=has_ef),
         out_shape=[
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((w, BLOCK), jnp.int32),

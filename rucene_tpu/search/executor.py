@@ -229,11 +229,8 @@ def decode_score_lanes(
         # the BM25 denominator is selected IN-KERNEL from the [F,256]
         # cache (one-hot VPU select, bit-exact) — an XLA per-lane gather
         # over millions of lanes serializes (~300 ms/batch at 1M docs)
-        import os
-
         raw_docs, raw_freqs, cval = decode_score_work_items_pallas(
             data2d, off, dbits, fbits, base, bfid, q.cache, has_ef=has_ef,
-            version=2 if os.environ.get("RUCENE_KERNEL") == "v2" else 1,
         )
         valid = jnp.arange(128, dtype=jnp.int32)[None, :] < cnt[:, None]
         docs = jnp.where(valid, raw_docs, INVALID_DOC)

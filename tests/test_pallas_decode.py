@@ -156,77 +156,3 @@ def test_pallas_scoring_decode_matches_gather():
     )
 
 
-def test_decode_kernel_v2_matches_v1_interpret():
-    """Tile-compaction kernel (_decode_kernel_v2) vs v1: bit-identical
-    docs/freqs/cval over FOR + EF blocks (interpret mode)."""
-    import numpy as np
-
-    from rucene_tpu.codec.device import build_device_segment
-    from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
-
-    packed = _ef_heavy_segment()
-    dev = build_device_segment(packed)
-    import jax
-    import jax.numpy as jnp
-
-    data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
-    nb = packed.num_blocks
-    w = max(8, 1 << (nb - 1).bit_length())
-    off = np.zeros(w, np.int32)
-    dbits = np.ones(w, np.int32)
-    fbits = np.ones(w, np.int32)
-    base = np.zeros(w, np.int32)
-    fid = np.zeros(w, np.int32)
-    off[:nb] = np.asarray(dev.blk_off[:nb])
-    dbits[:nb] = np.asarray(dev.blk_doc_bits[:nb])
-    fbits[:nb] = np.asarray(dev.blk_freq_bits[:nb])
-    base[:nb] = np.asarray(dev.blk_base[:nb])
-    cache = np.linspace(0.5, 3.5, 2 * 256, dtype=np.float32).reshape(2, 256)
-    outs = {}
-    for v in (1, 2):
-        d, f, c = decode_score_work_items_pallas(
-            data2d, jnp.asarray(off), jnp.asarray(dbits), jnp.asarray(fbits),
-            jnp.asarray(base), jnp.asarray(fid), jnp.asarray(cache),
-            interpret=True, has_ef=True, version=v,
-        )
-        outs[v] = (np.asarray(d), np.asarray(f), np.asarray(c))
-    for a, b, name in zip(outs[1], outs[2], ("docs", "freqs", "cval")):
-        np.testing.assert_array_equal(a[:nb], b[:nb], err_msg=name)
-
-
-def test_decode_kernel_v2_for_only_interpret():
-    import numpy as np
-
-    from rucene_tpu.codec.device import build_device_segment
-    from rucene_tpu.ops.pallas_decode import decode_score_work_items_pallas
-    from rucene_tpu.util.packing import EF_TAG
-
-    packed = _plain_segment()
-    assert not (np.asarray(packed.blk_doc_bits) >= EF_TAG).any()
-    dev = build_device_segment(packed)
-    import jax
-    import jax.numpy as jnp
-
-    data2d = jax.lax.bitcast_convert_type(dev.data, jnp.int32).reshape(-1, 128)
-    nb = packed.num_blocks
-    w = max(8, 1 << (nb - 1).bit_length())
-    off = np.zeros(w, np.int32)
-    dbits = np.ones(w, np.int32)
-    fbits = np.ones(w, np.int32)
-    base = np.zeros(w, np.int32)
-    fid = np.zeros(w, np.int32)
-    off[:nb] = np.asarray(dev.blk_off[:nb])
-    dbits[:nb] = np.asarray(dev.blk_doc_bits[:nb])
-    fbits[:nb] = np.asarray(dev.blk_freq_bits[:nb])
-    base[:nb] = np.asarray(dev.blk_base[:nb])
-    cache = np.linspace(0.5, 3.5, 256, dtype=np.float32).reshape(1, 256)
-    outs = {}
-    for v in (1, 2):
-        d, f, c = decode_score_work_items_pallas(
-            data2d, jnp.asarray(off), jnp.asarray(dbits), jnp.asarray(fbits),
-            jnp.asarray(base), jnp.asarray(fid), jnp.asarray(cache),
-            interpret=True, has_ef=False, version=v,
-        )
-        outs[v] = (np.asarray(d), np.asarray(f), np.asarray(c))
-    for a, b, name in zip(outs[1], outs[2], ("docs", "freqs", "cval")):
-        np.testing.assert_array_equal(a[:nb], b[:nb], err_msg=name)
