@@ -636,6 +636,10 @@ def main_nrt():
     refresh_cost = 0.0
     last_refresh = time.time()
     debug = os.environ.get("BENCH_NRT_DEBUG") == "1"
+    if debug:
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
     t0 = time.time()
     qi = 0
     while time.time() - t0 < duration:

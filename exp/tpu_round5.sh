@@ -62,12 +62,29 @@ run_nojson() { # for smoke steps whose success is exit-0 + non-empty log
   tail -3 "exp/logs/$name.log"
 }
 
-# NOTE (mid-round): steps 1-3 were driven manually with iteration
-# suffixes; the recorded artifacts are bench_8m_k100_r5d.log (59.8 QPS,
-# post-admission; r5 = the thrash recording, r5b/r5c = multi-build
-# compile OOMs, r5e = isect-v1 regression), bench_8m_k1000_r5.log,
-# bench_pytext_r5.log, bench_nrt_r5b.log (r5 = combined-view rebuild
-# pathology). Later steps run via this script.
+# FINAL STATUS (r5 end): every step below was driven manually, most with
+# iteration suffixes. Recorded artifacts:
+#  1. bench_8m_k100_r5d.log  59.8 QPS 1.36x (r5 = plane-thrash 0.5 QPS;
+#     r5b/r5c = fused-build compile OOMs; r5e/r5f/r5g = isect-route
+#     regressions, route deleted after exp/logs/isect_probe_r5.log)
+#     bench_8m_k1000_r5.log  59.7 QPS 1.31x (k-insensitive)
+#  2. bench_pytext_r5.log    259.3 QPS 0.15x (sparse real text favors the
+#     one-core scalar engine at sub-1M scale)
+#  3. bench_nrt_r5i.log      final NRT record (r5..r5h = the diagnosis
+#     series: combined-view rebuild 18-33 s/refresh, per-new-segment
+#     compiles 1-5 min/shape, decoded-plane uploads at ~7 MB/s — fixed
+#     by shape floors + packed small segments + shared scalar cache +
+#     chunked ingest + deferred merges)
+#  4. bench_1m_r5b.log       3,783.7 QPS 12.49x (headline; r5 = admission
+#     regression, fixed by the >2M-doc gate)
+#  5. wand_ab_r5.log         pruning lost 4-5x at every k, 0 blocks
+#     pruned -> WAND path DELETED (commit a27ca3a)
+#  6. bench_1m_packed_r5.log 465.4 QPS — packed mode 8.1x slower than
+#     decoded residency; it remains the fallback past the HBM ceiling
+#  7. bench_1m_packed_v2_r5.log 361.5 QPS — kernel v2 lost its A/B ->
+#     DELETED (commit 796b221); this step no longer runs
+#  8. smoke_r5.log, 9. class_times_guard_r5.log (all classes improved,
+#     best file updated)
 
 # 1. 8.8M rows FIRST (BASELINE config 3, never recorded r1-r4): k=100, k=1000
 STEP_TIMEOUT=3600 run bench_8m_k100_r5 env BENCH_DOCS=8800000 BENCH_BATCH=32 BENCH_QUERIES=128 python bench.py
@@ -88,8 +105,7 @@ run wand_ab_r5 python exp/wand_ab.py 1000000 10 100 1000
 # 6. A/B: decoded residency off (packed + Mosaic kernel serving mode)
 run bench_1m_packed_r5 env RUCENE_DECODED=0 python bench.py
 
-# 7. experimental decode-kernel v2 A/B (packed mode)
-run bench_1m_packed_v2_r5 env RUCENE_DECODED=0 RUCENE_KERNEL=v2 python bench.py
+# 7. (deleted) decode-kernel v2 A/B — kernel removed after losing its A/B
 
 # 8. smoke: entry + kernel/decoded parity on the real chip
 run_nojson smoke_r5 python __graft_entry__.py

@@ -184,7 +184,12 @@ def build_flat_work(
     within = np.arange(n) - start_of[item_slot]
     slot_flat = np.flatnonzero(sel)  # original (row*t + tslot) per slot
 
-    w = next_pow2(max(n, 1), 8) if w_pad is None else w_pad  # floor 8: pallas G
+    # floor 1024 (pow2, multiple of the pallas G): small work lists cost
+    # nothing to pad, but their length otherwise buckets by the SEGMENT'S
+    # query-term content — under NRT every fresh flush segment minted new
+    # W buckets whose executor compiles ran ~50 s each on the shared axon
+    # service (exp/logs/bench_nrt_probe_compiles.log)
+    w = next_pow2(max(n, 1), 1024) if w_pad is None else w_pad
     if n > w:
         raise ValueError(f"work list {n} exceeds pad {w}")
     wi_block = np.zeros(w, np.int32)
